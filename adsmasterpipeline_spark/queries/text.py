@@ -1,0 +1,321 @@
+"""Text-analysis + deduplication operators over the ``documents``
+table — the training-data-pipeline extensions (language-ID heuristic,
+quality scoring, token counting, fingerprinting, n-gram Jaccard
+near-dup, MinHash signatures, SimHash).
+
+Scale design: everything here is a single scan + narrow projections
+(no shuffle) except the Jaccard pair join, whose oracle-checkable form
+uses candidate blocking (same source + close length). The real scale
+path for near-dup at 100 TB is MinHash-LSH banding
+(`operators/dedup.py`), which turns the O(n²) pair space into a
+band-bucket shuffle join.
+
+Hash functions are chosen to be engine-portable: ``md5`` (identical in
+Spark and DuckDB) rather than xxhash/crc32 (Spark-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import query
+
+# Tiny embedded stopword list: enough for ratio features on the
+# synthetic corpus; a real deployment would broadcast a per-language list.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+MINHASH_SEEDS = ("s0", "s1", "s2", "s3")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _norm_text():
+    """lower + collapse whitespace — shared normalizer for fingerprints."""
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_word_len,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                     x -> x IN {STOPWORDS!r})) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           ROUND(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+                 / length(text), 4) AS punct_ratio
+    FROM documents
+    """,
+    "textops",
+    doc="Quality scoring: word count, average word length, stopword ratio, "
+        "punctuation ratio — single-scan narrow projection.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("long")
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0))
+    return d.select(
+        "doc_id", "lang",
+        n_words.alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                .cast("double") / n_words, 4).alias("avg_word_len"),
+        F.round(stop_hits.cast("double") / n_words, 4).alias("stopword_ratio"),
+        F.round(punct.cast("double") / F.length("text"), 4).alias("punct_ratio"),
+    )
+
+
+@query(
+    "token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+             AS bpe_ish_tokens
+    FROM documents
+    """,
+    "textops",
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens "
+        "(alpha runs / digit runs / single punctuation).",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+# Marker tokens per language for the n-gram/stopword language-ID
+# heuristic. On the synthetic corpus (shared vocabulary) this mostly
+# predicts the fallback — the point is the operator shape, which is
+# identical to a real character-n-gram scorer.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+}
+
+
+@query(
+    "langid_heuristic",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_label,
+             len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of'))) AS sc_en,
+             len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de')))   AS sc_es,
+             len(list_filter(string_split(text, ' '), x -> x IN ('der','die','und'))) AS sc_de,
+             len(list_filter(string_split(text, ' '), x -> x IN ('le','la','et')))   AS sc_fr
+      FROM documents
+    )
+    SELECT doc_id, lang_label,
+           CASE WHEN sc_en >= sc_es AND sc_en >= sc_de AND sc_en >= sc_fr AND sc_en > 0 THEN 'en'
+                WHEN sc_es >= sc_de AND sc_es >= sc_fr AND sc_es > 0 THEN 'es'
+                WHEN sc_de >= sc_fr AND sc_de > 0 THEN 'de'
+                WHEN sc_fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS predicted_lang
+    FROM scored
+    """,
+    "textops",
+    doc="Language-ID heuristic: marker-token voting with deterministic "
+        "tie-break order en > es > de > fr > unknown.",
+)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+
+    def _marker_hits(markers):
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    sc = {lang: _marker_hits(markers) for lang, markers in _LANG_MARKERS.items()}
+    pred = (
+        F.when((sc["en"] >= sc["es"]) & (sc["en"] >= sc["de"]) & (sc["en"] >= sc["fr"])
+               & (sc["en"] > 0), "en")
+        .when((sc["es"] >= sc["de"]) & (sc["es"] >= sc["fr"]) & (sc["es"] > 0), "es")
+        .when((sc["de"] >= sc["fr"]) & (sc["de"] > 0), "de")
+        .when(sc["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_label"),
+                    pred.alias("predicted_lang"))
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fingerprint,
+           CAST(length({_NORM_SQL}) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+    "textops", "dedup",
+    doc="Document fingerprinting: md5 of whitespace-normalized lowercase text "
+        "(engine-portable stand-in for a rolling hash; see operators/dedup.py "
+        "for the xxhash64 scale variant).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = _norm_text()
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents)
+    SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           COUNT(*) AS group_size
+    FROM fp GROUP BY fingerprint
+    """,
+    "dedup",
+    doc="Exact deduplication: hash-groupBy on the normalized-text fingerprint, "
+        "keep the lowest doc_id per group (P9/M6 duplicate detection shape, "
+        "scripts/fix_db_duplicates.py:22-25). One shuffle on the hash key.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.md5(_norm_text()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+@query(
+    "minhash_signatures",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           MIN(md5('s0' || tok)) AS mh0, MIN(md5('s1' || tok)) AS mh1,
+           MIN(md5('s2' || tok)) AS mh2, MIN(md5('s3' || tok)) AS mh3
+    FROM tok GROUP BY doc_id
+    """,
+    "dedup",
+    doc="MinHash signatures (k=4 seeded md5 permutations over the distinct "
+        "token set). Shuffle: one explode + groupBy(doc_id) — at scale the "
+        "explode stays partition-local and the agg is map-side combinable.",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("tok"),
+    )
+    aggs = [F.min(F.md5(F.concat(F.lit(s), F.col("tok")))).alias(f"mh{i}")
+            for i, s in enumerate(MINHASH_SEEDS)]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+@query(
+    "simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, md5(tok) AS h, COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM tok
+    )
+    SELECT doc_id,
+           {", ".join(
+               f"CASE WHEN SUM(CASE WHEN substr(h, {i + 1}, 1) IN "
+               f"('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) * 2 "
+               f"> COUNT(*) THEN 1 ELSE 0 END AS bit{i}"
+               for i in range(16))}
+    FROM bits GROUP BY doc_id
+    """,
+    "dedup",
+    doc="SimHash (16-bit, engine-portable): bit i = majority vote of the high "
+        "bit of hex digit i of md5(token) over the doc's distinct tokens. "
+        "Same single-shuffle profile as minhash_signatures.",
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    aggs = []
+    for i in range(16):
+        vote = F.sum(F.when(F.substring("h", i + 1, 1).isin(*high), 1).otherwise(0))
+        aggs.append(F.when(vote * 2 > F.count(F.lit(1)), 1).otherwise(0).alias(f"bit{i}"))
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, n_chars,
+             unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+       AND abs(a.n_chars - b.n_chars) <= 30
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.6
+    """,
+    "dedup",
+    doc="N-gram (token-set) Jaccard near-dup pairs with candidate blocking "
+        "(same source, |Δn_chars| ≤ 30). The token equi-join is the "
+        "documented small-scale path; operators/dedup.py has the LSH-banded "
+        "variant whose candidate set does not grow O(n²).",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", "source", "n_chars",
+        F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("tok"),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .where(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -1,0 +1,152 @@
+"""Embedding similarity-search operators over the ``embeddings`` table
+(`array<float>` column) — the ANN extensions.
+
+Spark-side design: the hot path stays JVM-side via higher-order array
+functions (``zip_with`` + ``aggregate``) — no Python UDF, no explode
+shuffle for the pairwise math. The brute-force top-k broadcasts the
+(small) query set against the candidate scan; the scale path for a
+full self-join is LSH/IVF bucketing (`operators/similarity.py`).
+
+Oracle side: DuckDB 1.0 lacks WITH ORDINALITY, so positional access
+uses a lateral ``range()`` join on the list index. Similarities are
+rounded on both sides before ranking so double summation order cannot
+flip results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import query
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+@query(
+    "vector_norms",
+    """
+    SELECT e.vec_id, e.label,
+           ROUND(sqrt(SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE))), 4)
+             AS l2_norm,
+           CAST(len(e.embedding) AS INT) AS dim
+    FROM embeddings e, range(1, 65) t(i)
+    GROUP BY e.vec_id, e.label, len(e.embedding)
+    """,
+    "vectors",
+    doc="Vector L2 norms via JVM-side higher-order functions (no UDF, no "
+        "explode): per-row aggregate over the array column.",
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label",
+        F.round(_norm(F.col("embedding")), 4).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@query(
+    "cosine_topk",
+    """
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               SUM(CAST(q.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE))
+               / (sqrt(SUM(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)))
+                  * sqrt(SUM(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)))),
+               6) AS sim
+      FROM embeddings q
+      JOIN embeddings c ON q.vec_id <> c.vec_id,
+           range(1, 65) t(i)
+      WHERE q.vec_id < 8
+      GROUP BY q.vec_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 3
+    """,
+    "vectors",
+    doc="Brute-force cosine top-k: broadcast the small query set against the "
+        "candidate scan, dot product via zip_with/aggregate (whole-stage "
+        "codegen), rank per query. The candidate scan is embarrassingly "
+        "parallel — at 100 TB the same plan holds with the query side "
+        "broadcast; LSH/IVF variants in operators/similarity.py cut the "
+        "candidate set.",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.where(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    sim = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))), 6)
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+@query(
+    "label_centroid_distance",
+    """
+    WITH comp AS (
+      SELECT e.vec_id, e.label, t.i AS pos, CAST(e.embedding[t.i] AS DOUBLE) AS val
+      FROM embeddings e, range(1, 65) t(i)
+    ),
+    centroids AS (
+      SELECT label, pos, AVG(val) AS cval FROM comp GROUP BY label, pos
+    ),
+    dists AS (
+      SELECT c.vec_id, c.label, sqrt(SUM((c.val - ct.cval) * (c.val - ct.cval))) AS dist
+      FROM comp c JOIN centroids ct ON c.label = ct.label AND c.pos = ct.pos
+      GROUP BY c.vec_id, c.label
+    )
+    SELECT label, COUNT(*) AS n_members, ROUND(AVG(dist), 4) AS avg_dist,
+           ROUND(MAX(dist), 4) AS max_dist
+    FROM dists GROUP BY label
+    """,
+    "vectors",
+    doc="Per-label centroid + member distance stats (IVF building block: "
+        "centroid assignment is exactly this aggregation). Two shuffles: "
+        "groupBy(label,pos) for centroids — map-side combinable — and the "
+        "broadcast-able centroid join back.",
+)
+def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding")).alias("pos0", "valf"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+             F.col("valf").cast("double").alias("val"))
+    centroids = comp.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    diff = F.col("val") - F.col("cval")
+    dists = (
+        comp.join(F.broadcast(centroids), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(diff * diff)).alias("dist"))
+    )
+    return dists.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("dist"), 4).alias("avg_dist"),
+        F.round(F.max("dist"), 4).alias("max_dist"),
+    )

@@ -1,0 +1,68 @@
+"""Headline benchmark: run the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line with per-query wall-clock seconds.
+
+Each query is forced through a full materialization (count of the
+result) — no collect of wide payloads, so the measured time is plan
+execution, not driver transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan+agg, multi-join, window,
+# keyed merge, checksum dispatch, dedup hashing, near-dup join, ANN.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "window_bucket_assign",
+    "topk_per_group",
+    "merge_last_writer_wins",
+    "checksum_dispatch",
+    "sessionize",
+    "dedup_exact",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from adsmasterpipeline_spark.queries import REGISTRY, _load
+    from adsmasterpipeline_spark.session import get_spark
+
+    _load()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # execution, not session startup
+    REGISTRY["q1_pricing_summary"].spark_fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        qd = REGISTRY[name]
+        t0 = time.time()
+        qd.spark_fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Smoke + invariant tests for every registered query at sf0.001.
+
+The full DuckDB differential check lives in tools/check.py (and the
+driver's gate); here we pin cheap invariants so pytest stays fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from adsmasterpipeline_spark.queries import REGISTRY, _load
+from tests.conftest import SF_DIR
+
+_load()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_runs_and_schema_stable(spark, name):
+    qd = REGISTRY[name]
+    df = qd.spark_fn(spark, SF_DIR)
+    cols = df.columns
+    assert len(cols) == len(set(cols)), f"{name}: duplicate column names"
+    # run twice: deterministic row count (no sampling / time dependence)
+    n1 = df.count()
+    n2 = qd.spark_fn(spark, SF_DIR).count()
+    assert n1 == n2
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30
+
+
+def test_oracle_alias_parity():
+    """Every oracle must be a plain SELECT/WITH statement (DuckDB-runnable)."""
+    for name, qd in REGISTRY.items():
+        if qd.oracle is None:
+            continue
+        head = qd.oracle.strip().split(None, 1)[0].upper()
+        assert head in ("SELECT", "WITH"), name

@@ -1,0 +1,107 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry at a given SF and compare against its
+``oracle_sql()`` via DuckDB — row count, sorted-by-name schema, and an
+order-insensitive value comparison.
+
+Usage: python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize_cell(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def normalize_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(normalize_cell(r[i]) for i in order) for r in rows]
+    return [cols[i] for i in order], sorted(out, key=repr)
+
+
+def main() -> int:
+    import duckdb
+
+    from adsmasterpipeline_spark.queries import REGISTRY, _load
+    from adsmasterpipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    _load()
+    spark = get_spark("correctness_check")
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = 0
+    for name, qd in sorted(REGISTRY.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qd.spark_fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL  {name}: spark error")
+            traceback.print_exc(limit=3)
+            n_fail += 1
+            continue
+        if qd.oracle is None:
+            print(f"OK*   {name}: rows-only ({len(srows)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            res = con.execute(qd.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception:
+            print(f"FAIL  {name}: duckdb error")
+            traceback.print_exc(limit=3)
+            n_fail += 1
+            continue
+        sc, sr = normalize_rows(scols, srows)
+        oc, orr = normalize_rows(ocols, orows)
+        if sc != oc:
+            print(f"FAIL  {name}: schema {sc} != {oc}")
+            n_fail += 1
+            continue
+        if len(sr) != len(orr):
+            print(f"FAIL  {name}: rows {len(sr)} != {len(orr)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(sr, orr) if a != b]
+        if bad:
+            print(f"FAIL  {name}: {len(bad)} mismatched rows; first: "
+                  f"\n  spark={bad[0][0]}\n  duck ={bad[0][1]}")
+            n_fail += 1
+            continue
+        print(f"PASS  {name} ({len(sr)} rows, {time.time()-t0:.1f}s)")
+        n_pass += 1
+
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
