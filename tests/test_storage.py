@@ -1,0 +1,116 @@
+"""Unit tests for the keyed merge core (M1-M8) — upsert,
+last-writer-wins, delete, changelog, scix_id, watermark KV."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from adsmasterpipeline_spark.schemas import EVENT_SCHEMA
+from adsmasterpipeline_spark.storage import (
+    KeyValueStore, delete_obsolete_records, empty_records, fold_events,
+    merge_updates,
+)
+
+
+def ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def ev(bibcode, typ, payload, day, hour=0, status="active"):
+    return (bibcode, typ, status,
+            json.dumps(payload) if payload is not None else None, ts(day, hour))
+
+
+@pytest.fixture()
+def events_df(spark):
+    rows = [
+        ev("B1", "bib_data", {"bibcode": "B1", "title": ["t1"]}, 1),
+        ev("B1", "bib_data", {"bibcode": "B1", "title": ["t2"]}, 2),  # newer wins
+        ev("B1", "metrics", {"citations": ["X"]}, 3),
+        ev("B2", "bib_data", {"bibcode": "B2"}, 1),
+        ev("B3", "bib_data", {"bibcode": "B3"}, 1),
+        ev("B3", None, None, 2, status="deleted"),
+    ]
+    rows[5] = ("B3", "bib_data", "deleted", None, ts(2))
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_fold_last_writer_wins(spark, events_df):
+    folded = {r["bibcode"]: r for r in fold_events(events_df).collect()}
+    assert json.loads(folded["B1"]["new_bib_data"])["title"] == ["t2"]
+    assert folded["B1"]["new_bib_data_updated"] == ts(2)
+    assert json.loads(folded["B1"]["new_metrics"])["citations"] == ["X"]
+    assert folded["B1"]["is_delete"] is False
+    assert folded["B3"]["is_delete"] is True
+
+
+def test_merge_insert_update_delete(spark, events_df):
+    recs, log = merge_updates(empty_records(spark), events_df,
+                              now=F.lit(ts(10)).cast("timestamp"))
+    rows = {r["bibcode"]: r for r in recs.collect()}
+    # B3 was deleted by its newest event -> not present
+    assert set(rows) == {"B1", "B2"}
+    assert json.loads(rows["B1"]["bib_data"])["title"] == ["t2"]
+    assert rows["B1"]["bib_data_updated"] == ts(2)
+    assert rows["B1"]["metrics_updated"] == ts(3)
+    # ids deterministic & contiguous in bibcode order
+    assert [rows[b]["id"] for b in sorted(rows)] == [1, 2]
+    # scix_id generated from bib_data, stable format
+    assert rows["B1"]["scix_id"].startswith("scix:")
+    assert len(rows["B1"]["scix_id"]) == len("scix:XXXX-XXXX-XXXX")
+
+    # second batch: update B1 keeps id/scix_id, bumps only changed cols
+    ev2 = spark.createDataFrame(
+        [("B1", "fulltext", "active", json.dumps({"body": "text"}), ts(5))],
+        EVENT_SCHEMA)
+    recs2, _ = merge_updates(recs, ev2, now=F.lit(ts(11)).cast("timestamp"))
+    r1 = recs2.where("bibcode = 'B1'").collect()[0]
+    assert r1["id"] == rows["B1"]["id"]
+    assert r1["scix_id"] == rows["B1"]["scix_id"]
+    assert json.loads(r1["fulltext"])["body"] == "text"
+    assert r1["bib_data_updated"] == ts(2)  # untouched
+    assert r1["updated"] == ts(11)
+
+    # changelog captured pre-images for the updated columns
+    entries = log.collect()
+    assert all(e["created"] == ts(10) for e in entries)
+    b1_types = {e["type"] for e in entries if e["key"] == "B1"}
+    assert {"bib_data", "metrics"} <= b1_types
+    assert any(e["type"] == "deleted" for e in entries if e["key"] == "B3")
+
+
+def test_merge_idempotent_replay(spark, events_df):
+    """Replaying the same batch must not change the table (idempotent
+    MERGE, §2.10 exactly-once-effect)."""
+    now = F.lit(ts(10)).cast("timestamp")
+    recs, _ = merge_updates(empty_records(spark), events_df, now=now)
+    recs = recs.cache()
+    recs2, _ = merge_updates(recs, events_df, now=now)
+    a = sorted([tuple(r) for r in recs.collect()])
+    b = sorted([tuple(r) for r in recs2.collect()])
+    assert a == b
+
+
+def test_delete_obsolete(spark, events_df):
+    recs, _ = merge_updates(empty_records(spark), events_df,
+                            now=F.lit(ts(10)).cast("timestamp"))
+    # no bib-less rows here -> no-op
+    assert delete_obsolete_records(recs, ts(20)).count() == recs.count()
+    stripped = recs.withColumn("bib_data", F.lit(None).cast("string"))
+    assert delete_obsolete_records(stripped, ts(5)).count() == recs.count()
+    assert delete_obsolete_records(stripped, ts(20)).count() == 0
+
+
+def test_kv_watermark(spark, tmp_path):
+    kv = KeyValueStore(spark, str(tmp_path / "kv"))
+    assert kv.get("last.reindex.normal") is None
+    kv.put("last.reindex.normal", "2024-01-01T00:00:00")
+    kv.put("last.reindex.forced", "2024-02-01T00:00:00")
+    assert kv.get("last.reindex.normal") == "2024-01-01T00:00:00"
+    kv.put("last.reindex.normal", "2024-03-01T00:00:00")
+    assert kv.get("last.reindex.normal") == "2024-03-01T00:00:00"
+    assert kv.get("last.reindex.forced") == "2024-02-01T00:00:00"
