@@ -27,6 +27,7 @@ import zlib
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 VOLATILE_KEY_MARKERS = ("mtime", "ctime", "update_timestamp")
 
@@ -55,7 +56,7 @@ def crc32_hex(s: str) -> str:
     return hex(zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF)
 
 
-@F.pandas_udf("string")
+@F.pandas_udf(T.StringType())
 def canonical_checksum_udf(payload_json: pd.Series) -> pd.Series:
     """Checksum of a raw-JSON payload column with reference semantics
     (sorted keys, volatile keys dropped). Arrow-batched."""
