@@ -1,0 +1,158 @@
+"""Deduplication operators at training-data scale.
+
+Four tiers, in order of cost:
+
+1. ``exact_dedup`` — hash-groupBy on a normalized fingerprint; one
+   shuffle on the hash (never on the text itself).
+2. ``minhash_lsh_pairs`` — shingle → k minhashes → b bands; candidate
+   pairs share a band bucket, so the pair space is a band-bucket
+   equi-join (shuffle on small band keys), NOT an O(n²) cross join.
+3. ``simhash`` — 64-bit near-dup signature; hamming-ball candidate
+   generation via nibble banding.
+4. ``verify_jaccard`` — exact token-set Jaccard on candidates only.
+
+Hash notes: the scale implementations use ``xxhash64`` (JVM intrinsic,
+5-10 GB/s/core). The oracle-checked variants in ``queries/text.py``
+use md5 so DuckDB agrees; semantics are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Survivor per fingerprint group = lowest id. Returns
+    (id, fingerprint, group_size, is_keeper)."""
+    fp = docs.select(F.col(id_col),
+                     F.xxhash64(normalize_text(F.col(text_col))).alias("fingerprint"))
+    groups = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("_keeper"), F.count(F.lit(1)).alias("group_size"))
+    return (fp.join(groups, "fingerprint")
+            .select(id_col, "fingerprint", "group_size",
+                    (F.col(id_col) == F.col("_keeper")).alias("is_keeper")))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set, computed without explode: transform over
+    token index prefix."""
+    norm = normalize_text(text)
+    toks = F.split(norm, " ")
+    k = F.size(toks) - (n - 1)
+    # sequence(1, k) DESCENDS when k < 1 -> guard short docs: the whole
+    # normalized text is their single shingle
+    return F.when(k >= 1, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n))))) \
+        .otherwise(F.array(norm))
+
+
+def minhash_signature(text: Column, num_hashes: int = 16,
+                      shingle_n: int = 3) -> Column:
+    """Array of k min-hashes over the shingle set. Seeded xxhash64 —
+    each seed is an independent permutation approximation. Per-row
+    aggregate; no shuffle."""
+    sh = shingles(text, shingle_n)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, verified with exact
+    shingle Jaccard. The only pairwise work happens inside band
+    buckets: shuffle keys are (band_id, band_hash) — bounded fan-out
+    even at 100 TB (hot buckets indicate true duplicate clusters)."""
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"))
+
+    banded = sig.select(
+        id_col, "_sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("_sig", b * rows_per_band + r + 1)
+                           .cast("string") for r in range(rows_per_band)]))
+                .alias("bucket"))
+            for b in range(bands)])).alias("_b"),
+    ).select(id_col, "_sh", "_b.band", "_b.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a._sh").alias("sh_a"), F.col("b._sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (cand.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+            .where(F.col("jaccard") >= jaccard_threshold))
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash: per distinct token, xxhash64; bit i of the
+    signature = majority vote of bit i across token hashes. Pure
+    higher-order functions — per-row, no shuffle, no UDF."""
+    toks = F.array_distinct(F.split(normalize_text(text), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+
+    def bit_vote(i):
+        mask = F.lit(1 << i)
+        votes = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+        return F.when(votes * 2 > n, mask).otherwise(F.lit(0))
+
+    # bit 63 excluded: keep the value positive
+    bits = [bit_vote(i) for i in range(63)]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates: docs whose simhash agrees on at least one of
+    4 16-bit bands (pigeonhole: hamming ≤ 3 over 64 bits ⇒ some band
+    equal), verified by exact hamming distance."""
+    sig = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    banded = sig.select(
+        id_col, "sim",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("sim", b * 16).bitwiseAND(F.lit(0xFFFF))
+                     .alias("bucket"))
+            for b in range(4)])).alias("_b"),
+    ).select(id_col, "sim", "_b.band", "_b.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.sim").alias("sim_a"), F.col("b.sim").alias("sim_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

@@ -1,0 +1,130 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Three strategies:
+
+- ``brute_force_topk``: exact — broadcast the query set, scan all
+  candidates, zip_with/aggregate dot products (whole-stage codegen),
+  rank per query. Linear in candidates but embarrassingly parallel;
+  the right baseline and the correctness oracle for the ANN variants.
+- ``sign_lsh_topk``: hyperplane-sign LSH — bucket vectors by the sign
+  pattern of their first ``planes`` components (axis-aligned
+  hyperplanes; deterministic, engine-portable). Search only the
+  query's bucket: the candidate scan shrinks ~2^planes fold.
+- ``ivf_topk``: IVF — k-means-style coarse quantizer (here: centroids
+  from a labeled column or a provided centroid table); probe the
+  nearest ``nprobe`` centroids' inverted lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_q"))
+    c = candidates.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("_c"))
+    sim = F.round(cosine(F.col("_q"), F.col("_c")), 6)
+    pairs = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id", sim.alias("sim")))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                          F.col("neighbor_id"))
+    return (pairs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
+def sign_bucket(vec: Column, planes: int = 8) -> Column:
+    """Bucket key: sign bits of the first `planes` components."""
+    signs = F.transform(F.slice(vec, 1, planes),
+                        lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat_ws("", signs)
+
+
+def sign_lsh_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
+                  planes: int = 8, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """ANN: candidates restricted to the query's sign bucket. The join
+    shuffles on the bucket key; each bucket's pair block is ~1/2^planes
+    of the cross product."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_q"),
+                       sign_bucket(F.col(vec_col), planes).alias("_bkt"))
+    c = candidates.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("_c"),
+                          sign_bucket(F.col(vec_col), planes).alias("_bkt"))
+    sim = F.round(cosine(F.col("_q"), F.col("_c")), 6)
+    pairs = (c.join(F.broadcast(q), "_bkt")
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id", sim.alias("sim")))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                          F.col("neighbor_id"))
+    return (pairs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
+def ivf_topk(queries: DataFrame, candidates: DataFrame,
+             centroids: DataFrame, k: int = 10, nprobe: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN. ``centroids``: (centroid_id, centroid array<double>).
+    Inverted lists = candidates keyed by nearest centroid; queries
+    probe their ``nprobe`` nearest centroids."""
+    cen = F.broadcast(centroids.select(
+        F.col("centroid_id"), F.col("centroid").alias("_cen")))
+
+    def assign(df, ident, vec, n):
+        d = df.crossJoin(cen).select(
+            ident, vec, "centroid_id",
+            cosine(F.col(vec), F.col("_cen")).alias("_csim"))
+        w = W.partitionBy(ident).orderBy(F.col("_csim").desc(),
+                                         F.col("centroid_id"))
+        return (d.withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") <= n).drop("_r", "_csim"))
+
+    c = assign(candidates.select(F.col(id_col).alias("neighbor_id"),
+                                 F.col(vec_col).alias("_c")),
+               "neighbor_id", "_c", 1)
+    q = assign(queries.select(F.col(id_col).alias("query_id"),
+                              F.col(vec_col).alias("_q")),
+               "query_id", "_q", nprobe)
+    sim = F.round(cosine(F.col("_q"), F.col("_c")), 6)
+    pairs = (c.join(F.broadcast(q), "centroid_id")
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id", sim.alias("sim"))
+             .dropDuplicates(["query_id", "neighbor_id"]))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                          F.col("neighbor_id"))
+    return (pairs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
+def label_centroids(vectors: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Coarse quantizer from a labeled column: per-label mean vector
+    (posexplode + groupBy(label,pos) — map-side combinable)."""
+    comp = vectors.select(
+        F.col(label_col).alias("centroid_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    return (comp.groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("v"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("_pv"))
+            .select("centroid_id",
+                    F.transform("_pv", lambda s: s.getField("v")).alias("centroid")))

@@ -58,5 +58,5 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import relational, pipeline, text, vectors  # noqa: F401
+    from . import relational, pipeline, text, vectors, scale_ops  # noqa: F401
     _LOADED = True

