@@ -1,0 +1,188 @@
+"""CLI entry points — the run.py-equivalent surface (SURVEY §2.9 O2,
+O7, O8; reference run.py:103-232, :366-424, :499-518).
+
+Each subcommand is one deterministic Spark job over parquet-backed
+tables; the Celery choreography collapses into sequential actions.
+
+    python -m adsmasterpipeline_spark.cli ingest   --events DIR --data DIR
+    python -m adsmasterpipeline_spark.cli reindex  --data DIR [--force] [--since TS]
+    python -m adsmasterpipeline_spark.cli sitemap  --data DIR --action bootstrap|update
+    python -m adsmasterpipeline_spark.cli validate --left DIR --right DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark():
+    from .session import get_spark
+    s = get_spark("adsmasterpipeline_cli")
+    s.sparkContext.setLogLevel("WARN")
+    return s
+
+
+def _records_path(data_dir: str) -> str:
+    return os.path.join(data_dir, "records")
+
+
+def _load_records(spark, data_dir: str):
+    from .storage import empty_records
+    path = _records_path(data_dir)
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return empty_records(spark)
+
+
+def _save_records(df, data_dir: str) -> None:
+    import shutil
+    path = _records_path(data_dir)
+    staging = path + ".staging"
+    df.write.mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)
+
+
+def cmd_ingest(args) -> int:
+    """Batch-apply an update-event directory (JSON lines with the
+    EVENT_SCHEMA) into the records table; appends the changelog."""
+    from .schemas import EVENT_SCHEMA
+    from .storage import merge_updates
+    spark = _spark()
+    events = spark.read.schema(EVENT_SCHEMA).json(args.events)
+    records = _load_records(spark, args.data)
+    merged, changelog = merge_updates(records, events)
+    merged = merged.localCheckpoint()  # sever lineage before the swap
+    n = merged.count()
+    _save_records(merged, args.data)
+    changelog.write.mode("append").parquet(os.path.join(args.data, "changelog"))
+    print(json.dumps({"records": n}))
+    return 0
+
+
+def cmd_reindex(args) -> int:
+    """Incremental dispatch: watermark scan -> readiness -> checksum
+    diff -> write the three sink batches -> mark processed -> advance
+    the watermark (rollback semantics: the watermark only moves after
+    every sink write succeeded)."""
+    from .dispatch import mark_processed, reindex
+    from .sinks.writers import write_links_dir, write_solr_dir
+    from .storage import KeyValueStore
+    from .transform import solr_docs_json
+    spark = _spark()
+    records = _load_records(spark, args.data).cache()
+    kv = KeyValueStore(spark, os.path.join(args.data, "kv"))
+    wm_key = "last.reindex.forced" if args.force else "last.reindex.normal"
+    since = args.since or (None if args.force else kv.get(wm_key))
+
+    batches = reindex(records, since=since, force=args.force,
+                      ignore_checksums=args.ignore_checksums)
+    solr = batches["solr"].cache()
+    metrics = batches["metrics"].cache()
+    links = batches["links"].cache()
+
+    out = args.out or os.path.join(args.data, "sinks")
+    mtime_cols = [c for c in solr.columns
+                  if c.endswith("_mtime") or c == "update_timestamp"]
+    write_solr_dir(
+        solr_docs_json(solr.drop("checksum", *mtime_cols)),
+        os.path.join(out, "solr"))
+    metrics.write.mode("overwrite").parquet(os.path.join(out, "metrics"))
+    write_links_dir(links, os.path.join(out, "links"))
+
+    updated = records
+    for sink, df in (("solr", solr), ("metrics", metrics),
+                     ("datalinks", links)):
+        updated = mark_processed(updated, df.select("bibcode", "checksum"),
+                                 sink)
+    updated = updated.localCheckpoint()
+    counts = {"solr": solr.count(), "metrics": metrics.count(),
+              "links": links.count()}
+    _save_records(updated, args.data)
+    import datetime as dt
+    kv.put(wm_key, dt.datetime.now(dt.timezone.utc).isoformat())
+    print(json.dumps(counts))
+    return 0
+
+
+def cmd_sitemap(args) -> int:
+    from . import sitemap as sm
+    spark = _spark()
+    records = _load_records(spark, args.data)
+    table_path = os.path.join(args.data, "sitemap")
+    if args.action == "bootstrap":
+        table = sm.bootstrap(records)
+    else:
+        existing = spark.read.parquet(table_path)
+        table = sm.add_records(existing, records, force=args.force)
+    table = table.localCheckpoint()
+    out = args.out or os.path.join(args.data, "sitemap_files")
+    total = 0
+    for site in sm.SITES:
+        rendered = sm.render_sitemap_files(table, site=site,
+                                           only_dirty=args.action != "bootstrap")
+        total += sm.write_sitemap_files(rendered, out)
+        from .sinks.writers import write_text_files
+        write_text_files(
+            [("sitemap_index.xml", sm.render_sitemap_index(table, site=site)),
+             ("robots.txt", sm.render_robots_txt(site))],
+            os.path.join(out, site))
+    cleared = table.withColumn(
+        "update_flag", table["update_flag"] & False)
+    cleared.write.mode("overwrite").parquet(table_path)
+    print(json.dumps({"rows": table.count(), "files": total}))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from .validate import compare
+    spark = _spark()
+    left = spark.read.json(args.left)
+    right = spark.read.json(args.right)
+    diffs = compare(left, right)
+    n = diffs.count()
+    diffs.show(50, truncate=80)
+    print(json.dumps({"mismatches": n}))
+    return 0 if n == 0 else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="adsmasterpipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="apply update events to records")
+    pi.add_argument("--events", required=True)
+    pi.add_argument("--data", required=True)
+    pi.set_defaults(fn=cmd_ingest)
+
+    pr = sub.add_parser("reindex", help="incremental dispatch to sinks")
+    pr.add_argument("--data", required=True)
+    pr.add_argument("--out")
+    pr.add_argument("--force", action="store_true")
+    pr.add_argument("--since")
+    pr.add_argument("--ignore-checksums", action="store_true")
+    pr.set_defaults(fn=cmd_reindex)
+
+    ps = sub.add_parser("sitemap", help="sitemap table + XML generation")
+    ps.add_argument("--data", required=True)
+    ps.add_argument("--out")
+    ps.add_argument("--action", choices=("bootstrap", "update"),
+                    default="update")
+    ps.add_argument("--force", action="store_true")
+    ps.set_defaults(fn=cmd_sitemap)
+
+    pv = sub.add_parser("validate", help="differential doc compare")
+    pv.add_argument("--left", required=True)
+    pv.add_argument("--right", required=True)
+    pv.set_defaults(fn=cmd_validate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,6 +45,9 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure
     # execution, not session startup
     REGISTRY["q1_pricing_summary"].spark_fn(spark, sf_dir).count()
+    for t in ("documents", "embeddings", "events"):
+        from adsmasterpipeline_spark.sources import load_table
+        load_table(spark, sf_dir, t).count()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
