@@ -58,5 +58,7 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import relational, pipeline, text, vectors, scale_ops  # noqa: F401
+    from . import (  # noqa: F401
+        relational, relational2, pipeline, text, vectors, scale_ops,
+    )
     _LOADED = True

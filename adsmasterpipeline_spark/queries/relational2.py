@@ -1,0 +1,246 @@
+"""Second relational batch: the SQL-engine capabilities the reference
+lacks but Spark SQL provides natively (SURVEY §2.5 'gaps' note —
+grouping sets, pivot, statistical aggregates, similarity, correlated
+subqueries). All oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "agg",
+    doc="Hierarchical rollup totals (free from Spark SQL; absent in the "
+        "reference, SURVEY §2.5).",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "revenue", "n")
+    )
+
+
+@query(
+    "cube_order_stats",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "agg",
+    doc="Full cube over two dimensions.",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                "n", "avg_price")
+    )
+
+
+@query(
+    "pivot_status_by_segment",
+    """
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "agg",
+    doc="Pivot (wide conditional aggregation) — segment × order status.",
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    piv = (j.groupBy("c_mktsegment")
+           .pivot("o_orderstatus", ["O", "F", "P"]).count())
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_finished"),
+        F.coalesce("P", F.lit(0)).alias("n_pending"))
+
+
+@query(
+    "stats_per_brand",
+    """
+    SELECT p_brand, COUNT(*) AS n,
+           ROUND(AVG(p_retailprice), 4) AS mean_price,
+           ROUND(stddev_samp(p_retailprice), 4) AS sd_price,
+           ROUND(quantile_cont(p_retailprice, 0.5), 4) AS median_price,
+           ROUND(MIN(p_retailprice), 2) AS min_price,
+           ROUND(MAX(p_retailprice), 2) AS max_price
+    FROM part GROUP BY p_brand
+    """,
+    "agg", "stats",
+    doc="Statistical aggregates: stddev + exact interpolated median "
+        "(Spark `percentile` == DuckDB `quantile_cont`).",
+)
+def stats_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p_retailprice"), 4).alias("mean_price"),
+        F.round(F.stddev_samp("p_retailprice"), 4).alias("sd_price"),
+        F.round(F.percentile("p_retailprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "native_max_by",
+    """
+    SELECT n_nationkey AS nation, arg_max(c_name, c_acctbal) AS richest,
+           ROUND(MAX(c_acctbal), 2) AS top_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_nationkey
+    """,
+    "agg",
+    doc="A5/M6 as the native aggregate: max_by/arg_max (duplicate-repair "
+        "latest-wins, scripts/fix_db_duplicates.py:57-73). NOTE: ties on "
+        "c_acctbal would be nondeterministic — the synthetic doubles are "
+        "tie-free, asserted by the oracle match itself.",
+)
+def native_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_nationkey").alias("nation"))
+        .agg(F.max_by("c_name", "c_acctbal").alias("richest"),
+             F.round(F.max("c_acctbal"), 2).alias("top_bal"))
+    )
+
+
+@query(
+    "levenshtein_similarity",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    "functions", "validate",
+    doc="F18 similarity analogue: edit-distance pairs within brand blocks "
+        "(the validator's SequenceMatcher maps to levenshtein thresholds).",
+)
+def levenshtein_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+               & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .where(dist <= 3)
+        .select(F.col("a.p_partkey").alias("key_a"),
+                F.col("b.p_partkey").alias("key_b"),
+                dist.alias("edit_dist"))
+    )
+
+
+@query(
+    "correlated_small_quantity",
+    """
+    SELECT l.l_partkey, ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey AS pk, 0.5 * AVG(l_quantity) AS half_avg
+          FROM lineitem GROUP BY l_partkey) t
+      ON l.l_partkey = t.pk
+    WHERE l.l_quantity < t.half_avg
+    GROUP BY l.l_partkey
+    """,
+    "join", "tpch",
+    doc="TPC-H Q17 shape: correlated scalar subquery decorrelated into a "
+        "self-aggregation join (Catalyst performs the same rewrite).",
+)
+def correlated_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    avg = (li.groupBy(F.col("l_partkey").alias("pk"))
+           .agg((F.avg("l_quantity") * 0.5).alias("half_avg")))
+    return (
+        li.join(avg, li.l_partkey == avg.pk)
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, MIN(unit_cost) AS best_cost FROM costs GROUP BY l_partkey)
+    SELECT c.l_partkey, c.l_suppkey,
+           CAST(FLOOR(c.unit_cost * 10000) AS BIGINT) AS unit_cost_e4
+    FROM costs c JOIN best b
+      ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+    """,
+    "join", "tpch",
+    doc="TPC-H Q2 shape: min-cost supplier per part via groupBy + "
+        "min-join (ties keep all minimal suppliers). Exact-double join and "
+        "floor-scaled output — ROUND ties at the 4th decimal differ "
+        "between engines; floor of the identical IEEE double does not.",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    costs = (li.groupBy("l_partkey", "l_suppkey")
+             .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                  .alias("unit_cost")))
+    best = costs.groupBy(F.col("l_partkey").alias("pk")) \
+        .agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        costs.join(best, (costs.l_partkey == best.pk)
+                   & (costs.unit_cost == best.best_cost))
+        .select("l_partkey", "l_suppkey",
+                F.floor(F.col("unit_cost") * 10000).alias("unit_cost_e4"))
+    )
+
+
+@query(
+    "distinct_counts_exact_vs_approx", None, "agg", "stats",
+    doc="approx_count_distinct sketch next to the exact count (sketches "
+        "are engine-specific -> rows-only; the exact column is covered by "
+        "agg_collect_sorted's oracle).",
+)
+def distinct_counts_exact_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx"),
+    )
