@@ -138,6 +138,53 @@ def cmd_sitemap(args) -> int:
     return 0
 
 
+def cmd_rebuild(args) -> int:
+    """O7 — full rebuild with core swap (run.py:366-424,
+    scripts/reindex.py:51-165): force-transform EVERY record into a
+    staging sink dir, verify the acceptance gate (min doc count — the
+    analogue of MIN_COMMITTED_DOCS), then atomically swap the staging
+    dir over the live one. No checksum suppression: a rebuild is the
+    recovery path for sink corruption."""
+    import shutil
+    from .dispatch import reindex
+    from .transform import solr_docs_json
+    spark = _spark()
+    records = _load_records(spark, args.data)
+    batches = reindex(records, force=True, ignore_checksums=True)
+    solr = batches["solr"]
+    live = args.out or os.path.join(args.data, "sinks", "solr")
+    staging = live + ".rebuild"
+    mtime_cols = [c for c in solr.columns
+                  if c.endswith("_mtime") or c == "update_timestamp"]
+    solr_docs_json(solr.drop("checksum", *mtime_cols)) \
+        .write.mode("overwrite").json(staging)
+    n = spark.read.json(staging).count()
+    if n < args.min_docs:
+        shutil.rmtree(staging)
+        print(json.dumps({"error": "acceptance gate failed",
+                          "docs": n, "min_docs": args.min_docs}))
+        return 1
+    if os.path.exists(live):
+        shutil.rmtree(live)
+    os.rename(staging, live)
+    print(json.dumps({"docs": n, "swapped": True}))
+    return 0
+
+
+def cmd_gc(args) -> int:
+    """M8 — delete obsolete records (run.py:258-293): drop rows with no
+    bib_data whose last update predates the cutoff."""
+    from .storage import delete_obsolete_records
+    spark = _spark()
+    records = _load_records(spark, args.data)
+    before = records.count()
+    kept = delete_obsolete_records(records, args.cutoff).localCheckpoint()
+    after = kept.count()
+    _save_records(kept, args.data)
+    print(json.dumps({"deleted": before - after, "kept": after}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from .validate import compare
     spark = _spark()
@@ -174,6 +221,18 @@ def main(argv=None) -> int:
                     default="update")
     ps.add_argument("--force", action="store_true")
     ps.set_defaults(fn=cmd_sitemap)
+
+    pb = sub.add_parser("rebuild", help="full reindex + atomic core swap")
+    pb.add_argument("--data", required=True)
+    pb.add_argument("--out")
+    pb.add_argument("--min-docs", type=int, default=1)
+    pb.set_defaults(fn=cmd_rebuild)
+
+    pg = sub.add_parser("gc", help="delete obsolete records")
+    pg.add_argument("--data", required=True)
+    pg.add_argument("--cutoff", required=True,
+                    help="ISO timestamp; bib-less rows older than this go")
+    pg.set_defaults(fn=cmd_gc)
 
     pv = sub.add_parser("validate", help="differential doc compare")
     pv.add_argument("--left", required=True)

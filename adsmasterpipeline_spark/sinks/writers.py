@@ -29,6 +29,13 @@ def write_links_dir(links: DataFrame, out_dir: str) -> None:
     links.write.mode("overwrite").json(out_dir)
 
 
+def delete_by_bibcodes(sink_table: DataFrame, bibcodes: DataFrame) -> DataFrame:
+    """S6 — solr delete-by-bibcode (adsmp/solr_updater.py:372-391) as an
+    anti-join over the sink table: the returned DataFrame replaces it
+    (tombstone semantics; an HTTP adapter would issue deletes instead)."""
+    return sink_table.join(bibcodes.select("bibcode"), "bibcode", "left_anti")
+
+
 def metrics_upsert(existing: DataFrame, batch: DataFrame) -> DataFrame:
     """S7 — INSERT ... ON CONFLICT (bibcode) DO UPDATE
     (adsmp/app.py:45-77) as a keyed MERGE with the metrics table's

@@ -161,6 +161,21 @@ def remove_records(sitemap: DataFrame, bibcodes: DataFrame) -> tuple[DataFrame, 
     return survivors, emptied
 
 
+def auto_update_selection(records: DataFrame, sitemap: DataFrame,
+                          cutoff) -> DataFrame:
+    """O10 — update_sitemaps_auto selection (run.py:558-628): bibcodes
+    with ``bib_data_updated >= cutoff`` ∪ ``solr_processed >= cutoff``
+    (J4 union-distinct), minus those already flagged dirty (J3
+    anti-join)."""
+    flagged = sitemap.where("update_flag").select("bibcode")
+    recent_bib = records.where(
+        F.col("bib_data_updated") >= F.lit(cutoff)).select("bibcode")
+    recent_solr = records.where(
+        F.col("solr_processed") >= F.lit(cutoff)).select("bibcode")
+    return (recent_bib.union(recent_solr).distinct()
+            .join(flagged, "bibcode", "left_anti"))
+
+
 def cleanup(sitemap: DataFrame, records: DataFrame) -> tuple[DataFrame, list[str]]:
     """O9 cleanup (adsmp/tasks.py:482-583): J1 left-outer join sitemap →
     records; drop rows whose record vanished or no longer qualifies."""

@@ -45,3 +45,12 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register each table as a temp view so SQL-form queries can run."""
     for n, df in load_tables(spark, sf_dir, *names).items():
         df.createOrReplaceTempView(n)
+
+
+def bibcode_list(spark: SparkSession, path: str) -> DataFrame:
+    """S4 — newline-delimited bibcode file source (run.py:1053-1060);
+    blank lines dropped, used as the key side of semi/anti joins."""
+    from pyspark.sql import functions as F
+    return (spark.read.text(path)
+            .select(F.trim("value").alias("bibcode"))
+            .where(F.col("bibcode") != ""))

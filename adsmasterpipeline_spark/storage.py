@@ -168,6 +168,31 @@ def merge_updates(records: DataFrame, events: DataFrame,
     return new_records, changelog
 
 
+def repair_duplicates(records: DataFrame) -> DataFrame:
+    """M6 — duplicate-row repair (scripts/fix_db_duplicates.py:57-73):
+    for bibcodes holding several rows, take each payload column from the
+    row where its ``*_updated`` is newest (per-column latest-wins), keep
+    the lowest id, drop the rest. One ``max_by`` aggregation per payload
+    column — a single shuffle on bibcode."""
+    aggs = [F.min("id").alias("id"),
+            F.min("scix_id").alias("scix_id")]
+    for p in PAYLOAD_TYPES:
+        aggs.append(F.max_by(p, F.coalesce(
+            F.col(f"{p}_updated"),
+            F.lit("0001-01-01 00:00:00").cast("timestamp"))).alias(p))
+        aggs.append(F.max(f"{p}_updated").alias(f"{p}_updated"))
+    for c in ("created", "updated", "processed", "solr_processed",
+              "metrics_processed", "datalinks_processed"):
+        aggs.append(F.max(c).alias(c))
+    for c in ("solr_checksum", "metrics_checksum", "datalinks_checksum",
+              "status"):
+        aggs.append(F.max_by(c, F.coalesce(
+            "updated", F.lit("0001-01-01 00:00:00").cast("timestamp")))
+            .alias(c))
+    return records.groupBy("bibcode").agg(*aggs) \
+        .select(*[f.name for f in records.schema.fields])
+
+
 def empty_records(spark) -> DataFrame:
     from .schemas import RECORDS_SCHEMA
     return spark.createDataFrame([], RECORDS_SCHEMA)
