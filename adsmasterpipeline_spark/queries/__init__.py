@@ -60,5 +60,6 @@ def _load() -> None:
         return
     from . import (  # noqa: F401
         relational, relational2, pipeline, text, vectors, scale_ops,
+        temporal,
     )
     _LOADED = True
