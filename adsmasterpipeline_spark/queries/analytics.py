@@ -1,0 +1,142 @@
+"""Window-analytics batch: ranking/navigation/distribution functions
+and ordered string aggregation — engine-native capabilities beyond the
+reference's two cumulative windows (SURVEY §2.8 'no ranking/analytic
+window functions ... in the reference'). All oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import query
+
+
+@query(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           CAST(epoch_us(o_orderdate) - epoch_us(LAG(o_orderdate) OVER w) AS BIGINT)
+             AS since_prev_us
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "window",
+    doc="Navigation functions: previous/next order per customer + "
+        "inter-order gap.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+         - F.unix_micros(F.lag("o_orderdate").over(w).cast("timestamp")))
+        .alias("since_prev_us"),
+    )
+
+
+@query(
+    "window_ntile_rank",
+    """
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey), 6)
+             AS pct_rank,
+           RANK() OVER (ORDER BY c_mktsegment) AS seg_rank,
+           DENSE_RANK() OVER (ORDER BY c_mktsegment) AS seg_dense_rank
+    FROM customer
+    """,
+    "window",
+    doc="Distribution/ranking functions: quartiles, percent_rank, "
+        "rank vs dense_rank over a low-cardinality key.",
+)
+def window_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w_bal = W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    w_seg = W.orderBy("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w_bal).alias("quartile"),
+        F.round(F.percent_rank().over(w_bal), 6).alias("pct_rank"),
+        F.rank().over(w_seg).alias("seg_rank"),
+        F.dense_rank().over(w_seg).alias("seg_dense_rank"),
+    )
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                          RANGE BETWEEN 31536000000000 PRECEDING AND CURRENT ROW)
+             AS orders_last_year
+    FROM orders
+    """,
+    "window",
+    doc="RANGE frame over event time: orders in the trailing 365 days "
+        "per customer (value-based frame, not row-based).",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    year_us = 365 * 24 * 3600 * 1_000_000
+    w = (W.partitionBy("o_custkey")
+         .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+         .rangeBetween(-year_us, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("orders_last_year"),
+    )
+
+
+@query(
+    "string_agg_ordered",
+    """
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg",
+    doc="Ordered string aggregation (listagg): deterministic via "
+        "sorted-distinct before concatenation.",
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus")))
+        .alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "first_last_value",
+    """
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "window",
+    doc="first_value/last_value with the full-partition frame (the "
+        "default frame's current-row cap is the classic last_value trap).",
+)
+def first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+    ).distinct()
