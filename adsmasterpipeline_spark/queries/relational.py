@@ -316,7 +316,9 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    # region/nation are tiny at every SF -> broadcast; customer joins shuffle.
+    # region/nation are tiny at EVERY scale factor -> explicit broadcast.
+    # customer⋈dims output is NOT (it scales with customers): no hint —
+    # AQE broadcasts it at small SF and shuffles it at 100 TB.
     dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey) \
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey) \
             .select("c_custkey", "n_name")
