@@ -59,7 +59,7 @@ def _load() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
-        analytics, corpus, relational, relational2, pipeline, text,
-        vectors, scale_ops, temporal,
+        analytics, corpus, relational, relational2, relational3,
+        pipeline, text, vectors, scale_ops, temporal,
     )
     _LOADED = True

@@ -1,0 +1,119 @@
+"""Third relational batch: remaining set operations, numeric
+histogramming, and array explode/flatten shapes. All oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import query
+
+
+@query(
+    "intersect_keys",
+    """
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "setop",
+    doc="INTERSECT — completes the set-op family (union/except oracled "
+        "earlier; the reference only ever uses union, SURVEY §2.4).",
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_orderkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return a.intersect(b)
+
+
+@query(
+    "union_all_counts",
+    """
+    SELECT src, COUNT(*) AS n FROM (
+      SELECT 'open' AS src FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) GROUP BY src
+    """,
+    "setop",
+    doc="UNION ALL (bag semantics) vs the dedup UNION — overlap rows "
+        "counted twice.",
+)
+def union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select(F.lit("open").alias("src"))
+    b = o.where(F.col("o_orderpriority") == "1-URGENT") \
+        .select(F.lit("urgent").alias("src"))
+    return a.unionAll(b).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "histogram_prices",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+    "agg", "stats",
+    doc="Fixed-width numeric histogram via floor bucketing — the "
+        "map-side-combinable building block for distribution profiling "
+        "at scale (one partial-agg shuffle, bucket-count cardinality).",
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.min("o_totalprice"), 2).alias("lo"),
+             F.round(F.max("o_totalprice"), 2).alias("hi"))
+    )
+
+
+@query(
+    "explode_tokens_top",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n FROM tok
+    GROUP BY token HAVING COUNT(*) >= 100
+    """,
+    "textops", "functions",
+    doc="Explode + frequency count (the vocabulary/document-frequency "
+        "building block for dedup prefilters and BPE corpus stats).",
+)
+def explode_tokens_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 100)
+    )
+
+
+@query(
+    "posexplode_components",
+    """
+    SELECT t.i - 1 AS pos,
+           ROUND(AVG(CAST(e.embedding[t.i] AS DOUBLE)), 4) AS mean_val,
+           ROUND(stddev_samp(CAST(e.embedding[t.i] AS DOUBLE)), 4) AS sd_val
+    FROM embeddings e, range(1, 65) t(i)
+    GROUP BY t.i
+    """,
+    "vectors", "stats",
+    doc="posexplode with positional grouping: per-dimension embedding "
+        "statistics (drift monitoring / normalization fitting).",
+)
+def posexplode_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("mean_val"),
+             F.round(F.stddev_samp(F.col("val").cast("double")), 4).alias("sd_val"))
+    )
