@@ -57,11 +57,22 @@ def minhash_signature(text: Column, num_hashes: int = 16,
                       shingle_n: int = 3) -> Column:
     """Array of k min-hashes over the shingle set. Seeded xxhash64 —
     each seed is an independent permutation approximation. Per-row
-    aggregate; no shuffle."""
+    aggregate; no shuffle.
+
+    ONE ``aggregate`` pass computes all k mins: the naive form
+    (k separate ``array_min(transform(...))``) inlines the shingle
+    subtree k times and the generated code blows up compilation
+    (measured ~60s of Janino time at k=16 once the expression is also
+    referenced from several join branches)."""
     sh = shingles(text, shingle_n)
-    return F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)])
+    init = F.array(*[F.lit((1 << 63) - 1).cast("long")
+                     for _ in range(num_hashes)])
+    return F.aggregate(
+        sh, init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b)))
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
@@ -77,9 +88,21 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         F.col(id_col),
         shingles(F.col(text_col), shingle_n).alias("_sh"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"))
+    # Materialize signatures BEFORE banding: the self-join and the
+    # verification join reference sig three times — eagerly cached, the
+    # expensive shingle/signature expressions compile and evaluate
+    # exactly once (lazily, each branch would re-inline them; measured
+    # 5-50x slowdown at sf0.1). At cluster scale this is a checkpoint
+    # to storage.
+    sig = sig.cache()
+    sig.count()
 
+    # the band self-join runs on SLIM rows (id, band, bucket) only —
+    # carrying the shingle arrays through the join + dedup measured 20x
+    # slower at sf0.1; payloads are fetched once per surviving
+    # candidate pair instead
     banded = sig.select(
-        id_col, "_sh",
+        id_col,
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -88,7 +111,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                            .cast("string") for r in range(rows_per_band)]))
                 .alias("bucket"))
             for b in range(bands)])).alias("_b"),
-    ).select(id_col, "_sh", "_b.band", "_b.bucket")
+    ).select(id_col, "_b.band", "_b.bucket")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -97,9 +120,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a._sh").alias("sh_a"), F.col("b._sh").alias("sh_b"))
+                F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sig.select(F.col(id_col).alias("_id"), "_sh")
+    cand = (
+        cand.join(sh.select(F.col("_id").alias("id_a"),
+                            F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"),
+                        F.col("_sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

@@ -60,6 +60,6 @@ def _load() -> None:
         return
     from . import (  # noqa: F401
         analytics, corpus, relational, relational2, relational3,
-        pipeline, text, vectors, scale_ops, temporal,
+        pipeline, text, tpch_more, vectors, scale_ops, temporal,
     )
     _LOADED = True

