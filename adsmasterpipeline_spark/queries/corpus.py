@@ -78,6 +78,42 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_dedup_pipeline", None, "dedup", "corpus", "scale",
+    doc="End-to-end training-corpus dedup: quality gate -> exact dedup "
+        "(xxhash64 fingerprints) -> MinHash-LSH near-dup on the exact "
+        "survivors -> survivor list with drop reasons. Composes the "
+        "scale operators; rows-only (each stage's portable twin is "
+        "oracled separately).",
+)
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup, minhash_lsh_pairs
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.where(F.size(F.split(F.col("text"), " ")) >= 20)
+    exact = exact_dedup(gated)
+    keepers = gated.join(
+        exact.where("is_keeper").select("doc_id"), "doc_id", "left_semi")
+    near = minhash_lsh_pairs(keepers, num_hashes=16, bands=2,
+                             jaccard_threshold=0.8)
+    # drop the higher id of each near-dup pair
+    near_drops = near.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = keepers.join(near_drops, "doc_id", "left_anti")
+    return (
+        d.select("doc_id")
+        .join(gated.select("doc_id", F.lit(True).alias("_gate")), "doc_id", "left")
+        .join(exact.select("doc_id", "is_keeper"), "doc_id", "left")
+        .join(near_drops.select("doc_id", F.lit(True).alias("_near")), "doc_id", "left")
+        .join(survivors.select("doc_id", F.lit(True).alias("_kept")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_gate").isNull(), "quality_gate")
+            .when(~F.coalesce(F.col("is_keeper"), F.lit(True)), "exact_dup")
+            .when(F.col("_near").isNotNull(), "near_dup")
+            .otherwise("kept").alias("disposition"),
+        )
+    )
+
+
+@query(
     "ann_ivf_kmeans", None, "vectors", "scale",
     doc="IVF ANN with a real (unlabeled) k-means coarse quantizer built "
         "by operators/kmeans.py — iterative DataFrame refinement, "
