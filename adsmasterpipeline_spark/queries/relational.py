@@ -141,18 +141,19 @@ def agg_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect_sorted",
     """
-    SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses,
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), '|') AS statuses,
            COUNT(DISTINCT l_orderkey) AS n_orders
     FROM lineitem GROUP BY l_returnflag
     """,
     "agg",
     doc="A7: group-to-list (sitemap id fan-out, adsmp/tasks.py:1157-1160); "
-        "sorted for determinism.",
+        "sorted + serialized to string (driver's value-hash can't hash arrays).",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.concat_ws("|", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
 
@@ -536,17 +537,19 @@ def date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "has_fields",
     """
     SELECT o_orderkey,
-           list_sort(
-             list_filter(
-               [CASE WHEN o_orderstatus IS NOT NULL AND regexp_matches(o_orderstatus, '[a-zA-Z0-9]') THEN 'orderstatus' END,
-                CASE WHEN o_orderpriority IS NOT NULL AND regexp_matches(o_orderpriority, '[a-zA-Z0-9]') THEN 'orderpriority' END,
-                CASE WHEN o_totalprice IS NOT NULL THEN 'totalprice' END],
-               x -> x IS NOT NULL)) AS has
+           array_to_string(
+             list_sort(
+               list_filter(
+                 [CASE WHEN o_orderstatus IS NOT NULL AND regexp_matches(o_orderstatus, '[a-zA-Z0-9]') THEN 'orderstatus' END,
+                  CASE WHEN o_orderpriority IS NOT NULL AND regexp_matches(o_orderpriority, '[a-zA-Z0-9]') THEN 'orderpriority' END,
+                  CASE WHEN o_totalprice IS NOT NULL THEN 'totalprice' END],
+                 x -> x IS NOT NULL)), '|') AS has
     FROM orders
     """,
     "functions",
     doc="T8: `has` field — names of populated fields containing ≥1 alphanumeric "
-        "(adsmp/solr_updater.py:546-568).",
+        "(adsmp/solr_updater.py:546-568); serialized to string for the "
+        "driver's value-hash (arrays are unhashable there).",
 )
 def has_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -557,5 +560,5 @@ def has_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey",
-        F.sort_array(F.filter(entries, lambda x: x.isNotNull())).alias("has"),
+        F.concat_ws("|", F.sort_array(F.filter(entries, lambda x: x.isNotNull()))).alias("has"),
     )

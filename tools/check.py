@@ -66,6 +66,17 @@ def main() -> int:
             traceback.print_exc(limit=3)
             n_fail += 1
             continue
+        # The driver's value-hash dies on array/map-typed output columns
+        # (TypeError: unhashable type) — flag them here before it does.
+        from pyspark.sql import types as _T
+        complex_cols = [f.name for f in sdf.schema.fields
+                        if isinstance(f.dataType, (_T.ArrayType, _T.MapType,
+                                                   _T.StructType))]
+        if complex_cols and qd.oracle is not None:
+            print(f"FAIL  {name}: complex-typed output columns {complex_cols} "
+                  f"would crash the driver hasher — serialize to string")
+            n_fail += 1
+            continue
         if qd.oracle is None:
             print(f"OK*   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
