@@ -77,54 +77,227 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
 @query(
-    "corpus_dedup_pipeline", None, "dedup", "corpus", "scale",
+    "corpus_dedup_pipeline",
+    f"""
+    WITH gated AS (
+      SELECT doc_id, {_NORM_SQL} AS norm
+      FROM documents WHERE len(string_split(text, ' ')) >= 20
+    ),
+    fp AS (SELECT doc_id, norm, md5(norm) AS h FROM gated),
+    grp AS (SELECT h, MIN(doc_id) AS keeper FROM fp GROUP BY h),
+    keepers AS (
+      SELECT f.doc_id, f.norm FROM fp f
+      JOIN grp g ON f.h = g.h AND f.doc_id = g.keeper
+    ),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(norm, ' '))) AS tok
+      FROM keepers
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS nc
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    near AS (
+      SELECT DISTINCT i.idb AS doc_id
+      FROM inter i
+      JOIN sizes sa ON i.ida = sa.doc_id
+      JOIN sizes sb ON i.idb = sb.doc_id
+      WHERE 5 * i.nc >= 4 * (sa.sz + sb.sz - i.nc)
+    )
+    SELECT d.doc_id,
+           CASE WHEN g.doc_id IS NULL THEN 'quality_gate'
+                WHEN k.doc_id IS NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS disposition
+    FROM documents d
+    LEFT JOIN gated g ON d.doc_id = g.doc_id
+    LEFT JOIN keepers k ON d.doc_id = k.doc_id
+    LEFT JOIN near n ON d.doc_id = n.doc_id
+    """,
+    "dedup", "corpus", "scale",
     doc="End-to-end training-corpus dedup: quality gate -> exact dedup "
-        "(xxhash64 fingerprints) -> MinHash-LSH near-dup on the exact "
-        "survivors -> survivor list with drop reasons. Composes the "
-        "scale operators; rows-only (each stage's portable twin is "
-        "oracled separately).",
+        "(md5 fingerprint groupBy, keep lowest id) -> near-dup on the "
+        "exact survivors (token-set Jaccard >= 0.8 via inverted-index "
+        "candidates, drop the higher id of each pair) -> disposition per "
+        "document. Engine-portable twin of the xxhash64 + MinHash-LSH "
+        "composition (kept as the rows-only scale variants); the "
+        "Jaccard threshold compares 5*|A∩B| >= 4*|A∪B| in exact integer "
+        "arithmetic so both engines decide identically.",
 )
 def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import exact_dedup, minhash_lsh_pairs
     d = load_table(spark, sf_dir, "documents")
-    gated = d.where(F.size(F.split(F.col("text"), " ")) >= 20)
-    exact = exact_dedup(gated)
-    keepers = gated.join(
-        exact.where("is_keeper").select("doc_id"), "doc_id", "left_semi")
-    near = minhash_lsh_pairs(keepers, num_hashes=16, bands=2,
-                             jaccard_threshold=0.8)
-    # drop the higher id of each near-dup pair
-    near_drops = near.select(F.col("id_b").alias("doc_id")).distinct()
-    survivors = keepers.join(near_drops, "doc_id", "left_anti")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    gated = d.where(F.size(F.split(F.col("text"), " ")) >= 20) \
+             .select("doc_id", norm.alias("norm"))
+    fp = gated.select("doc_id", "norm", F.md5("norm").alias("h"))
+    grp = fp.groupBy("h").agg(F.min("doc_id").alias("_keeper"))
+    keepers = (fp.join(grp, "h")
+               .where(F.col("doc_id") == F.col("_keeper"))
+               .select("doc_id", "norm"))
+    tok = keepers.select(
+        "doc_id", F.explode(F.array_distinct(F.split("norm", " "))).alias("tok"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    near = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("ida"), F.col("sz").alias("sza")), "ida")
+        .join(sizes.select(F.col("doc_id").alias("idb"), F.col("sz").alias("szb")), "idb")
+        .where(5 * F.col("nc") >= 4 * (F.col("sza") + F.col("szb") - F.col("nc")))
+        .select(F.col("idb").alias("doc_id")).distinct()
+    )
     return (
         d.select("doc_id")
         .join(gated.select("doc_id", F.lit(True).alias("_gate")), "doc_id", "left")
-        .join(exact.select("doc_id", "is_keeper"), "doc_id", "left")
-        .join(near_drops.select("doc_id", F.lit(True).alias("_near")), "doc_id", "left")
-        .join(survivors.select("doc_id", F.lit(True).alias("_kept")), "doc_id", "left")
+        .join(keepers.select("doc_id", F.lit(True).alias("_keep")), "doc_id", "left")
+        .join(near.select("doc_id", F.lit(True).alias("_near")), "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("_gate").isNull(), "quality_gate")
-            .when(~F.coalesce(F.col("is_keeper"), F.lit(True)), "exact_dup")
+            .when(F.col("_keep").isNull(), "exact_dup")
             .when(F.col("_near").isNotNull(), "near_dup")
             .otherwise("kept").alias("disposition"),
         )
     )
 
 
+# Seed vectors for the deterministic k-means quantizer: fixed ids that
+# exist at every SF (sf0.001 has vec_id 0..49).
+_KMEANS_SEEDS = (1, 7, 13, 19, 25, 31, 37, 43)
+
+_COS_SQL = """ROUND(
+  SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE))
+  / (sqrt(SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+     * sqrt(SUM(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)))), 6)"""
+
+
 @query(
-    "ann_ivf_kmeans", None, "vectors", "scale",
-    doc="IVF ANN with a real (unlabeled) k-means coarse quantizer built "
-        "by operators/kmeans.py — iterative DataFrame refinement, "
-        "deterministic init. Rows-only; recall vs brute force is "
-        "asserted in tests.",
+    "ann_ivf_kmeans",
+    f"""
+    WITH cen0 AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id IN {_KMEANS_SEEDS!r}
+    ),
+    asim AS (
+      SELECT e.vec_id, c.cid, {_COS_SQL} AS csim
+      FROM embeddings e, cen0 c, range(1, 65) t(i)
+      GROUP BY e.vec_id, c.cid
+    ),
+    assign0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, cid) AS r
+        FROM asim) WHERE r = 1
+    ),
+    cen1 AS (
+      SELECT a.cid, t.i AS pos,
+             ROUND(AVG(CAST(e.embedding[t.i] AS DOUBLE)), 9) AS cval
+      FROM embeddings e JOIN assign0 a ON e.vec_id = a.vec_id,
+           range(1, 65) t(i)
+      GROUP BY a.cid, t.i
+    ),
+    sim1 AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(
+               SUM(CAST(e.embedding[c.pos] AS DOUBLE) * c.cval)
+               / (sqrt(SUM(CAST(e.embedding[c.pos] AS DOUBLE)
+                           * CAST(e.embedding[c.pos] AS DOUBLE)))
+                  * sqrt(SUM(c.cval * c.cval))), 6) AS csim
+      FROM embeddings e, cen1 c
+      GROUP BY e.vec_id, c.cid
+    ),
+    ranked1 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY csim DESC, cid) AS r
+      FROM sim1
+    ),
+    cassign AS (SELECT vec_id, cid FROM ranked1 WHERE r = 1),
+    qprobe AS (SELECT vec_id, cid FROM ranked1 WHERE r <= 2 AND vec_id < 16),
+    pairs AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, {_COS_SQL} AS sim
+      FROM qprobe p
+      JOIN cassign a ON p.cid = a.cid AND a.vec_id <> p.vec_id
+      JOIN embeddings e ON e.vec_id = p.vec_id
+      JOIN embeddings c ON c.vec_id = a.vec_id,
+           range(1, 65) t(i)
+      GROUP BY p.vec_id, a.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM pairs) WHERE rnk <= 3
+    """,
+    "vectors", "scale",
+    doc="IVF ANN with a k-means coarse quantizer made oracle-deterministic: "
+        "fixed seed vectors -> one Lloyd update (assign by rounded cosine, "
+        "centroid = component mean rounded to 9 dp) -> candidates keyed by "
+        "nearest centroid, queries probe top-2 cells, top-3 by cosine "
+        "within probed cells. Similarities rounded to 6 dp before every "
+        "argmax/rank so double-summation order cannot flip decisions "
+        "across engines. The free-running iterative quantizer "
+        "(operators/kmeans.py) stays exercised by ann_ivf + pytest recall "
+        "tests.",
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.kmeans import kmeans
-    from ..operators.similarity import ivf_topk
+    from pyspark.sql import Window as W
+    from ..operators.similarity import cosine
     e = load_table(spark, sf_dir, "embeddings")
-    cen = kmeans(e, k=8, max_iters=3)
-    q = e.where(F.col("vec_id") < 16)
-    return ivf_topk(q, e, cen, k=3, nprobe=2).select(
-        "query_id", "neighbor_id", "sim", "rnk")
+
+    # -- seed centroids + one Lloyd update ---------------------------------
+    cen0 = e.where(F.col("vec_id").isin(*_KMEANS_SEEDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("_cvec"))
+    asim = e.crossJoin(F.broadcast(cen0)).select(
+        "vec_id", "embedding", "cid",
+        F.round(cosine(F.col("embedding"), F.col("_cvec")), 6).alias("csim"))
+    w_v = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    assign0 = (asim.withColumn("r", F.row_number().over(w_v))
+               .where("r = 1").select("vec_id", "cid"))
+    cen1 = (
+        e.join(assign0, "vec_id")
+        .select("cid", F.posexplode("embedding").alias("pos0", "valf"))
+        .groupBy("cid", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("valf").cast("double")), 9).alias("cval"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("_pv"))
+        .select("cid", F.transform("_pv", lambda s: s.getField("cval")).alias("_cvec"))
+    )
+
+    # -- assignment to the updated centroids -------------------------------
+    sim1 = e.crossJoin(F.broadcast(cen1)).select(
+        "vec_id", "cid",
+        F.round(cosine(F.col("embedding"), F.col("_cvec")), 6).alias("csim"))
+    ranked1 = sim1.withColumn("r", F.row_number().over(w_v))
+    cassign = ranked1.where("r = 1").select(
+        F.col("vec_id").alias("neighbor_id"), "cid")
+    qprobe = ranked1.where((F.col("r") <= 2) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("query_id"), "cid")
+
+    # -- probe: search only assigned cells ---------------------------------
+    emb_q = e.select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("_q"))
+    emb_c = e.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("embedding").alias("_c"))
+    pairs = (
+        qprobe.join(cassign, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(emb_q), "query_id")
+        .join(emb_c, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("_q"), F.col("_c")), 6).alias("sim"))
+    )
+    w_q = W.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                            F.col("neighbor_id"))
+    return (pairs.withColumn("rnk", F.row_number().over(w_q))
+            .where(F.col("rnk") <= 3)
+            .select("query_id", "neighbor_id", "sim", "rnk"))

@@ -233,14 +233,40 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "distinct_counts_exact_vs_approx", None, "agg", "stats",
-    doc="approx_count_distinct sketch next to the exact count (sketches "
-        "are engine-specific -> rows-only; the exact column is covered by "
-        "agg_collect_sorted's oracle).",
+    "distinct_counts_exact_vs_approx",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_cnt,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg", "stats",
+    doc="A6 + HLL sketch: exact distinct count next to "
+        "approx_count_distinct(rsd=0.01). The sketch value is "
+        "engine-specific, so the checked claim is the BOUND: the Spark "
+        "side emits whether |approx - exact| <= 5% of exact (and would "
+        "fail the gate if the sketch drifted); the raw sketch value "
+        "stays visible in the rows-only approx_distinct_raw twin.",
 )
 def distinct_counts_exact_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact_cnt"),
+        (F.abs(F.approx_count_distinct("l_orderkey", 0.01)
+               - F.countDistinct("l_orderkey"))
+         <= 0.05 * F.countDistinct("l_orderkey")).alias("approx_within_5pct"),
+    )
+
+
+@query(
+    "approx_distinct_raw", None, "agg", "stats",
+    doc="Raw approx_count_distinct sketch values (engine-specific -> "
+        "rows-only); the 5%-bound claim is oracled in "
+        "distinct_counts_exact_vs_approx.",
+)
+def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_cnt"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_cnt"),
     )
