@@ -110,6 +110,7 @@ def cmd_reindex(args) -> int:
 
 
 def cmd_sitemap(args) -> int:
+    from pyspark.sql import functions as F
     from . import sitemap as sm
     spark = _spark()
     records = _load_records(spark, args.data)
@@ -121,18 +122,39 @@ def cmd_sitemap(args) -> int:
         table = sm.add_records(existing, records, force=args.force)
     table = table.localCheckpoint()
     out = args.out or os.path.join(args.data, "sitemap_files")
+    only_dirty = args.action != "bootstrap"
     total = 0
     for site in sm.SITES:
         rendered = sm.render_sitemap_files(table, site=site,
-                                           only_dirty=args.action != "bootstrap")
+                                           only_dirty=only_dirty)
         total += sm.write_sitemap_files(rendered, out)
         from .sinks.writers import write_text_files
         write_text_files(
             [("sitemap_index.xml", sm.render_sitemap_index(table, site=site)),
              ("robots.txt", sm.render_robots_txt(site))],
             os.path.join(out, site))
-    cleared = table.withColumn(
-        "update_flag", table["update_flag"] & False)
+    # Stamp filename_lastmoddate on every row of a regenerated file
+    # (the reference sets it at generation time, adsmp/tasks.py:1040-1048)
+    # so add_records' dirty predicate `bib_data_updated > lastmod` stays
+    # meaningful — without the stamp every later `--action update` would
+    # re-flag and re-render everything.
+    if only_dirty:
+        rendered_files = (table.where("update_flag")
+                          .select("sitemap_filename").distinct())
+        cleared = (
+            table.join(
+                F.broadcast(rendered_files.withColumn("_rendered", F.lit(True))),
+                "sitemap_filename", "left")
+            .withColumn("filename_lastmoddate",
+                        F.when(F.col("_rendered"), F.current_timestamp())
+                        .otherwise(F.col("filename_lastmoddate")))
+            .drop("_rendered")
+        )
+    else:
+        cleared = table.withColumn("filename_lastmoddate",
+                                   F.current_timestamp())
+    cleared = cleared.withColumn("update_flag", F.lit(False)) \
+        .select(*table.columns)
     cleared.write.mode("overwrite").parquet(table_path)
     print(json.dumps({"rows": table.count(), "files": total}))
     return 0

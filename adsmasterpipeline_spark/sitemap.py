@@ -266,15 +266,28 @@ def render_robots_txt(site: str = "ads") -> str:
 
 
 def write_sitemap_files(rendered: DataFrame, out_dir: str) -> int:
-    """Write one XML file per (site, filename) under out_dir. Uses
-    foreachPartition-style parallel write via the DataFrame writer on
-    the grouped rows (each row is a complete file)."""
+    """Write one XML file per (site, filename) under ``out_dir``.
+
+    Executor-side: each partition opens and writes its own files via
+    ``foreachPartition``, so rendered XML bodies never funnel through
+    the driver. The reference's bootstrap collected every rendered blob
+    into one process and spiked to ~50 GB (adsmp/tasks.py:969-1055);
+    here the driver only ever sees the written-file count (an
+    accumulator). ``out_dir`` must be a shared filesystem at cluster
+    scale — the same requirement the reference's volume satisfies.
+    """
     import os
-    rows = rendered.collect()
-    for r in rows:
-        site_dir = os.path.join(out_dir, r["site"])
-        os.makedirs(site_dir, exist_ok=True)
-        with open(os.path.join(site_dir, r["sitemap_filename"]), "w",
-                  encoding="utf-8") as f:
-            f.write(r["xml"])
-    return len(rows)
+    sc = rendered.sparkSession.sparkContext
+    n_written = sc.accumulator(0)
+
+    def _write_partition(rows) -> None:
+        for r in rows:
+            site_dir = os.path.join(out_dir, r["site"])
+            os.makedirs(site_dir, exist_ok=True)
+            with open(os.path.join(site_dir, r["sitemap_filename"]), "w",
+                      encoding="utf-8") as f:
+                f.write(r["xml"])
+            n_written.add(1)
+
+    rendered.foreachPartition(_write_partition)
+    return n_written.value

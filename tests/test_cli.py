@@ -61,3 +61,37 @@ def test_cli_lifecycle(spark, tmp_path, events_dir, capsys):
     assert main(["gc", "--data", data, "--cutoff", "2030-01-01"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["kept"] == 4  # all rows have bib_data -> not GC'd
+
+
+def test_sitemap_update_is_incremental(spark, tmp_path, events_dir, capsys):
+    """After bootstrap stamps filename_lastmoddate, an update run with
+    no newer records must re-flag nothing and re-render nothing — the
+    reference's incremental contract (lastmod set at generation time,
+    adsmp/tasks.py:1040-1048)."""
+    data = str(tmp_path / "data")
+    assert main(["ingest", "--events", str(events_dir), "--data", data]) == 0
+    assert main(["sitemap", "--data", data, "--action", "bootstrap"]) == 0
+    capsys.readouterr()
+
+    table = spark.read.parquet(str(tmp_path / "data" / "sitemap"))
+    assert table.where("update_flag").count() == 0
+    assert table.where("filename_lastmoddate IS NULL").count() == 0
+
+    # second run: same records, nothing newer than the stamped lastmod
+    assert main(["sitemap", "--data", data, "--action", "update"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files"] == 0
+
+    # records updated after the stamp DO get re-rendered
+    rec_path = str(tmp_path / "data" / "records")
+    from pyspark.sql import functions as F
+    recs = spark.read.parquet(rec_path)
+    bumped = recs.withColumn(
+        "bib_data_updated",
+        F.when(F.col("bibcode") == "E00",
+               F.current_timestamp() + F.expr("INTERVAL 1 DAY"))
+        .otherwise(F.col("bib_data_updated"))).localCheckpoint()
+    bumped.write.mode("overwrite").parquet(rec_path)
+    assert main(["sitemap", "--data", data, "--action", "update"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files"] == 2  # one dirty file x two sites

@@ -133,6 +133,28 @@ def test_render_files_and_index(spark, small_max, tmp_path):
     assert robots == "Sitemap: https://scixplorer.org/sitemap/sitemap_index.xml\n"
 
 
+def test_write_many_files_executor_side(spark, small_max, tmp_path,
+                                        monkeypatch):
+    """write_sitemap_files must never materialize rendered XML on the
+    driver (the reference's 50 GB bootstrap spike): >32 files, with
+    DataFrame.collect poisoned for the duration of the write."""
+    from pyspark.sql import DataFrame
+    table = sm.bootstrap(_records(spark, 350)).cache()  # 35 files @ 10/ea
+    rendered = sm.render_sitemap_files(table, site="ads")
+
+    def _no_collect(self):
+        raise AssertionError("driver-side collect() during sitemap write")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    n = sm.write_sitemap_files(rendered, str(tmp_path))
+    monkeypatch.undo()
+
+    assert n == 35
+    files = sorted((tmp_path / "ads").glob("sitemap_bib_*.xml"))
+    assert len(files) == 35
+    assert files[0].read_text().count("<url>") == 10
+
+
 def test_render_only_dirty(spark, small_max):
     table = sm.bootstrap(_records(spark, 12)) \
         .withColumn("update_flag", F.col("record_id") <= 3)
