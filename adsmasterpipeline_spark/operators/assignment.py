@@ -26,6 +26,17 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _order_proxy(key: Column) -> Column:
+    """Order-preserving numeric proxy for a string key: the first three
+    code points packed into 21-bit fields (k1 < k2 ⇒ proxy(k1) <=
+    proxy(k2); equal proxies stay in one bucket, so range bucketing on
+    the proxy never splits the true ordering). Granularity only affects
+    bucket balance, never correctness."""
+    def cp(i):
+        return F.coalesce(F.ascii(F.substring(key, i, 1)), F.lit(0)).cast("long")
+    return (cp(1) * F.lit(1 << 42) + cp(2) * F.lit(1 << 21) + cp(3))
+
+
 def assign_sequential(df: DataFrame, order_col: str,
                       num_partitions: int | None = None,
                       start: int = 0) -> DataFrame:
@@ -33,6 +44,10 @@ def assign_sequential(df: DataFrame, order_col: str,
     row when ordered by ``order_col`` (must be unique)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     key = F.col(order_col)
+    if dict(df.dtypes)[order_col] == "string":
+        # percentile_approx needs numerics; bucket on an order-preserving
+        # proxy, window-order inside buckets on the real column
+        key = _order_proxy(key)
 
     if n > 1:
         qs = [i / n for i in range(1, n)]

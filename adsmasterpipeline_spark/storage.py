@@ -33,11 +33,15 @@ _DELETED = "deleted"
 def fold_events(events: DataFrame) -> DataFrame:
     """Collapse an event batch to one row per bibcode: newest payload +
     event_ts per payload type (M2), plus a `is_delete` flag if the
-    newest event overall for the bibcode is a delete.
+    newest event overall for the bibcode is a delete, plus
+    ``last_delete_ts`` (newest delete in the batch, null if none).
 
-    A delete event supersedes older updates for the same bibcode, and a
-    newer update supersedes an older delete — exactly the order the
-    reference's serial queue would have applied them in.
+    Serial-replay equivalence (adsmp/app.py:120-195 + delete_by_bibcode
+    :237-277): a delete wipes everything applied before it, so a
+    per-type winner survives only if it is STRICTLY newer than the last
+    delete — [update q@t1, delete@t2, update p@t3] must fold to {p},
+    not {p, q}. Timestamp ties go to the delete (deterministic stand-in
+    for unknowable queue order).
     """
     w = W.partitionBy("bibcode", "type").orderBy(F.col("event_ts").desc())
     latest = (
@@ -45,12 +49,17 @@ def fold_events(events: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
-    # newest event overall decides liveness
-    w_all = W.partitionBy("bibcode").orderBy(F.col("event_ts").desc())
+    # newest event overall decides liveness; on a ts tie the delete wins
+    w_all = W.partitionBy("bibcode").orderBy(
+        F.col("event_ts").desc(), (F.col("status") == _DELETED).desc())
     liveness = (
         events.withColumn("rn", F.row_number().over(w_all))
         .where(F.col("rn") == 1)
         .select("bibcode", (F.col("status") == _DELETED).alias("is_delete"))
+    )
+    deletes = (
+        events.where(F.col("status") == _DELETED)
+        .groupBy("bibcode").agg(F.max("event_ts").alias("last_delete_ts"))
     )
 
     agg = [
@@ -61,11 +70,15 @@ def fold_events(events: DataFrame) -> DataFrame:
         ).alias(f"_{p}")
         for p in PAYLOAD_TYPES
     ]
-    folded = latest.groupBy("bibcode").agg(*agg)
-    cols = [F.col("bibcode")]
+    folded = (latest.groupBy("bibcode").agg(*agg)
+              .join(deletes, "bibcode", "left"))
+    cols = [F.col("bibcode"), F.col("last_delete_ts")]
     for p in PAYLOAD_TYPES:
-        cols.append(F.col(f"_{p}.payload").alias(f"new_{p}"))
-        cols.append(F.col(f"_{p}.event_ts").alias(f"new_{p}_updated"))
+        survives = (F.col("last_delete_ts").isNull()
+                    | (F.col(f"_{p}.event_ts") > F.col("last_delete_ts")))
+        cols.append(F.when(survives, F.col(f"_{p}.payload")).alias(f"new_{p}"))
+        cols.append(F.when(survives, F.col(f"_{p}.event_ts"))
+                    .alias(f"new_{p}_updated"))
     return folded.select(*cols).join(liveness, "bibcode", "left")
 
 
@@ -82,13 +95,27 @@ def scix_id_col(bib_payload_json):
         F.substring(h, 5, 4), F.lit("-"), F.substring(h, 9, 4))
 
 
-def merge_updates(records: DataFrame, events: DataFrame,
-                  now=None) -> tuple[DataFrame, DataFrame]:
+def merge_updates(records: DataFrame, events: DataFrame, now=None,
+                  scalable_insert_threshold: int = 100_000
+                  ) -> tuple[DataFrame, DataFrame]:
     """MERGE an event batch into the records table.
 
     Returns ``(new_records, changelog)``. ``new_records`` replaces the
     table; ``changelog`` is appended to the audit table (old value per
     changed payload column, M1; 'deleted' entries for tombstones, M3).
+
+    Delete-then-newer-update batches follow the reference's serial
+    replay (delete_by_bibcode wipes the row; the later update creates a
+    fresh record containing only its own payload): record-side payload
+    columns not strictly newer than the batch's last delete are nulled
+    before coalescing, and the scix_id regenerates when the delete
+    wiped bib_data.
+
+    Insert-id assignment: small batches use one window over the insert
+    partition; batches above ``scalable_insert_threshold`` route
+    through ``operators.assignment.assign_sequential`` (bit-identical
+    numbering, zero single-partition exchanges) so a bootstrap ingest
+    of tens of millions of rows never funnels through one task.
     """
     now = F.current_timestamp() if now is None else now
     upd = fold_events(events)
@@ -96,33 +123,48 @@ def merge_updates(records: DataFrame, events: DataFrame,
 
     is_new = F.col("r.id").isNull()
     is_del = F.coalesce(F.col("u.is_delete"), F.lit(False))
+    del_ts = F.col("u.last_delete_ts")
 
     # deterministic id assignment for inserts: continue from max id in
     # bibcode order (ids drive sitemap ordering, adsmp/models.py:47-50).
-    # The global window runs over the *insert batch only* — bounded.
     max_id = (records.agg(F.max("id")).collect()[0][0] or 0) if records.head(1) else 0
+    use_scalable = upd.count() > scalable_insert_threshold
     # number only the insert batch (contiguous ids), not the whole table
     w_new = W.partitionBy(F.col("r.id").isNull()).orderBy("bibcode")
 
     any_update = F.greatest(*[
         F.col(f"u.new_{p}_updated").isNotNull() for p in PAYLOAD_TYPES])
 
+    def _old(col_name: str, ts_name: str):
+        """Record-side column, wiped when a batch delete supersedes it."""
+        survives = del_ts.isNull() | (F.col(f"r.{ts_name}") > del_ts)
+        return F.when(survives, F.col(f"r.{col_name}"))
+
     cols = [
         F.col("bibcode"),
-        F.when(is_new, F.row_number().over(w_new) + F.lit(max_id))
-        .otherwise(F.col("r.id")).alias("id"),
+        (F.lit(None).cast("long") if use_scalable
+         else F.when(is_new, F.row_number().over(w_new) + F.lit(max_id))
+         .otherwise(F.col("r.id"))).alias("id"),
     ]
-    # lazy scix_id when bib_data first arrives (adsmp/app.py:197-202)
-    new_bib = F.coalesce(F.col("u.new_bib_data"), F.col("r.bib_data"))
+    # lazy scix_id when bib_data first arrives (adsmp/app.py:197-202);
+    # regenerated when a batch delete wiped the old bib_data (the
+    # reference's fresh record would derive it anew)
+    old_bib = _old("bib_data", "bib_data_updated")
+    new_bib = F.coalesce(F.col("u.new_bib_data"), old_bib)
+    old_scix = F.when(del_ts.isNull()
+                      | (F.col("r.bib_data_updated") > del_ts),
+                      F.col("r.scix_id"))
     cols.append(
-        F.coalesce(F.col("r.scix_id"),
+        F.coalesce(old_scix,
                    F.when(new_bib.isNotNull(), scix_id_col(new_bib)))
         .alias("scix_id"))
     for p in PAYLOAD_TYPES:
-        cols.append(F.coalesce(F.col(f"u.new_{p}"), F.col(f"r.{p}")).alias(p))
+        cols.append(F.coalesce(F.col(f"u.new_{p}"),
+                               _old(p, f"{p}_updated")).alias(p))
     for p in PAYLOAD_TYPES:
         cols.append(F.coalesce(F.col(f"u.new_{p}_updated"),
-                               F.col(f"r.{p}_updated")).alias(f"{p}_updated"))
+                               _old(f"{p}_updated", f"{p}_updated"))
+                    .alias(f"{p}_updated"))
     cols += [
         F.coalesce(F.col("r.created"), now).alias("created"),
         F.when(any_update, now).otherwise(F.col("r.updated")).alias("updated"),
@@ -135,16 +177,32 @@ def merge_updates(records: DataFrame, events: DataFrame,
         F.col("r.datalinks_checksum").alias("datalinks_checksum"),
         F.col("r.status").alias("status"),
     ]
-    merged = joined.select(*cols, is_del.alias("_is_del"))
-    new_records = merged.where(~F.col("_is_del")).drop("_is_del")
+    merged = joined.select(*cols, is_del.alias("_is_del"),
+                           is_new.alias("_is_new"))
+    new_records = merged.where(~F.col("_is_del"))
+    if use_scalable:
+        from .operators.assignment import assign_sequential
+        existing = new_records.where(~F.col("_is_new")) \
+            .drop("_is_del", "_is_new")
+        fresh = (
+            assign_sequential(new_records.where(F.col("_is_new")), "bibcode")
+            .withColumn("id", F.col("seq") + F.lit(max_id + 1))
+            .drop("seq", "_is_del", "_is_new")
+        )
+        new_records = existing.unionByName(fresh.select(*existing.columns))
+    else:
+        new_records = new_records.drop("_is_del", "_is_new")
 
     # changelog: one row per payload column actually overwritten, with
     # the pre-image (adsmp/app.py:175); plus delete tombstone entries
     # (adsmp/app.py:250).
     log_entries = [
-        # delete tombstone: old bib_data as the pre-image (adsmp/app.py:250)
-        F.when(is_del, F.struct(F.lit("deleted").alias("type"),
-                                F.col("r.bib_data").alias("oldvalue"))),
+        # delete tombstone: old bib_data as the pre-image (adsmp/app.py:250).
+        # Fires for ANY delete in the batch — including one superseded by
+        # a newer update (the reference logs the wipe before recreating).
+        F.when(del_ts.isNotNull() | is_del,
+               F.struct(F.lit("deleted").alias("type"),
+                        F.col("r.bib_data").alias("oldvalue"))),
     ]
     for p in PAYLOAD_TYPES:
         log_entries.append(

@@ -83,6 +83,74 @@ def test_merge_insert_update_delete(spark, events_df):
     assert any(e["type"] == "deleted" for e in entries if e["key"] == "B3")
 
 
+def test_delete_then_newer_update_wipes(spark):
+    """[update q@t1, delete@t2, update p@t3] must behave like the
+    reference's serial replay: the delete wipes q and every pre-delete
+    record column; the surviving row carries ONLY p (ADVICE round 1)."""
+    now = F.lit(ts(10)).cast("timestamp")
+    batch1 = spark.createDataFrame([
+        ev("B1", "bib_data", {"bibcode": "B1", "title": ["old"]}, 1),
+        ev("B1", "metrics", {"citations": ["C"]}, 1),
+    ], EVENT_SCHEMA)
+    recs, _ = merge_updates(empty_records(spark), batch1, now=now)
+    recs = recs.cache()
+    old_scix = recs.collect()[0]["scix_id"]
+
+    batch2 = spark.createDataFrame([
+        ev("B1", "fulltext", "q-body", 2),          # pre-delete -> wiped
+        ("B1", "bib_data", "deleted", None, ts(3)),  # delete@t3
+        ev("B1", "bib_data", {"bibcode": "B1", "title": ["new"]}, 4),
+    ], EVENT_SCHEMA)
+    folded = fold_events(batch2).collect()[0]
+    assert folded["is_delete"] is False
+    assert folded["last_delete_ts"] == ts(3)
+    assert folded["new_fulltext"] is None            # superseded by delete
+    assert json.loads(folded["new_bib_data"])["title"] == ["new"]
+
+    recs2, log = merge_updates(recs, batch2, now=now)
+    r = recs2.collect()
+    assert len(r) == 1
+    row = r[0]
+    # fresh-record contents: only the post-delete payload survives
+    assert json.loads(row["bib_data"])["title"] == ["new"]
+    assert row["metrics"] is None                    # pre-delete record col
+    assert row["fulltext"] is None                   # pre-delete batch winner
+    assert row["metrics_updated"] is None
+    assert row["bib_data_updated"] == ts(4)
+    # scix_id regenerated from the new bib_data, not the wiped one
+    assert row["scix_id"] != old_scix
+    assert row["scix_id"].startswith("scix:")
+    # the wipe is logged even though the bibcode survives the batch
+    assert any(e["type"] == "deleted" for e in log.collect())
+
+
+def test_delete_tie_loses_same_ts_update(spark):
+    """An update with event_ts == the delete's ts is superseded
+    (deterministic delete-wins tiebreak)."""
+    batch = spark.createDataFrame([
+        ev("B1", "bib_data", {"bibcode": "B1"}, 2),
+        ("B1", "bib_data", "deleted", None, ts(2)),
+    ], EVENT_SCHEMA)
+    folded = fold_events(batch).collect()[0]
+    assert folded["is_delete"] is True
+    assert folded["new_bib_data"] is None
+
+
+def test_merge_scalable_insert_ids_match_window(spark, events_df):
+    """Bootstrap-sized batches route insert ids through
+    assign_sequential; numbering must be bit-identical to the window
+    path and the merged plan must have no single-partition exchange."""
+    now = F.lit(ts(10)).cast("timestamp")
+    small, _ = merge_updates(empty_records(spark), events_df, now=now)
+    big, _ = merge_updates(empty_records(spark), events_df, now=now,
+                           scalable_insert_threshold=0)
+    assert sorted(tuple(r) for r in small.collect()) \
+        == sorted(tuple(r) for r in big.collect())
+
+    from adsmasterpipeline_spark.plans.explain import single_partition_exchanges
+    assert single_partition_exchanges(big) == 0
+
+
 def test_merge_idempotent_replay(spark, events_df):
     """Replaying the same batch must not change the table (idempotent
     MERGE, §2.10 exactly-once-effect)."""
