@@ -33,12 +33,13 @@ VOLATILE_KEY_MARKERS = ("mtime", "ctime", "update_timestamp")
 
 
 def checksum_col(struct: Column) -> Column:
-    """CRC32 checksum of a struct column, rendered like the reference:
-    ``0x`` + lowercase hex (no padding), e.g. ``0x4db9106``."""
+    """CRC32 checksum of a struct column, rendered like the reference
+    (CPython ``hex()``): ``0x`` + lowercase hex, e.g. ``0x4db9106``.
+    ``F.hex`` of a long never zero-pads, so no stripping — and crc 0
+    renders ``0x0``, not ``0x``."""
     return F.concat(
         F.lit("0x"),
-        F.lower(F.regexp_replace(F.hex(F.crc32(F.to_json(struct).cast("binary"))),
-                                 "^0+", "")),
+        F.lower(F.hex(F.crc32(F.to_json(struct).cast("binary")))),
     )
 
 

@@ -215,5 +215,9 @@ HAS_FIELDS_DEFAULT = (
     "title", "year",
 )
 
-# scix_id derivation inputs (config.py:146-153)
-SCIX_ID_GENERATION_FIELDS = ("bibcode", "title", "author", "pubdate")
+# scix_id derivation inputs — the reference's SCIX_ID_GENERATION_FIELDS
+# list (config.py:146-153): author_norm, doi, abstract, title, doctype,
+# pub_raw. (The hash itself is sha2 here vs the reference's uuid5 —
+# deliberate, surveyed deviation; the INPUT fields match.)
+SCIX_ID_GENERATION_FIELDS = ("author_norm", "doi", "abstract", "title",
+                             "doctype", "pub_raw")

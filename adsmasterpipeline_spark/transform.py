@@ -231,8 +231,11 @@ def transform_records(records: DataFrame,
     cls = F.col("_cls")
     filtered_cls = F.filter(cls, lambda x: x.isin(*EXPOSE_COLLECTIONS))
     doc["database"] = (
-        # both present -> set(raw classifications + bib.database)
-        F.when(F.col("_bib").isNotNull() & cls.isNotNull() & bib_db.isNotNull(),
+        # both present -> set(raw classifications + bib.database); the
+        # reference tests bib_data['database'] for TRUTHINESS, so an
+        # empty list must not take this branch (solr_updater.py:535-540)
+        F.when(F.col("_bib").isNotNull() & cls.isNotNull()
+               & bib_db.isNotNull() & (F.size(bib_db) > 0),
                F.array_sort(F.array_distinct(F.concat(cls, bib_db))))
         # classifications only (filtered; empty filter falls back to bib)
         .when(cls.isNotNull() & (F.size(filtered_cls) > 0),

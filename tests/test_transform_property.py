@@ -90,8 +90,10 @@ CLOSED_LINK = json.dumps({"url": "http://x/abs/1", "access": "closed"})
 bib_strategy = st.fixed_dictionaries({}, optional={
     "aff": st.lists(st.sampled_from(["A1", "A2"]), max_size=2),
     "bibgroup": st.lists(st.sampled_from(["G1"]), max_size=1),
+    # min_size=0: the empty list must NOT take the truthy-database
+    # override branch (reference truthiness test, solr_updater.py:535)
     "database": st.lists(st.sampled_from(["astronomy", "physics"]),
-                         min_size=1, max_size=2, unique=True),
+                         min_size=0, max_size=2, unique=True),
     "links_data": st.sampled_from([[OPEN_LINK], [CLOSED_LINK]]),
 })
 nonbib_strategy = st.fixed_dictionaries({}, optional={
