@@ -207,6 +207,26 @@ def cmd_gc(args) -> int:
     return 0
 
 
+def cmd_scixid(args) -> int:
+    """M7 scix_id maintenance (task_update_scixid flag modes,
+    adsmp/tasks.py:210-275): update / force / reset over the records
+    table, optionally limited to a bibcode list file (one per line)."""
+    from .storage import update_scix_ids
+    spark = _spark()
+    records = _load_records(spark, args.data)
+    bibs = None
+    if args.bibcodes:
+        with open(args.bibcodes, encoding="utf-8") as f:
+            bibs = [ln.strip() for ln in f if ln.strip()]
+    before = records.where("scix_id IS NOT NULL").count()
+    out = update_scix_ids(records, args.flag, bibs).localCheckpoint()
+    after = out.where("scix_id IS NOT NULL").count()
+    _save_records(out, args.data)
+    print(json.dumps({"flag": args.flag, "with_scix_before": before,
+                      "with_scix_after": after}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from .validate import compare
     spark = _spark()
@@ -255,6 +275,13 @@ def main(argv=None) -> int:
     pg.add_argument("--cutoff", required=True,
                     help="ISO timestamp; bib-less rows older than this go")
     pg.set_defaults(fn=cmd_gc)
+
+    px = sub.add_parser("scixid", help="scix_id maintenance modes")
+    px.add_argument("--data", required=True)
+    px.add_argument("--flag", choices=("update", "force", "reset"),
+                    required=True)
+    px.add_argument("--bibcodes", help="file with one bibcode per line")
+    px.set_defaults(fn=cmd_scixid)
 
     pv = sub.add_parser("validate", help="differential doc compare")
     pv.add_argument("--left", required=True)

@@ -226,6 +226,37 @@ def merge_updates(records: DataFrame, events: DataFrame, now=None,
     return new_records, changelog
 
 
+def update_scix_ids(records: DataFrame, flag: str,
+                    bibcodes: list[str] | None = None) -> DataFrame:
+    """M7 scix_id maintenance modes (``task_update_scixid``,
+    adsmp/tasks.py:210-275):
+
+    - ``update``: assign an id where one is missing and bib_data exists;
+    - ``force``: regenerate from bib_data for every selected row
+      (rows without bib_data go to null);
+    - ``reset``: null out the id.
+
+    ``bibcodes`` limits the affected rows (the reference's task operates
+    on an explicit list); None applies to the whole table — whole-column
+    expressions either way, no per-row loop.
+    """
+    if flag not in ("update", "force", "reset"):
+        raise ValueError(f"flag must be update|force|reset, got {flag!r}")
+    in_scope = (F.lit(True) if bibcodes is None
+                else F.col("bibcode").isin(*bibcodes))
+    gen = F.when(F.col("bib_data").isNotNull(),
+                 scix_id_col(F.col("bib_data")))
+    if flag == "update":
+        new_id = F.when(F.col("scix_id").isNull(), gen) \
+            .otherwise(F.col("scix_id"))
+    elif flag == "force":
+        new_id = gen
+    else:  # reset
+        new_id = F.lit(None).cast("string")
+    return records.withColumn(
+        "scix_id", F.when(in_scope, new_id).otherwise(F.col("scix_id")))
+
+
 def repair_duplicates(records: DataFrame) -> DataFrame:
     """M6 — duplicate-row repair (scripts/fix_db_duplicates.py:57-73):
     for bibcodes holding several rows, take each payload column from the

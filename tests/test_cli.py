@@ -62,6 +62,15 @@ def test_cli_lifecycle(spark, tmp_path, events_dir, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["kept"] == 4  # all rows have bib_data -> not GC'd
 
+    # scixid flag modes round-trip through the CLI
+    assert main(["scixid", "--data", data, "--flag", "reset"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"flag": "reset", "with_scix_before": 4,
+                   "with_scix_after": 0}
+    assert main(["scixid", "--data", data, "--flag", "update"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["with_scix_after"] == 4
+
 
 def test_sitemap_update_is_incremental(spark, tmp_path, events_dir, capsys):
     """After bootstrap stamps filename_lastmoddate, an update run with

@@ -173,6 +173,52 @@ def test_delete_obsolete(spark, events_df):
     assert delete_obsolete_records(stripped, ts(20)).count() == 0
 
 
+def test_scix_id_flag_modes(spark, events_df):
+    """update/force/reset semantics of task_update_scixid
+    (adsmp/tasks.py:210-275)."""
+    from adsmasterpipeline_spark.storage import update_scix_ids
+    now = F.lit(ts(10)).cast("timestamp")
+    recs, _ = merge_updates(empty_records(spark), events_df, now=now)
+    recs = recs.cache()
+    orig = {r["bibcode"]: r["scix_id"] for r in recs.collect()}
+    assert all(v for v in orig.values())  # merge assigned ids
+
+    # reset: ids go to null (scoped to a bibcode list)
+    reset_b1 = update_scix_ids(recs, "reset", ["B1"]).cache()
+    got = {r["bibcode"]: r["scix_id"] for r in reset_b1.collect()}
+    assert got["B1"] is None and got["B2"] == orig["B2"]
+
+    # update: only missing ids are (re)generated — same bib_data ->
+    # same id; existing ids untouched
+    upd = {r["bibcode"]: r["scix_id"]
+           for r in update_scix_ids(reset_b1, "update").collect()}
+    assert upd["B1"] == orig["B1"]
+    assert upd["B2"] == orig["B2"]
+
+    # update after bib_data changed -> regenerated id differs
+    mutated = reset_b1.withColumn(
+        "bib_data",
+        F.when(F.col("bibcode") == "B1",
+               F.lit(json.dumps({"bibcode": "B1", "title": ["other"]})))
+        .otherwise(F.col("bib_data")))
+    upd2 = {r["bibcode"]: r["scix_id"]
+            for r in update_scix_ids(mutated, "update").collect()}
+    assert upd2["B1"] is not None and upd2["B1"] != orig["B1"]
+
+    # force: regenerates even when an id exists; no bib_data -> null
+    stripped = recs.withColumn(
+        "bib_data", F.when(F.col("bibcode") == "B2", None)
+        .otherwise(F.col("bib_data")))
+    forced = {r["bibcode"]: r["scix_id"]
+              for r in update_scix_ids(stripped, "force").collect()}
+    assert forced["B1"] == orig["B1"]  # same fields -> same sha2
+    assert forced["B2"] is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        update_scix_ids(recs, "bogus")
+
+
 def test_kv_watermark(spark, tmp_path):
     kv = KeyValueStore(spark, str(tmp_path / "kv"))
     assert kv.get("last.reindex.normal") is None
