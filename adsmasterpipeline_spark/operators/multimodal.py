@@ -36,15 +36,45 @@ FEATURE_SCHEMA = ("asset_id long, kind string, n_bytes long, "
                   "feature array<double>, decode_ok boolean, error string")
 
 
-def decode_image(payload: bytes):
-    """Real decode would go through PIL; stubbed in this container."""
+def decode_image(payload: bytes, dims: int = 8) -> list[float]:
+    """Real image decode (optional extra): PIL grayscale-resize to a
+    ``dims``-pixel strip of normalized intensities. Raises
+    NotImplementedError when PIL is not installed — callers record the
+    error per-row instead of failing the job."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError:
         raise NotImplementedError(
             "image codecs not available in this environment; "
             "use fake_decode=True for deterministic plumbing tests")
-    raise NotImplementedError("PIL path intentionally left to deployment")
+    import io
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dims, 1))
+    return [p / 255.0 for p in img.getdata()]
+
+
+def decode_audio(payload: bytes, dims: int = 8) -> list[float]:
+    """Real audio decode (optional extra): soundfile -> mono -> mean
+    absolute amplitude over ``dims`` equal chunks (a coarse loudness
+    envelope). Raises NotImplementedError when soundfile is absent."""
+    try:
+        import soundfile as sf
+    except ImportError:
+        raise NotImplementedError(
+            "audio codecs not available in this environment; "
+            "use fake_decode=True for deterministic plumbing tests")
+    import io
+
+    import numpy as np
+    data, _sr = sf.read(io.BytesIO(payload))
+    if getattr(data, "ndim", 1) > 1:
+        data = data.mean(axis=1)
+    if len(data) == 0:
+        return [0.0] * dims
+    return [float(c.mean()) if len(c) else 0.0
+            for c in np.array_split(np.abs(data), dims)]
+
+
+_REAL_DECODERS = {"image": decode_image, "audio": decode_audio}
 
 
 def _fake_feature(payload: bytes, dims: int = 8) -> list[float]:
@@ -64,15 +94,20 @@ def extract_features(assets: DataFrame, fake_decode: bool = True,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, oks, errs = [], [], []
-            for payload in pdf["media"]:
+            for payload, kind in zip(pdf["media"], pdf["kind"]):
                 try:
                     if fake_decode:
                         feats.append(_fake_feature(payload, dims))
                     else:
-                        feats.append(decode_image(payload))
+                        decoder = _REAL_DECODERS.get(kind)
+                        if decoder is None:
+                            raise NotImplementedError(
+                                f"no codec for kind={kind} "
+                                "(video decode needs ffmpeg deployment)")
+                        feats.append(decoder(payload, dims))
                     oks.append(True)
                     errs.append(None)
-                except NotImplementedError as e:
+                except Exception as e:  # malformed payloads included
                     feats.append(None)
                     oks.append(False)
                     errs.append(str(e)[:100])
@@ -88,18 +123,42 @@ def extract_features(assets: DataFrame, fake_decode: bool = True,
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling *plan*: one output row per frame timestamp
-    (JVM-side sequence — the decode itself would consume this plan in a
-    mapInPandas pass)."""
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000,
+                      audio_window_ms: int = 500,
+                      audio_hop_ms: int = 250) -> DataFrame:
+    """Media sampling *plan* (JVM-side sequences — the decode itself
+    would consume this plan in a mapInPandas pass):
+
+    - video: one row per frame tick every ``every_ms``
+      (``ts_ms = end_ms``, a point sample);
+    - audio: one row per analysis window of ``audio_window_ms`` hopped
+      by ``audio_hop_ms`` (overlapping when hop < window, the standard
+      STFT framing) — ``ts_ms`` is the window start, ``end_ms`` its
+      exclusive end, clipped to the asset duration.
+    """
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+
     video = assets.where(F.col("kind") == "video")
-    n_frames = F.greatest(
-        (F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms)
-        .cast("int"), F.lit(0))
-    return video.select(
-        "asset_id",
+    n_frames = F.greatest((dur / every_ms).cast("int"), F.lit(0))
+    frames = video.select(
+        "asset_id", F.col("kind"),
         F.explode(F.sequence(F.lit(0), n_frames)).alias("frame_idx"),
-    ).withColumn("ts_ms", F.col("frame_idx") * every_ms)
+    ).select("asset_id", "kind", "frame_idx",
+             (F.col("frame_idx") * every_ms).alias("ts_ms"),
+             (F.col("frame_idx") * every_ms).alias("end_ms"))
+
+    audio = assets.where((F.col("kind") == "audio") & (dur > 0))
+    last_start = F.greatest(
+        (F.ceil((dur - audio_window_ms) / audio_hop_ms)).cast("int"),
+        F.lit(0))
+    windows = audio.select(
+        "asset_id", F.col("kind"), dur.alias("_dur"),
+        F.explode(F.sequence(F.lit(0), last_start)).alias("frame_idx"),
+    ).select("asset_id", "kind", "frame_idx",
+             (F.col("frame_idx") * audio_hop_ms).alias("ts_ms"),
+             F.least(F.col("frame_idx") * audio_hop_ms + audio_window_ms,
+                     F.col("_dur")).alias("end_ms"))
+    return frames.unionByName(windows)
 
 
 def fake_assets(spark, n: int = 64) -> DataFrame:
@@ -109,7 +168,8 @@ def fake_assets(spark, n: int = 64) -> DataFrame:
     for i in range(n):
         kind = kinds[i % 3]
         payload = bytes((i * j) % 256 for j in range(32 + (i % 5) * 16))
+        duration = {"video": 1000 * (i % 4),
+                    "audio": 1200 * (i % 3)}.get(kind)
         rows.append((i, kind, payload,
-                     ("application/octet-stream", 4, 4,
-                      1000 * (i % 4) if kind == "video" else None)))
+                     ("application/octet-stream", 4, 4, duration)))
     return spark.createDataFrame(rows, ASSET_SCHEMA)

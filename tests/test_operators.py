@@ -164,15 +164,53 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_real_decode_stubbed(spark):
+    """Without the optional codec extras every kind fails row-wise with
+    a recorded error (image/audio: missing lib; video: no ffmpeg), the
+    job itself never dies."""
     feats = extract_features(fake_assets(spark, 3), fake_decode=False).collect()
     assert all(not r["decode_ok"] for r in feats)
-    assert all("codecs not available" in (r["error"] or "") for r in feats)
+    errs = {r["kind"]: r["error"] or "" for r in feats}
+    has_pil = True
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        assert "codecs not available" in errs["image"]
+    assert "no codec for kind=video" in errs["video"]
 
 
 def test_frame_sample_plan(spark):
-    plan = frame_sample_plan(fake_assets(spark, 12), every_ms=500).collect()
-    assert all(r["ts_ms"] == r["frame_idx"] * 500 for r in plan)
-    assert len(plan) > 0
+    plan = frame_sample_plan(fake_assets(spark, 12), every_ms=500,
+                             audio_window_ms=500, audio_hop_ms=250).collect()
+    video = [r for r in plan if r["kind"] == "video"]
+    audio = [r for r in plan if r["kind"] == "audio"]
+    assert video and audio
+    assert all(r["ts_ms"] == r["frame_idx"] * 500 for r in video)
+    # audio windows hop by 250, span 500, clipped to the duration
+    assert all(r["ts_ms"] == r["frame_idx"] * 250 for r in audio)
+    assert all(r["end_ms"] - r["ts_ms"] <= 500 for r in audio)
+    # overlapping framing: asset 7 (audio, 1200ms) yields
+    # ceil((1200-500)/250)+1 = 4 windows, the last clipped to 1200
+    w7 = sorted((r["ts_ms"], r["end_ms"]) for r in audio if r["asset_id"] == 7)
+    assert w7 == [(0, 500), (250, 750), (500, 1000), (750, 1200)]
+
+
+def test_multimodal_real_decode_when_deps_present(spark):
+    """Exercises the real PIL path when the optional extra is installed
+    (skipped in codec-less containers)."""
+    import io
+    pytest.importorskip("PIL")
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new("L", (16, 16), color=128).save(buf, format="PNG")
+    assets = spark.createDataFrame(
+        [(1, "image", buf.getvalue(), ("image/png", 16, 16, None))],
+        "asset_id long, kind string, media binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>")
+    row = extract_features(assets, fake_decode=False).collect()[0]
+    assert row["decode_ok"] and len(row["feature"]) == 8
+    assert all(abs(v - 128 / 255) < 1e-6 for v in row["feature"])
 
 
 def test_streaming_ingest_available_now(spark, tmp_path):
