@@ -1,0 +1,93 @@
+"""Lake-format record sink: the ACID upsert boundary.
+
+The reference's records table is Postgres with per-row transactional
+upserts (``update_storage``, adsmp/app.py:45-77, :120-195). The Spark
+engine computes merges set-at-a-time (``storage.merge_updates``) and
+persists through ONE narrow interface — this module — so swapping the
+storage format is a sink change, not a logic change (the claim made in
+SCALE.md):
+
+- ``format="parquet"`` (default): copy-on-write — stage the full new
+  table, atomically swap directories. What the tests and the driver
+  run; correct at any scale, rewrite-amplified at 100 TB.
+- ``format="delta"``: a real ``MERGE INTO`` via delta-spark, applying
+  only the touched rows + tombstones. Requires the delta-spark extra
+  (not in this container — import-gated, covered by the fallback test);
+  at cluster scale this is the production path: the merge rewrites
+  only the files containing matched keys.
+
+Both paths consume the SAME inputs: the merged table (or its touched
+subset) and the delete keys, exactly what ``merge_updates`` computes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_records(records: DataFrame, path: str, fmt: str = "parquet",
+                  key: str = "bibcode") -> None:
+    """Persist the records table.
+
+    parquet: full copy-on-write snapshot swap (staging dir + rename).
+    delta: initial write creates the table; subsequent calls should use
+    :func:`merge_records` with the touched subset instead.
+    """
+    if fmt == "delta":
+        _require_delta()
+        records.write.format("delta").mode("overwrite").save(path)
+        return
+    staging = path + ".staging"
+    records.write.mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)
+
+
+def merge_records(spark, changed: DataFrame, deleted_keys: DataFrame,
+                  path: str, fmt: str = "parquet",
+                  key: str = "bibcode") -> None:
+    """Apply an incremental merge result to the stored table.
+
+    ``changed``: full rows for inserted/updated keys (post-merge state).
+    ``deleted_keys``: single-column frame of keys to remove.
+    """
+    if fmt == "delta":
+        _require_delta()
+        from delta.tables import DeltaTable  # pragma: no cover
+        t = DeltaTable.forPath(spark, path)
+        (t.alias("t")
+         .merge(changed.alias("s"), f"t.{key} = s.{key}")
+         .whenMatchedUpdateAll()
+         .whenNotMatchedInsertAll()
+         .execute())
+        dk = [r[key] for r in deleted_keys.collect()]
+        if dk:
+            quoted = ", ".join("'" + k.replace("'", "''") + "'" for k in dk)
+            t.delete(f"{key} IN ({quoted})")
+        return
+
+    existing = spark.read.parquet(path)
+    survivors = (existing
+                 .join(changed.select(key), key, "left_anti")
+                 .join(deleted_keys, key, "left_anti"))
+    merged = survivors.unionByName(
+        changed.join(deleted_keys, key, "left_anti"))
+    # copy-on-write: the union must be materialized off the source dir
+    # before the swap destroys it
+    merged = merged.localCheckpoint()
+    write_records(merged, path, fmt="parquet", key=key)
+
+
+def _require_delta() -> None:
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "delta-spark is not installed in this environment; the "
+            "parquet copy-on-write path is the tested default — the "
+            "delta path swaps in when the extra (and its jars) are "
+            "deployed")

@@ -53,3 +53,63 @@ def test_dir_sinks(spark, tmp_path):
 
     write_text_files([("robots.txt", "Sitemap: x\n")], str(tmp_path / "txt"))
     assert (tmp_path / "txt" / "robots.txt").read_text() == "Sitemap: x\n"
+
+
+def test_lake_merge_parquet_matches_full_rewrite(spark, tmp_path):
+    """merge_records(parquet) applied incrementally must equal the full
+    merged table merge_updates produces — proving the sink interface
+    carries the whole contract (SCALE.md's 'sink change, not logic
+    change')."""
+    import datetime as dt
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from adsmasterpipeline_spark.schemas import EVENT_SCHEMA
+    from adsmasterpipeline_spark.sinks.lake import merge_records, write_records
+    from adsmasterpipeline_spark.storage import empty_records, merge_updates
+
+    now = F.lit(dt.datetime(2024, 1, 10)).cast("timestamp")
+    ev1 = spark.createDataFrame([
+        ("B1", "bib_data", "active", _json.dumps({"bibcode": "B1"}),
+         dt.datetime(2024, 1, 1)),
+        ("B2", "bib_data", "active", _json.dumps({"bibcode": "B2"}),
+         dt.datetime(2024, 1, 1)),
+    ], EVENT_SCHEMA)
+    recs1, _ = merge_updates(empty_records(spark), ev1, now=now)
+    path = str(tmp_path / "records")
+    write_records(recs1.localCheckpoint(), path)
+
+    ev2 = spark.createDataFrame([
+        ("B2", "metrics", "active", _json.dumps({"citations": ["x"]}),
+         dt.datetime(2024, 1, 2)),
+        ("B3", "bib_data", "active", _json.dumps({"bibcode": "B3"}),
+         dt.datetime(2024, 1, 2)),
+        ("B1", "bib_data", "deleted", None, dt.datetime(2024, 1, 2)),
+    ], EVENT_SCHEMA)
+    stored = spark.read.parquet(path)
+    recs2, _ = merge_updates(stored, ev2, now=now)
+    recs2 = recs2.localCheckpoint()  # survives the directory swap below
+    # incremental view: touched rows + tombstones
+    touched = recs2.join(ev2.select("bibcode").distinct(), "bibcode",
+                         "left_semi").localCheckpoint()
+    deleted = ev2.where("status = 'deleted'").select("bibcode").distinct()
+    merge_records(spark, touched, deleted, path)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    want = sorted(tuple(r) for r in recs2.collect())
+    assert got == want
+    assert {r[0] for r in got} == {"B2", "B3"}
+
+
+def test_lake_delta_gated(spark, tmp_path):
+    import pytest as _pytest
+
+    from adsmasterpipeline_spark.sinks.lake import write_records
+    from adsmasterpipeline_spark.storage import empty_records
+    try:
+        import delta  # noqa: F401
+        _pytest.skip("delta-spark installed; gate test is for its absence")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError, match="delta-spark"):
+        write_records(empty_records(spark), str(tmp_path / "d"), fmt="delta")
