@@ -49,12 +49,15 @@ def model_fold(payloads: dict, ts: dict) -> dict:
             out["esources"] = p.get("esource", [])
             if p.get("links_data"):
                 out["links_data"] = p["links_data"]
-        elif src == "classifications":
-            filtered = [x for x in p if x in
-                        ("astrophysics", "heliophysics", "planetary")]
-            if filtered:
-                out["database"] = sorted(
-                    set(filtered + (out.get("database") or [])))
+    # classifications applies in FIXED pipeline order — always after
+    # bib_data, regardless of event timestamps (DB_COLUMN_DESTINATIONS,
+    # solr_updater.py:355-367; extractor :170-181)
+    if "classifications" in payloads:
+        filtered = [x for x in payloads["classifications"] if x in
+                    ("astrophysics", "heliophysics", "planetary")]
+        if filtered:
+            out["database"] = sorted(
+                set(filtered + (out.get("database") or [])))
     # post-hoc overrides
     if "nonbib_data" in payloads:
         nb = payloads["nonbib_data"]
