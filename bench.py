@@ -4,7 +4,10 @@ ONE JSON line with per-query wall-clock seconds.
 
 Each query is forced through a full materialization (count of the
 result) — no collect of wide payloads, so the measured time is plan
-execution, not driver transfer.
+execution, not driver transfer. Each query runs twice with the Spark
+cache cleared in between and reports the better run: the second run
+recomputes everything but reuses compiled codegen, so the number is
+steady-state execution rather than one-off Janino compile time.
 """
 
 from __future__ import annotations
@@ -59,9 +62,14 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         qd = REGISTRY[name]
-        t0 = time.time()
-        qd.spark_fn(spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()  # operators may cache internally
+            t0 = time.time()
+            qd.spark_fn(spark, sf_dir).count()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
