@@ -152,12 +152,19 @@ def remove_records(sitemap: DataFrame, bibcodes: DataFrame) -> tuple[DataFrame, 
     after = survivors.select("sitemap_filename").distinct()
     emptied = [r["sitemap_filename"]
                for r in affected.exceptAll(after).collect()]
-    # surviving rows of affected-but-not-emptied files need regeneration
-    survivors = survivors.withColumn(
-        "update_flag",
-        F.when(F.col("sitemap_filename").isin(
-            [r["sitemap_filename"] for r in affected.collect()]), True)
-        .otherwise(F.col("update_flag")))
+    # surviving rows of affected-but-not-emptied files need regeneration;
+    # broadcast join on the (small, bounded-by-file-count) affected set —
+    # no driver-side filename list in the plan
+    flag_files = F.broadcast(
+        affected.withColumn("_affected", F.lit(True)))
+    survivors = (
+        survivors.join(flag_files, "sitemap_filename", "left")
+        .withColumn("update_flag",
+                    F.when(F.col("_affected"), True)
+                    .otherwise(F.col("update_flag")))
+        .drop("_affected")
+        .select(*sitemap.columns)
+    )
     return survivors, emptied
 
 
