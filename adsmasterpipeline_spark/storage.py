@@ -128,7 +128,9 @@ def merge_updates(records: DataFrame, events: DataFrame, now=None,
     # deterministic id assignment for inserts: continue from max id in
     # bibcode order (ids drive sitemap ordering, adsmp/models.py:47-50).
     max_id = (records.agg(F.max("id")).collect()[0][0] or 0) if records.head(1) else 0
-    use_scalable = upd.count() > scalable_insert_threshold
+    # threshold decision from the RAW event count (cheap scan) — counting
+    # the folded batch would execute the fold windows a second time
+    use_scalable = events.count() > scalable_insert_threshold
     # number only the insert batch (contiguous ids), not the whole table
     w_new = W.partitionBy(F.col("r.id").isNull()).orderBy("bibcode")
 
