@@ -114,3 +114,25 @@ def test_scan_counts_bounded(spark):
     # the tiny table makes re-scan cheaper than a cache/exchange here
     assert scan_count(_q(spark, "ngram_jaccard_pairs")) <= 4
     assert scan_count(_q(spark, "q1_pricing_summary")) == 1
+
+
+def test_prefix_jaccard_no_cartesian(spark):
+    """The PPJoin candidate join must stay an equi hash/sort-merge join
+    on the prefix token; the df-count side joins broadcast."""
+    s = join_strategies(_q(spark, "ngram_jaccard_pairs"))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_ivf_kmeans_broadcasts_centroids(spark):
+    """Centroid assignment is a broadcast against the tiny centroid
+    table — never a shuffled cartesian of the embedding scan."""
+    df = _q(spark, "ann_ivf_kmeans")
+    s = join_strategies(df)
+    assert "CartesianProduct" not in s
+    assert has_broadcast_join(df)
+
+
+def test_corpus_pipeline_no_cartesian(spark):
+    s = join_strategies(_q(spark, "corpus_dedup_pipeline"))
+    assert "CartesianProduct" not in s
