@@ -16,7 +16,7 @@ which Spark jobs re-execute nondeterministically).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import cosine
@@ -24,14 +24,18 @@ from .similarity import cosine
 
 def _assign(vectors: DataFrame, centroids: DataFrame,
             id_col: str, vec_col: str) -> DataFrame:
+    # argmax via max_by aggregation (map-side combinable) — a window
+    # would sort every vector's k candidate rows for no reason. Ties
+    # break toward the lowest centroid_id: max_by on (sim, -id).
     cen = F.broadcast(centroids)
     d = vectors.crossJoin(cen).select(
         id_col, vec_col, "centroid_id",
         cosine(F.col(vec_col), F.col("centroid")).alias("_sim"))
-    w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), "centroid_id")
-    return (d.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") == 1)
-            .select(id_col, vec_col, F.col("centroid_id").alias("cluster")))
+    return (d.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.max_by("centroid_id",
+                 F.struct(F.col("_sim"), -F.col("centroid_id")))
+        .alias("cluster")))
 
 
 def kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 5,

@@ -4,11 +4,12 @@ quality scoring, token counting, fingerprinting, n-gram Jaccard
 near-dup, MinHash signatures, SimHash).
 
 Scale design: everything here is a single scan + narrow projections
-(no shuffle) except the Jaccard pair join, whose oracle-checkable form
-uses candidate blocking (same source + close length). The real scale
-path for near-dup at 100 TB is MinHash-LSH banding
-(`operators/dedup.py`), which turns the O(n²) pair space into a
-band-bucket shuffle join.
+(no shuffle) except the Jaccard pair join, which runs as a PPJoin
+prefix-filtered set-similarity join (exact — bit-identical to the
+naive inverted-index join its oracle computes) with candidate
+blocking (same source + close length). The approximate scale path for
+near-dup at 100 TB is MinHash-LSH banding (`operators/dedup.py`),
+which turns the O(n²) pair space into a band-bucket shuffle join.
 
 Hash functions are chosen to be engine-portable: ``md5`` (identical in
 Spark and DuckDB) rather than xxhash/crc32 (Spark-only).
