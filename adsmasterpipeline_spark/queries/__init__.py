@@ -51,6 +51,7 @@ PRIORITY: tuple[str, ...] = (
     # -- training-data operators (dedup / similarity / text / multimodal) --
     "dedup_exact", "minhash_signatures", "simhash", "ngram_jaccard_pairs",
     "corpus_dedup_pipeline",
+    "embedding_cosine_neardup",
     "cosine_topk", "ann_sign_lsh", "ann_ivf_kmeans",
     "vector_norms", "label_centroid_distance", "embedding_quantize",
     "text_quality", "token_count", "langid_heuristic", "doc_fingerprint",

@@ -107,6 +107,72 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_cosine_neardup",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(
+               SUM(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))
+               / (sqrt(SUM(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE)))
+                  * sqrt(SUM(CAST(b.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)))),
+               6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+           range(1, 65) t(i)
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.4
+    """,
+    "vectors", "dedup",
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.4 — the "
+        "synthetic random embeddings top out near 0.51): the exact "
+        "all-pairs baseline, broadcast-nested-loop with per-pair "
+        "zip_with/aggregate cosine, rounded to 6 dp before the "
+        "threshold on both engines. The LSH-bucketed scale twin "
+        "(embedding_cosine_neardup_lsh) prunes the pair space by sign "
+        "buckets; this exact form is its verification oracle shape.",
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_b"))
+    sim = F.round(_dot(F.col("_a"), F.col("_b"))
+                  / (_norm(F.col("_a")) * _norm(F.col("_b"))), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.4)
+    )
+
+
+@query(
+    "embedding_cosine_neardup_lsh", None, "vectors", "dedup", "scale",
+    doc="Scale path for embedding near-dup: candidate pairs restricted "
+        "to a shared hyperplane-sign bucket (first 8 components), exact "
+        "cosine verification inside buckets — the pair space shrinks "
+        "~2^planes, hot buckets are true clusters. Rows-only "
+        "(approximate recall by construction; the exact twin above is "
+        "oracled).",
+)
+def embedding_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import sign_bucket
+    e = load_table(spark, sf_dir, "embeddings")
+    bkt = e.select(F.col("vec_id"), F.col("embedding"),
+                   sign_bucket(F.col("embedding"), 8).alias("_bkt"))
+    a = bkt.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("_a"), "_bkt")
+    b = bkt.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("_b"), "_bkt")
+    sim = F.round(_dot(F.col("_a"), F.col("_b"))
+                  / (_norm(F.col("_a")) * _norm(F.col("_b"))), 6)
+    return (
+        a.join(b, "_bkt")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.4)
+    )
+
+
+@query(
     "label_centroid_distance",
     """
     WITH comp AS (
