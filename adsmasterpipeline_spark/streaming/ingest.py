@@ -67,6 +67,23 @@ class StreamingIngest:
         q.awaitTermination()
 
 
+def streaming_dedup(docs: DataFrame, fingerprint_cols: list[str],
+                    event_time_col: str = "event_ts",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival per
+    fingerprint, with bounded state via
+    ``dropDuplicatesWithinWatermark`` — duplicates separated by more
+    than the watermark CAN reappear (state for old keys is evicted),
+    which is the correct cost/completeness trade for an unbounded
+    corpus feed; the batch ``operators/dedup.exact_dedup`` pass is the
+    exhaustive backstop. Works on a streaming DataFrame (stateful) or
+    a batch one (falls back to plain dropDuplicates semantics)."""
+    wm = docs.withWatermark(event_time_col, watermark)
+    if docs.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(fingerprint_cols)
+    return wm.dropDuplicates(fingerprint_cols)
+
+
 def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
                           watermark: str = "10 minutes") -> DataFrame:
     """Event-time windowed aggregation with late-data watermark —

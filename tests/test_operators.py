@@ -246,3 +246,49 @@ def test_streaming_ingest_available_now(spark, tmp_path):
     row = recs.where("bibcode = 'S1'").collect()[0]
     assert json.loads(row["fulltext"])["body"] == "B"
     assert json.loads(row["bib_data"])["title"] == ["one"]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """First arrival per fingerprint wins across micro-batches; a
+    duplicate arriving in a later batch (inside the watermark) is
+    dropped with bounded state."""
+    import json as _json
+
+    from adsmasterpipeline_spark.streaming.ingest import streaming_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def write(name, rows):
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    write("b1.json", [
+        {"fp": "A", "doc_id": 1, "event_ts": "2024-01-01T00:00:00.000Z"},
+        {"fp": "B", "doc_id": 2, "event_ts": "2024-01-01T00:00:01.000Z"},
+    ])
+    stream = (spark.readStream
+              .schema("fp string, doc_id long, event_ts timestamp")
+              .json(str(src)))
+    q = (streaming_dedup(stream, ["fp"]).writeStream
+         .format("memory").queryName("dedup_sink").outputMode("append")
+         .option("checkpointLocation", ck).start())
+    try:
+        q.processAllAvailable()
+        write("b2.json", [
+            {"fp": "A", "doc_id": 9, "event_ts": "2024-01-01T00:10:00.000Z"},
+            {"fp": "C", "doc_id": 3, "event_ts": "2024-01-01T00:10:01.000Z"},
+        ])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT fp, doc_id FROM dedup_sink ORDER BY fp").collect()
+        assert [(r["fp"], r["doc_id"]) for r in rows] \
+            == [("A", 1), ("B", 2), ("C", 3)]  # duplicate A dropped
+    finally:
+        q.stop()
+
+    # batch fallback: plain dropDuplicates semantics
+    batch = spark.createDataFrame(
+        [("A", 1, dt.datetime(2024, 1, 1)), ("A", 9, dt.datetime(2024, 1, 2))],
+        "fp string, doc_id long, event_ts timestamp")
+    assert streaming_dedup(batch, ["fp"]).count() == 1
