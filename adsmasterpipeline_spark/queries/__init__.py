@@ -96,8 +96,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
-    _load()
-    return {n: q.oracle for n, q in REGISTRY.items() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 _LOADED = False
