@@ -55,7 +55,7 @@ PRIORITY: tuple[str, ...] = (
     "cosine_topk", "ann_sign_lsh", "ann_ivf_kmeans",
     "vector_norms", "label_centroid_distance", "embedding_quantize",
     "text_quality", "token_count", "langid_heuristic", "doc_fingerprint",
-    "corpus_clean",
+    "corpus_clean", "corpus_train_split",
     # -- scale paths & temporal operators --
     "assign_scalable", "asof_attribution", "range_join_bands",
     "streaming_windowed_counts", "distinct_counts_exact_vs_approx",

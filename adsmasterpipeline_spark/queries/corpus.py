@@ -172,6 +172,35 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_train_split",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    "corpus",
+    doc="Deterministic train/val/test assignment (~90/5/5): split decided "
+        "by the first two hex chars of md5(doc_id) compared "
+        "lexicographically — reproducible across runs, engines, and "
+        "cluster sizes (no RNG seed to drift), stable under corpus "
+        "growth (a document's split never changes when others are "
+        "added). The standard reproducible-pipeline alternative to "
+        "sample()/randomSplit, whose seeded RNG is engine-specific.",
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (F.when(h < "e6", "train")
+             .when(h < "f3", "val")
+             .otherwise("test"))
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
 # Seed vectors for the deterministic k-means quantizer: fixed ids that
 # exist at every SF (sf0.001 has vec_id 0..49).
 _KMEANS_SEEDS = (1, 7, 13, 19, 25, 31, 37, 43)
