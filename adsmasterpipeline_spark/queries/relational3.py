@@ -100,20 +100,29 @@ def explode_tokens_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     "posexplode_components",
     """
     SELECT t.i - 1 AS pos,
-           ROUND(AVG(CAST(e.embedding[t.i] AS DOUBLE)), 4) AS mean_val,
-           ROUND(stddev_samp(CAST(e.embedding[t.i] AS DOUBLE)), 4) AS sd_val
+           CAST(FLOOR(AVG(CAST(e.embedding[t.i] AS DOUBLE)) * 10000) AS BIGINT)
+             AS mean_e4,
+           CAST(FLOOR(stddev_samp(CAST(e.embedding[t.i] AS DOUBLE)) * 10000) AS BIGINT)
+             AS sd_e4
     FROM embeddings e, range(1, 65) t(i)
     GROUP BY t.i
     """,
     "vectors", "stats",
     doc="posexplode with positional grouping: per-dimension embedding "
-        "statistics (drift monitoring / normalization fitting).",
+        "statistics (drift monitoring / normalization fitting). Output "
+        "as FLOOR-scaled integers, not ROUND — the engines' unrounded "
+        "aggregates agree to 1e-17 but their ROUND tie-breaks diverge "
+        "near half-boundaries (observed at sf0.1: identical doubles "
+        "rounding to -0.0001 vs -0.0); floor of an identical double is "
+        "identical.",
 )
 def posexplode_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.select(F.posexplode("embedding").alias("pos", "val"))
         .groupBy("pos")
-        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("mean_val"),
-             F.round(F.stddev_samp(F.col("val").cast("double")), 4).alias("sd_val"))
+        .agg(F.floor(F.avg(F.col("val").cast("double")) * 10000)
+             .cast("long").alias("mean_e4"),
+             F.floor(F.stddev_samp(F.col("val").cast("double")) * 10000)
+             .cast("long").alias("sd_e4"))
     )
