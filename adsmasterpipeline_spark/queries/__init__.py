@@ -56,6 +56,8 @@ PRIORITY: tuple[str, ...] = (
     "vector_norms", "label_centroid_distance", "embedding_quantize",
     "text_quality", "token_count", "langid_heuristic", "doc_fingerprint",
     "corpus_clean", "corpus_train_split",
+    "repetition_quality", "benchmark_contamination", "stratified_sample",
+    "sequence_pack", "corpus_token_stats",
     # -- scale paths & temporal operators --
     "assign_scalable", "asof_attribution", "range_join_bands",
     "streaming_windowed_counts", "distinct_counts_exact_vs_approx",
@@ -65,14 +67,21 @@ PRIORITY: tuple[str, ...] = (
     "q19_disjunctive",
     # -- §2 pipeline core --
     "merge_last_writer_wins", "checksum_dispatch",
-    "incremental_watermark_scan", "sessionize", "json_payload_extract",
+    "incremental_watermark_scan", "sessionize",
     # -- §2 joins / set ops --
     "join_left_outer", "join_semi", "join_anti", "union_distinct",
-    "except_keys", "intersect_keys", "full_outer_diff",
+    "full_outer_diff",
     # -- §2 aggregations / windows / functions --
-    "agg_counts_per_group", "agg_nonnull_counts", "agg_argmax_per_group",
-    "agg_collect_sorted", "native_max_by", "window_bucket_assign",
-    "window_flag_first", "string_hier_facet", "has_fields",
+    "agg_counts_per_group", "agg_argmax_per_group",
+    "agg_collect_sorted", "native_max_by",
+    "window_flag_first", "has_fields",
+    # Window economics: the driver checks only the first 50 entries.
+    # Round-1-green queries whose §2 family keeps another in-window
+    # representative ceded slots to never-driver-checked work:
+    # string_hier_facet, json_payload_extract, except_keys,
+    # intersect_keys, agg_nonnull_counts, window_bucket_assign ->
+    # has_fields (round-1 hasher crash, since fixed) + the five
+    # training-corpus curation queries (queries/training.py).
 )
 
 
@@ -110,5 +119,6 @@ def _load() -> None:
     from . import (  # noqa: F401
         analytics, corpus, relational, relational2, relational3,
         pipeline, text, tpch_more, vectors, scale_ops, temporal,
+        training,
     )
     _LOADED = True

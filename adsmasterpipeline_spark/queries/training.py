@@ -1,0 +1,323 @@
+"""Training-corpus curation operators beyond dedup: repetition-based
+quality signals, benchmark decontamination, deterministic stratified
+sampling, sequence packing, and token-budget accounting.
+
+These are the remaining stages of a large-scale LLM-data pipeline
+(after cleaning + dedup, before tokenization): drop repetitive junk,
+remove benchmark contamination, rebalance the language mix, pack
+documents into fixed-size training sequences, and account for the
+token budget. Every query is a narrow scan + hash shuffles on small
+keys; nothing is all-pairs and nothing collects to the driver.
+
+Cross-engine determinism: ratios are emitted as FLOOR-scaled integers
+(parts-per-million) — floor of an identical IEEE double is identical
+in Spark and DuckDB, unlike ROUND at half-boundaries; sampling
+decisions compare md5 hex prefixes lexicographically (no RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import query
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _norm_text():
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+
+
+def _ppm(num, den):
+    """FLOOR(num * 1e6 / den) as BIGINT — identical in both engines."""
+    return F.floor(num.cast("double") * 1000000.0 / den).cast("long")
+
+
+@query(
+    "repetition_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(w) AS tok FROM base
+    ),
+    wc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY doc_id, tok
+    ),
+    wstats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             COUNT(*) AS n_distinct_words,
+             CAST(MAX(c) AS BIGINT) AS top_word_cnt
+      FROM wc GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)),
+                                        i -> w[i] || ' ' || w[i + 1])
+                    ELSE [] END) AS bg
+      FROM base
+    ),
+    bc AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ),
+    bstats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_bigram_cnt
+      FROM bc GROUP BY doc_id
+    )
+    SELECT ws.doc_id, ws.n_words, ws.n_distinct_words,
+           CAST(FLOOR(CAST(ws.n_words - ws.n_distinct_words AS DOUBLE)
+                      * 1000000.0 / ws.n_words) AS BIGINT) AS dup_word_ppm,
+           CAST(FLOOR(CAST(ws.top_word_cnt AS DOUBLE)
+                      * 1000000.0 / ws.n_words) AS BIGINT) AS top_word_ppm,
+           CAST(CASE WHEN bs.n_bigrams IS NULL OR bs.n_bigrams = 0 THEN 0
+                ELSE FLOOR(CAST(bs.top_bigram_cnt AS DOUBLE)
+                           * 1000000.0 / bs.n_bigrams) END AS BIGINT)
+             AS top_bigram_ppm
+    FROM wstats ws LEFT JOIN bstats bs ON ws.doc_id = bs.doc_id
+    """,
+    "textops", "corpus",
+    doc="Repetition-based quality signals (the Gopher/MassiveText rules): "
+        "duplicate-word fraction, most-frequent-word fraction, and "
+        "most-frequent-bigram fraction per document, as floor-scaled "
+        "parts-per-million. Two explode+groupBy passes (words, bigrams) "
+        "joined on doc_id — both aggregations are map-side combinable and "
+        "shuffle only (doc_id, token) rows, never the text.",
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split(_norm_text(), " ").alias("w"))
+
+    wc = (base.select("doc_id", F.explode("w").alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c")))
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").cast("long").alias("top_word_cnt"))
+
+    # bigrams via zip_with over the shifted token array (no per-position
+    # slice — see operators/dedup.shingles for the measured rationale);
+    # NON-distinct: repetition is the signal here
+    shifted = F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(1)))
+    bg = F.when(
+        F.size("w") >= 2,
+        F.filter(F.zip_with(F.col("w"), shifted,
+                            lambda a, b: F.when(b.isNotNull(),
+                                                F.concat_ws(" ", a, b))),
+                 lambda x: x.isNotNull()),
+    ).otherwise(F.array().cast("array<string>"))
+    bc = (base.select("doc_id", F.explode(bg).alias("bg"))
+          .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c")))
+    bstats = bc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_bigram_cnt"))
+
+    top_bigram_ppm = (
+        F.when(F.col("n_bigrams").isNull() | (F.col("n_bigrams") == 0), 0)
+        .otherwise(_ppm(F.col("top_bigram_cnt"), F.col("n_bigrams")))
+        .cast("long"))
+    return (
+        wstats.join(bstats, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "n_distinct_words",
+            _ppm(F.col("n_words") - F.col("n_distinct_words"),
+                 F.col("n_words")).alias("dup_word_ppm"),
+            _ppm(F.col("top_word_cnt"), F.col("n_words")).alias("top_word_ppm"),
+            top_bigram_ppm.alias("top_bigram_ppm"),
+        )
+    )
+
+
+@query(
+    "benchmark_contamination",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS w,
+             {_NORM_SQL} AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+                    ELSE [norm] END) AS shingle
+      FROM base
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+    ),
+    train AS (
+      SELECT doc_id, shingle FROM sh WHERE source <> 'src0'
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_contaminated
+      FROM train t JOIN bench b ON t.shingle = b.shingle
+      GROUP BY t.doc_id
+    )
+    SELECT h.doc_id, CAST(s.n_shingles AS BIGINT) AS n_shingles,
+           CAST(h.n_contaminated AS BIGINT) AS n_contaminated,
+           CAST(FLOOR(CAST(h.n_contaminated AS DOUBLE) * 1000000.0
+                      / s.n_shingles) AS BIGINT) AS contamination_ppm
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    """,
+    "textops", "corpus", "dedup",
+    doc="Benchmark decontamination: flag training documents sharing word "
+        "3-gram shingles with the held-out benchmark slice (source = "
+        "'src0' stands in for an eval set; production would use 8-13 "
+        "grams — 3 keeps the overlap regime non-trivial on the synthetic "
+        "vocabulary). The benchmark shingle set is deduplicated then "
+        "joined to training shingles — at scale the benchmark side is "
+        "millions of shingles (eval sets are small), so this broadcasts; "
+        "the training side streams through map-side. Shuffle keys are "
+        "shingles, never documents x documents.",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source",
+        F.explode(shingles(F.col("text"), 3)).alias("shingle"))
+    bench = (sh.where(F.col("source") == "src0")
+             .select("shingle").distinct())
+    train = sh.where(F.col("source") != "src0").select("doc_id", "shingle")
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (train.join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_contaminated")))
+    return (
+        hits.join(sizes, "doc_id")
+        .select("doc_id",
+                F.col("n_shingles").cast("long").alias("n_shingles"),
+                F.col("n_contaminated").cast("long").alias("n_contaminated"),
+                _ppm(F.col("n_contaminated"), F.col("n_shingles"))
+                .alias("contamination_ppm"))
+    )
+
+
+# Per-language keep rates as md5-hex-prefix thresholds (lexicographic
+# compare — '4000'/'ffff' ≈ 25%/100% of the 16-bit prefix space).
+# Rebalances the synthetic corpus's English skew.
+_SAMPLE_THRESHOLDS = (("en", "4000"), ("es", "8000"), ("de", "ffff"),
+                      ("fr", "ffff"), ("zh", "ffff"))
+
+
+@query(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4)
+          < CASE lang {" ".join(f"WHEN '{k}' THEN '{v}'"
+                                for k, v in _SAMPLE_THRESHOLDS)}
+            ELSE 'ffff' END
+    """,
+    "corpus",
+    doc="Deterministic stratified downsampling: per-language keep rates "
+        "applied by comparing an md5 hex prefix of (doc_id, lang) against "
+        "a per-stratum threshold — reproducible across engines, runs, and "
+        "cluster sizes (no RNG), stable under corpus growth, and executed "
+        "as a pure narrow filter (no shuffle, no sampling operator). The "
+        "standard rebalancing move for a skewed language mix.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                       F.col("lang"))), 1, 4)
+    thr = F.lit("ffff")
+    for lang, t in reversed(_SAMPLE_THRESHOLDS):
+        thr = F.when(F.col("lang") == lang, t).otherwise(thr)
+    return d.where(h < thr).select("doc_id", "lang", "source")
+
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 8
+
+
+@query(
+    "sequence_pack",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           CAST(FLOOR(CAST(cum_before AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+             AS pack_id,
+           CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM cum
+    """,
+    "corpus",
+    doc="Training-sequence packing (concat-then-chunk): documents are "
+        "laid end-to-end in deterministic doc_id order and cut into "
+        f"{_PACK_BUDGET}-token sequences. Partitioned into "
+        f"{_PACK_SHARDS} hash shards so the running-total window "
+        "parallelizes — the global-order variant would funnel the corpus "
+        "through one partition; per-shard packing is what distributed "
+        "tokenizer pipelines actually do (each shard becomes an "
+        "independent stream of training sequences).",
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"))
+    w = (W.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    cum = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return cum.select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "n_tokens",
+        F.floor(F.col("cum_before").cast("double") / _PACK_BUDGET)
+        .cast("long").alias("pack_id"),
+        (F.col("cum_before") % _PACK_BUDGET).cast("long").alias("pack_offset"))
+
+
+@query(
+    "corpus_token_stats",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(FLOOR(quantile_cont(len(string_split(text, ' ')), 0.5) * 1000)
+             AS BIGINT) AS p50_tokens_e3,
+           CAST(FLOOR(quantile_cont(len(string_split(text, ' ')), 0.9) * 1000)
+             AS BIGINT) AS p90_tokens_e3
+    FROM documents
+    GROUP BY lang
+    """,
+    "corpus",
+    doc="Token-budget accounting per language: document counts, total "
+        "whitespace tokens, and exact interpolated p50/p90 (Spark "
+        "`percentile` == DuckDB `quantile_cont`; floor-scaled to e3 "
+        "integers). Drives sampling-rate choices; at 100 TB the exact "
+        "percentile becomes approx_percentile with a bounded error — the "
+        "exact form here doubles as its correctness oracle.",
+)
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nt).cast("long").alias("total_tokens"),
+        F.floor(F.percentile(nt, F.lit(0.5)) * 1000).cast("long")
+        .alias("p50_tokens_e3"),
+        F.floor(F.percentile(nt, F.lit(0.9)) * 1000).cast("long")
+        .alias("p90_tokens_e3"))

@@ -1,0 +1,105 @@
+"""Semantic tests for the training-corpus curation queries
+(queries/training.py) on crafted documents — hand-computed expected
+values, independent of the DuckDB oracles."""
+
+from __future__ import annotations
+
+import pytest
+
+from adsmasterpipeline_spark.queries.training import (
+    benchmark_contamination, corpus_token_stats, repetition_quality,
+    sequence_pack, stratified_sample,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(out + "/documents.parquet")
+    return out
+
+
+def test_repetition_quality_hand_computed(spark, tmp_path):
+    # "a a a b": 4 words, 2 distinct, top word 3x; bigrams
+    # [a a, a a, a b]: top 2 of 3
+    sf = _write_docs(spark, tmp_path, [
+        (1, "a a a b", "en", "s", 7),
+        (2, "x", "en", "s", 1),          # single word: no bigrams
+    ])
+    out = {r["doc_id"]: r for r in repetition_quality(spark, sf).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 4 and r1["n_distinct_words"] == 2
+    assert r1["dup_word_ppm"] == 500000
+    assert r1["top_word_ppm"] == 750000
+    assert r1["top_bigram_ppm"] == 666666
+    r2 = out[2]
+    assert r2["n_words"] == 1 and r2["dup_word_ppm"] == 0
+    assert r2["top_bigram_ppm"] == 0
+
+
+def test_sequence_pack_boundaries(spark, tmp_path):
+    # one shard (doc_id % 8 == 0 for ids 0,8,16,24), budget 2048:
+    # token counts 2000, 100, 2000, 10 -> cumulative-before
+    # 0, 2000, 2100, 4100 -> packs 0,0,1,2 offsets 0,2000,52,4
+    rows = [(i * 8, " ".join(["w"] * n), "en", "s", 0)
+            for i, n in enumerate([2000, 100, 2000, 10])]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in sequence_pack(spark, sf).collect()}
+    assert [out[i * 8]["pack_id"] for i in range(4)] == [0, 0, 1, 2]
+    assert [out[i * 8]["pack_offset"] for i in range(4)] == [0, 2000, 52, 4]
+    assert all(out[i * 8]["shard"] == 0 for i in range(4))
+
+
+def test_sequence_pack_shards_independent(spark, tmp_path):
+    # shard 1 ids: packing restarts (doc 1 at offset 0)
+    sf = _write_docs(spark, tmp_path, [
+        (0, " ".join(["w"] * 3000), "en", "s", 0),
+        (1, " ".join(["w"] * 5), "en", "s", 0),
+    ])
+    out = {r["doc_id"]: r for r in sequence_pack(spark, sf).collect()}
+    assert out[1]["shard"] == 1 and out[1]["pack_id"] == 0
+    assert out[1]["pack_offset"] == 0
+
+
+def test_stratified_sample_deterministic_subset(spark, tmp_path):
+    rows = [(i, f"text {i}", lang, "s", 0)
+            for i in range(400)
+            for lang in (["en"] if i % 2 == 0 else ["de"])]
+    sf = _write_docs(spark, tmp_path, rows)
+    a = sorted(r["doc_id"] for r in stratified_sample(spark, sf).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(spark, sf).collect())
+    assert a == b, "sampling must be deterministic"
+    kept = stratified_sample(spark, sf)
+    n_en = kept.where("lang = 'en'").count()
+    n_de = kept.where("lang = 'de'").count()
+    assert n_de == 200, "de keeps everything ('ffff' threshold)"
+    # en rate is 1/4 of the 16-bit prefix space; 200 draws -> well
+    # inside [10%, 40%]
+    assert 20 <= n_en <= 80
+
+
+def test_benchmark_contamination_planted(spark, tmp_path):
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    # doc 10 shares the trigram "beta gamma delta"; doc 11 is disjoint
+    sf = _write_docs(spark, tmp_path, [
+        (1, bench_text, "en", "src0", 0),
+        (10, "one two beta gamma delta three four", "en", "src1", 0),
+        (11, "unrelated words only here nothing shared", "en", "src1", 0),
+    ])
+    out = {r["doc_id"]: r for r in benchmark_contamination(spark, sf).collect()}
+    assert 10 in out and 11 not in out
+    assert out[10]["n_contaminated"] == 1
+    assert out[10]["n_shingles"] == 5
+    assert out[10]["contamination_ppm"] == 200000
+
+
+def test_corpus_token_stats_percentiles(spark, tmp_path):
+    # en docs with 10, 20, 30 tokens: p50 = 20, p90 interpolates to 28
+    rows = [(i, " ".join(["w"] * n), "en", "s", 0)
+            for i, n in enumerate([10, 20, 30])]
+    sf = _write_docs(spark, tmp_path, rows)
+    r = corpus_token_stats(spark, sf).collect()[0]
+    assert r["n_docs"] == 3 and r["total_tokens"] == 60
+    assert r["p50_tokens_e3"] == 20000
+    assert r["p90_tokens_e3"] == 28000
