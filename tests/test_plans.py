@@ -136,3 +136,31 @@ def test_ivf_kmeans_broadcasts_centroids(spark):
 def test_corpus_pipeline_no_cartesian(spark):
     s = join_strategies(_q(spark, "corpus_dedup_pipeline"))
     assert "CartesianProduct" not in s
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set (eval sets are small) must broadcast;
+    the training side streams map-side — no doc x doc pair join."""
+    df = _q(spark, "benchmark_contamination")
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_sequence_pack_parallel_windows(spark):
+    """Per-shard packing must not funnel the corpus through one
+    partition (the global-order variant would)."""
+    assert single_partition_exchanges(_q(spark, "sequence_pack")) == 0
+
+
+def test_stratified_sample_is_narrow(spark):
+    """Sampling is a pure filter: one scan, no exchange at all."""
+    from adsmasterpipeline_spark.plans.explain import explain_str
+    df = _q(spark, "stratified_sample")
+    assert scan_count(df) == 1
+    assert "Exchange" not in explain_str(df, "simple")
+
+
+def test_repetition_quality_prunes_scan(spark):
+    """Only doc_id + text reach the parquet scan."""
+    for rs in read_schemas(_q(spark, "repetition_quality")):
+        assert "lang" not in rs and "source" not in rs
