@@ -185,3 +185,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("meta"),
     )
     return extract_features(assets, fake_decode=True)
+
+
+@query(
+    "video_frames", None, "multimodal",
+    doc="Video frame sampling + per-frame features: documents' bytes as "
+        "fake video payloads -> mapInPandas frame fan-out (bytes cross "
+        "the Arrow boundary once per asset, frames generated "
+        "executor-side; see operators/multimodal.video_frame_features).",
+)
+def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import video_frame_features
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("media"),
+        F.struct(F.lit("video/fake").alias("mime"),
+                 F.lit(None).cast("int").alias("width"),
+                 F.lit(None).cast("int").alias("height"),
+                 (F.col("n_chars") * 10).cast("int").alias("duration_ms"))
+        .alias("meta"),
+    ).where(F.col("doc_id") % 5 == 0)
+    return video_frame_features(assets, every_ms=1000)

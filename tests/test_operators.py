@@ -292,3 +292,44 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         [("A", 1, dt.datetime(2024, 1, 1)), ("A", 9, dt.datetime(2024, 1, 2))],
         "fp string, doc_id long, event_ts timestamp")
     assert streaming_dedup(batch, ["fp"]).count() == 1
+
+
+def test_video_frame_features_tick_parity(spark):
+    """Python-side frame generation must agree with the JVM
+    frame_sample_plan tick arithmetic, asset by asset."""
+    from adsmasterpipeline_spark.operators.multimodal import (
+        video_frame_features,
+    )
+    assets = fake_assets(spark, 30)
+    plan_counts = {
+        r["asset_id"]: r["n"]
+        for r in frame_sample_plan(assets, every_ms=1000)
+        .where("kind = 'video'")
+        .groupBy("asset_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    feat = video_frame_features(assets, every_ms=1000)
+    feat_counts = {
+        r["asset_id"]: r["n"]
+        for r in feat.groupBy("asset_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert feat_counts == plan_counts
+    rows = feat.orderBy("asset_id", "frame_idx").collect()
+    assert all(r["decode_ok"] for r in rows)
+    assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
+    # frames of one asset get distinct deterministic features
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(tuple(r["feature"]))
+    multi = [v for v in by_asset.values() if len(v) > 1]
+    assert multi and all(len(set(v)) > 1 for v in multi)
+
+
+def test_video_frame_real_decode_records_error(spark):
+    """Without PyAV the real-decode path must record per-row errors,
+    not fail the job."""
+    from adsmasterpipeline_spark.operators.multimodal import (
+        video_frame_features,
+    )
+    assets = fake_assets(spark, 9)
+    rows = video_frame_features(assets, fake_decode=False).collect()
+    assert rows and all(not r["decode_ok"] for r in rows)
+    assert all(r["error"] for r in rows)
