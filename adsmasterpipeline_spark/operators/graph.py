@@ -1,0 +1,82 @@
+"""Connected components over the duplicate-pair graph.
+
+Pair-emitting dedup (MinHash-LSH, SimHash, exact-Jaccard) is only half
+the job: a training pipeline must resolve pairs into CLUSTERS and keep
+one document per cluster. A near-dup graph's components are exactly
+those clusters.
+
+``connected_components`` is iterative min-label propagation expressed
+as DataFrame joins: each round every node adopts the smallest label in
+its neighborhood; convergence is reached when no label changes. Rounds
+needed = graph diameter — duplicate clusters are small and dense
+(near-cliques from banding), so diameter is tiny regardless of corpus
+size; the alternating large-star/small-star scheme (O(log n) rounds on
+adversarial paths) is the documented upgrade if components with long
+chains ever appear.
+
+Scale posture per round: one shuffle keyed on node id (the groupBy),
+edges re-broadcast-joined against the (id, label) table; lineage is cut
+with localCheckpoint each round so the plan does not grow with the
+iteration count (at cluster scale: checkpoint to the shuffle service or
+a lake table instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 20) -> DataFrame:
+    """Resolve undirected ``edges`` into components.
+
+    Returns (id, component) where ``component`` is the smallest node id
+    reachable from ``id`` — a deterministic canonical representative.
+    Isolated nodes don't appear in ``edges`` and so don't appear here;
+    callers left-join and coalesce(component, id).
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .where(F.col("a") != F.col("b"))
+           .distinct()
+           .localCheckpoint(eager=True))
+
+    labels = (sym.select(F.col("a").alias("id"))
+              .distinct()
+              .withColumn("component", F.col("id")))
+
+    for _ in range(max_iter):
+        # neighbor labels: node a hears the label of each neighbor b
+        heard = (sym.join(labels.withColumnRenamed("id", "b"), "b")
+                 .select(F.col("a").alias("id"), "component"))
+        new_labels = (labels.unionByName(heard)
+                      .groupBy("id")
+                      .agg(F.min("component").alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,
+                   id_a: str = "id_a", id_b: str = "id_b",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cluster assignment for every document: component representative
+    (min id) as cluster_id, cluster size, and the keeper flag — the
+    keep-one-per-cluster decision a dedup pipeline feeds downstream."""
+    comp = connected_components(pairs, id_a, id_b)
+    out = (all_ids.select(F.col(id_col))
+           .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+           .select(id_col,
+                   F.coalesce("component", F.col(id_col)).alias("cluster_id")))
+    sizes = out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (out.join(sizes, "cluster_id")
+            .select(id_col, "cluster_id", "cluster_size",
+                    (F.col(id_col) == F.col("cluster_id")).alias("is_keeper")))

@@ -1,0 +1,113 @@
+"""Duplicate-cluster resolution: pairs -> connected components ->
+keep-one-per-cluster. The iterative Spark side (min-label propagation,
+operators/graph.py) is oracle-checked against DuckDB's recursive-CTE
+transitive closure — an exact cross-engine check of a genuinely
+iterative distributed algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import query
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _norm_text():
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS h FROM documents
+    ),
+    exact_pairs AS (
+      SELECT g.keeper AS a, f.doc_id AS b
+      FROM fp f JOIN (SELECT h, MIN(doc_id) AS keeper FROM fp GROUP BY h) g
+        ON f.h = g.h AND f.doc_id <> g.keeper
+    ),
+    tok AS (
+      SELECT doc_id, source, n_chars,
+             unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS nc
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+       AND abs(a.n_chars - b.n_chars) <= 30
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    near_pairs AS (
+      SELECT i.a, i.b FROM inter i
+      JOIN sizes sa ON i.a = sa.doc_id
+      JOIN sizes sb ON i.b = sb.doc_id
+      WHERE 5 * i.nc >= 4 * (sa.sz + sb.sz - i.nc)
+    ),
+    edges0 AS (SELECT a, b FROM exact_pairs UNION SELECT a, b FROM near_pairs),
+    edges AS (SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0),
+    reach(src, dst) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
+    ),
+    csize AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM assigned GROUP BY cluster_id
+    )
+    SELECT a.doc_id, a.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           CAST(CASE WHEN a.doc_id = a.cluster_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_keeper
+    FROM assigned a JOIN csize s ON a.cluster_id = s.cluster_id
+    """,
+    "dedup", "corpus", "scale",
+    doc="Duplicate-cluster resolution: exact-dup pairs (md5 fingerprint) "
+        "plus high-confidence near-dup pairs (token-set Jaccard >= 0.8, "
+        "same-source + length blocking) resolved into connected "
+        "components; every document gets a canonical cluster_id (min id "
+        "in its component), the cluster size, and the keep-one-per-"
+        "cluster flag. Spark runs iterative min-label propagation "
+        "(rounds = component diameter — tiny for dup clusters, which are "
+        "near-cliques); the oracle replays it as a recursive-CTE "
+        "transitive closure, so the iterative engine is exact-checked, "
+        "not just smoke-tested. At 100 TB the pair-generation stage is "
+        "the MinHash-LSH path and label propagation checkpoints to the "
+        "lake between rounds.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters as resolve
+    d = load_table(spark, sf_dir, "documents")
+    norm = _norm_text()
+
+    fp = d.select("doc_id", F.md5(norm).alias("h"))
+    grp = fp.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    exact_pairs = (fp.join(grp, "h")
+                   .where(F.col("doc_id") != F.col("keeper"))
+                   .select(F.col("keeper").alias("id_a"),
+                           F.col("doc_id").alias("id_b")))
+
+    # near pairs via the PPJoin prefix-filtered set-similarity join at
+    # t = 4/5 — bit-identical to the oracle's naive inverted-index join
+    # (see queries/text.ppjoin_jaccard_pairs), but prefixes at t=0.8
+    # index only ~20% of each doc's tokens so the self-join stays small
+    from .text import ppjoin_jaccard_pairs
+    near_pairs = ppjoin_jaccard_pairs(d, 4, 5).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    pairs = exact_pairs.unionByName(near_pairs).distinct()
+    out = resolve(pairs, d.select("doc_id"))
+    return out.select(
+        "doc_id", "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.when(F.col("is_keeper"), 1).otherwise(0).cast("long")
+        .alias("is_keeper"))

@@ -305,8 +305,17 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "5*inter >= 3*union in integer arithmetic on both engines.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ppjoin_jaccard_pairs(_docs(spark, sf_dir), 3, 5) \
+        .select("doc_a", "doc_b", "jaccard")
+
+
+def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """Exact token-set Jaccard pairs at threshold ``t_num/t_den`` via
+    PPJoin prefix filtering, with same-source + |Δn_chars| ≤ 30
+    candidate blocking. Output (doc_a, doc_b, n_common, sz_a, sz_b,
+    jaccard) is bit-identical to the naive inverted-index join at the
+    same threshold — only the candidate space shrinks."""
     from pyspark.sql import Window as W
-    d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id", "source", "n_chars",
         F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("tok"),
@@ -320,9 +329,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w_doc))
         .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
     )
-    # prefix length |d| - ceil(0.6|d|) + 1, in integer arithmetic:
-    # ceil(3*sz/5) == (3*sz + 4) div 5
-    plen = F.col("sz") - F.floor((3 * F.col("sz") + 4) / 5) + 1
+    # prefix length |d| - ceil(t|d|) + 1, in integer arithmetic:
+    # ceil(n*sz/d) == (n*sz + d - 1) div d
+    plen = (F.col("sz")
+            - F.floor((t_num * F.col("sz") + t_den - 1) / t_den) + 1)
     prefix = ranked.where(F.col("rnk") <= plen) \
         .select("doc_id", "source", "n_chars", "tok", "rnk", "sz")
     # both self-join branches reference the prefix subtree (explode +
@@ -331,12 +341,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = prefix.cache()
     prefix.count()
 
-    # PPJoin filters, both exact: length filter (J>=0.6 forces
-    # 3*sz_a <= 5*sz_b and vice versa) and positional filter (tokens
+    # PPJoin filters, both exact: length filter (J>=t forces
+    # n*sz_a <= d*sz_b and vice versa) and positional filter (tokens
     # after this shared prefix position cap the best-possible overlap
-    # below alpha = ceil(0.375*(sz_a+sz_b)) -> prune)
+    # below alpha = ceil(t/(1+t)*(sz_a+sz_b)) -> prune)
     a, b = prefix.alias("a"), prefix.alias("b")
-    alpha = F.floor((3 * (F.col("a.sz") + F.col("b.sz")) + 7) / 8)
+    alpha = F.floor((t_num * (F.col("a.sz") + F.col("b.sz"))
+                     + t_num + t_den - 1) / (t_num + t_den))
     best_overlap = 1 + F.least(F.col("a.sz") - F.col("a.rnk"),
                                F.col("b.sz") - F.col("b.rnk"))
     cand = (
@@ -344,8 +355,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("a.source") == F.col("b.source"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
                & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30)
-               & (3 * F.col("a.sz") <= 5 * F.col("b.sz"))
-               & (3 * F.col("b.sz") <= 5 * F.col("a.sz"))
+               & (t_num * F.col("a.sz") <= t_den * F.col("b.sz"))
+               & (t_num * F.col("b.sz") <= t_den * F.col("a.sz"))
                & (best_overlap >= alpha))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
@@ -368,6 +379,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     jac = F.col("n_common").cast("double") / union_sz
     return (
-        verified.where(5 * F.col("n_common") >= 3 * union_sz)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        verified.where(t_den * F.col("n_common") >= t_num * union_sz)
+        .select("doc_a", "doc_b", "n_common", "sz_a", "sz_b",
+                F.round(jac, 4).alias("jaccard"))
     )

@@ -1,0 +1,47 @@
+"""Connected-components / dedup-cluster resolution tests
+(operators/graph.py) on crafted graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adsmasterpipeline_spark.operators.graph import (
+    connected_components, dedup_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_chain_converges_to_min_label(spark):
+    # path 1-2-3-4-5 plus separate triangle 10-11-12
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5),
+                           (10, 11), (11, 12), (10, 12)])
+    comp = {r["id"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert all(comp[i] == 1 for i in (1, 2, 3, 4, 5))
+    assert all(comp[i] == 10 for i in (10, 11, 12))
+
+
+def test_direction_and_self_loops_ignored(spark):
+    edges = _edges(spark, [(7, 3), (3, 3), (9, 7)])
+    comp = {r["id"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp == {3: 3, 7: 3, 9: 3}
+
+
+def test_dedup_clusters_keeper_and_isolated(spark):
+    all_ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 4), (4, 6)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in
+           dedup_clusters(pairs, all_ids).collect()}
+    assert len(out) == 8
+    for i in (1, 4, 6):
+        assert out[i]["cluster_id"] == 1
+        assert out[i]["cluster_size"] == 3
+    assert out[1]["is_keeper"] and not out[4]["is_keeper"]
+    for i in (0, 2, 3, 5, 7):  # isolated docs form singleton clusters
+        assert out[i]["cluster_id"] == i
+        assert out[i]["cluster_size"] == 1
+        assert out[i]["is_keeper"]
