@@ -20,10 +20,12 @@ def _norm_text():
     return F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
 
 
-@query(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE fp AS (
+# Shared oracle CTEs: duplicate-pair graph (exact md5 groups + Jaccard
+# >= 4/5 with same-source/length blocking) -> transitive closure ->
+# per-document cluster assignment. Callers append their own final CTEs
+# + SELECT.
+_CLUSTER_CTES = f"""
+    fp AS (
       SELECT doc_id, md5({_NORM_SQL}) AS h FROM documents
     ),
     exact_pairs AS (
@@ -59,9 +61,45 @@ def _norm_text():
     ),
     comp AS (SELECT src, MIN(dst) AS cluster_id FROM reach GROUP BY src),
     assigned AS (
-      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      SELECT d.doc_id, d.n_chars, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
-    ),
+    )"""
+
+
+def _cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, cluster_id) for every document — the Spark twin
+    of the oracle's ``assigned`` CTE. Pair generation runs the PPJoin
+    prefix-filtered join at t=4/5 (bit-identical to the oracle's naive
+    join; prefixes at 0.8 index only ~20% of each doc's tokens), then
+    iterative min-label propagation resolves components."""
+    from ..operators.graph import connected_components
+    from .text import ppjoin_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = _norm_text()
+
+    fp = d.select("doc_id", F.md5(norm).alias("h"))
+    grp = fp.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    exact_pairs = (fp.join(grp, "h")
+                   .where(F.col("doc_id") != F.col("keeper"))
+                   .select(F.col("keeper").alias("id_a"),
+                           F.col("doc_id").alias("id_b")))
+    near_pairs = ppjoin_jaccard_pairs(d, 4, 5).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    pairs = exact_pairs.unionByName(near_pairs).distinct()
+
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (d.select("doc_id", "n_chars")
+            .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .select("doc_id", "n_chars",
+                    F.coalesce("component", F.col("doc_id"))
+                    .alias("cluster_id")))
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
     csize AS (
       SELECT cluster_id, COUNT(*) AS cluster_size
       FROM assigned GROUP BY cluster_id
@@ -86,28 +124,52 @@ def _norm_text():
         "lake between rounds.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import dedup_clusters as resolve
-    d = load_table(spark, sf_dir, "documents")
-    norm = _norm_text()
+    assigned = _cluster_assignment(spark, sf_dir)
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (assigned.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id",
+                    F.col("cluster_size").cast("long").alias("cluster_size"),
+                    F.when(F.col("doc_id") == F.col("cluster_id"), 1)
+                    .otherwise(0).cast("long").alias("is_keeper")))
 
-    fp = d.select("doc_id", F.md5(norm).alias("h"))
-    grp = fp.groupBy("h").agg(F.min("doc_id").alias("keeper"))
-    exact_pairs = (fp.join(grp, "h")
-                   .where(F.col("doc_id") != F.col("keeper"))
-                   .select(F.col("keeper").alias("id_a"),
-                           F.col("doc_id").alias("id_b")))
 
-    # near pairs via the PPJoin prefix-filtered set-similarity join at
-    # t = 4/5 — bit-identical to the oracle's naive inverted-index join
-    # (see queries/text.ppjoin_jaccard_pairs), but prefixes at t=0.8
-    # index only ~20% of each doc's tokens so the self-join stays small
-    from .text import ppjoin_jaccard_pairs
-    near_pairs = ppjoin_jaccard_pairs(d, 4, 5).select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
-    pairs = exact_pairs.unionByName(near_pairs).distinct()
-    out = resolve(pairs, d.select("doc_id"))
-    return out.select(
-        "doc_id", "cluster_id",
-        F.col("cluster_size").cast("long").alias("cluster_size"),
-        F.when(F.col("is_keeper"), 1).otherwise(0).cast("long")
-        .alias("is_keeper"))
+@query(
+    "cluster_keeper_quality",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM assigned
+    )
+    SELECT cluster_id, doc_id AS keeper_doc_id,
+           CAST(n_chars AS BIGINT) AS keeper_n_chars,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE r = 1
+    """,
+    "dedup", "corpus",
+    doc="Quality-aware keeper selection: within each duplicate cluster "
+        "keep the highest-quality document (longest, doc_id tie-break) "
+        "instead of the arbitrary min-id — the policy real corpus dedup "
+        "applies (retain the best copy, drop the rest). One max_by "
+        "aggregate over the cluster assignment; composes the clustering "
+        "with the quality signal.",
+)
+def cluster_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _cluster_assignment(spark, sf_dir)
+    # argmax by (n_chars desc, doc_id asc) == max_by with an order tuple
+    # that inverts doc_id; deterministic because doc_id is unique
+    best = assigned.groupBy("cluster_id").agg(
+        F.max_by(
+            F.struct("doc_id", "n_chars"),
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")),
+        ).alias("_best"),
+        F.count(F.lit(1)).alias("cluster_size"))
+    return best.select(
+        "cluster_id",
+        F.col("_best.doc_id").alias("keeper_doc_id"),
+        F.col("_best.n_chars").cast("long").alias("keeper_n_chars"),
+        F.col("cluster_size").cast("long").alias("cluster_size"))

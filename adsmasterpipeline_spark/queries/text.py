@@ -383,3 +383,59 @@ def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", "sz_a", "sz_b",
                 F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS dfc FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.dfc,
+             (CAST(tf.tf AS DOUBLE) * (SELECT COUNT(*) FROM documents))
+               / df.dfc AS score
+      FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(dfc AS BIGINT) AS dfc,
+           CAST(FLOOR(score * 1000) AS BIGINT) AS score_e3
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS r
+          FROM scored)
+    WHERE r <= 3
+    """,
+    "textops",
+    doc="Top-3 characteristic terms per document by tf-idf with log-free "
+        "rarity weighting (tf * N/df): libm log() is not bit-identical "
+        "across engines, and the RANKING is the product here — the "
+        "monotone transform doesn't change it for single-term scores. "
+        "Shuffle profile: explode -> (doc, term) agg -> term-keyed df "
+        "agg broadcast back -> per-doc top-k window; term df table is "
+        "vocabulary-sized (small), documents never pairwise join.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # scalar: one cheap count-star job, no collect of rows
+    tok = d.select("doc_id", F.explode(F.split(_norm_text(), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    scored = (tf.join(F.broadcast(dfc), "term")
+              .withColumn("score",
+                          (F.col("tf").cast("double") * n_docs) / F.col("dfc")))
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= 3)
+            .select("doc_id", "term",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("dfc").cast("long").alias("dfc"),
+                    F.floor(F.col("score") * 1000).cast("long")
+                    .alias("score_e3")))

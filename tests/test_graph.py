@@ -45,3 +45,25 @@ def test_dedup_clusters_keeper_and_isolated(spark):
         assert out[i]["cluster_id"] == i
         assert out[i]["cluster_size"] == 1
         assert out[i]["is_keeper"]
+
+
+def test_cluster_keeper_quality_prefers_longest(spark):
+    """Keeper = longest doc in the cluster, not min id (sf0.001)."""
+    from adsmasterpipeline_spark.queries import REGISTRY, _load
+    _load()
+    clusters = REGISTRY["dedup_clusters"].spark_fn(
+        spark, "/root/testdata/sf0.001")
+    keepers = REGISTRY["cluster_keeper_quality"].spark_fn(
+        spark, "/root/testdata/sf0.001")
+    from adsmasterpipeline_spark.sources import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    joined = (clusters.join(docs, "doc_id")
+              .groupBy("cluster_id")
+              .agg(F.max("n_chars").alias("max_chars"),
+                   F.count(F.lit(1)).alias("n")))
+    merged = {r["cluster_id"]: r for r in
+              keepers.join(joined, "cluster_id").collect()}
+    assert merged, "no clusters resolved"
+    for r in merged.values():
+        assert r["keeper_n_chars"] == r["max_chars"]
+        assert r["cluster_size"] == r["n"]
