@@ -31,5 +31,10 @@ def get_spark(app_name: str = "adsmasterpipeline_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # saveAsTable targets (bucketed tables, rebuild-swap tests) go
+        # under tmp, never the repo working directory
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/spark-graft-warehouse"))
     )
     return builder.getOrCreate()
