@@ -227,3 +227,39 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (cand.select("id_a", "id_b", hamming.alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def incremental_dedup(new_docs: DataFrame, corpus_fps: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      hash_fn=F.xxhash64) -> DataFrame:
+    """Deduplicate a NEW batch against an existing corpus without
+    recomputing the corpus: join the batch's fingerprints against the
+    persisted (fingerprint, keeper) table, then resolve batch-internal
+    duplicates among the leftovers.
+
+    ``corpus_fps``: (fingerprint, keeper) — the running dedup state a
+    pipeline persists (bucketed by fingerprint at scale, so this join
+    is co-located). Returns one row per new document:
+    (id, fingerprint, duplicate_of nullable, is_new_unique) where
+    duplicate_of points at the corpus keeper when the text is already
+    known, else the smallest same-fingerprint id within the batch, and
+    is_new_unique marks the batch keepers that extend the corpus state.
+    Daily batch << corpus, so Spark broadcasts the batch fingerprints
+    against the bucketed corpus scan; nothing rescans corpus text.
+    """
+    fp = new_docs.select(
+        F.col(id_col),
+        hash_fn(normalize_text(F.col(text_col))).alias("fingerprint"))
+    hit = fp.join(corpus_fps.withColumnRenamed("keeper", "_corpus_keeper"),
+                  "fingerprint", "left")
+    batch_keeper = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("_batch_keeper"))
+    resolved = hit.join(batch_keeper, "fingerprint")
+    dup_of = F.coalesce(
+        F.col("_corpus_keeper"),
+        F.when(F.col(id_col) != F.col("_batch_keeper"),
+               F.col("_batch_keeper")))
+    return resolved.select(
+        id_col, "fingerprint", dup_of.alias("duplicate_of"),
+        (F.col("_corpus_keeper").isNull()
+         & (F.col(id_col) == F.col("_batch_keeper"))).alias("is_new_unique"))

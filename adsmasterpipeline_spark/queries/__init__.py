@@ -50,7 +50,7 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 PRIORITY: tuple[str, ...] = (
     # -- training-data operators (dedup / similarity / text / multimodal) --
     "dedup_exact", "minhash_signatures", "simhash", "ngram_jaccard_pairs",
-    "corpus_dedup_pipeline", "dedup_clusters",
+    "corpus_dedup_pipeline", "dedup_clusters", "incremental_dedup",
     "embedding_cosine_neardup",
     "cosine_topk", "ann_sign_lsh", "ann_ivf_kmeans",
     "vector_norms", "label_centroid_distance", "embedding_quantize",
@@ -69,7 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "merge_last_writer_wins", "checksum_dispatch",
     "incremental_watermark_scan", "sessionize",
     # -- §2 joins / set ops --
-    "join_left_outer", "join_semi", "join_anti",
+    "join_left_outer", "join_semi",
     "full_outer_diff",
     # -- §2 aggregations / windows / functions --
     "agg_counts_per_group", "agg_argmax_per_group",

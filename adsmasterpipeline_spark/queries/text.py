@@ -439,3 +439,56 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("dfc").cast("long").alias("dfc"),
                     F.floor(F.col("score") * 1000).cast("long")
                     .alias("score_e3")))
+
+
+@query(
+    "incremental_dedup",
+    f"""
+    WITH fp_all AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+    ),
+    corpus AS (
+      SELECT fingerprint, MIN(doc_id) AS keeper
+      FROM fp_all WHERE doc_id % 2 = 0 GROUP BY fingerprint
+    ),
+    batch AS (SELECT * FROM fp_all WHERE doc_id % 2 = 1),
+    bk AS (
+      SELECT fingerprint, MIN(doc_id) AS batch_keeper
+      FROM batch GROUP BY fingerprint
+    )
+    SELECT b.doc_id, b.fingerprint,
+           COALESCE(c.keeper,
+                    CASE WHEN b.doc_id <> k.batch_keeper
+                         THEN k.batch_keeper END) AS duplicate_of,
+           CAST(CASE WHEN c.keeper IS NULL AND b.doc_id = k.batch_keeper
+                THEN 1 ELSE 0 END AS BIGINT) AS is_new_unique
+    FROM batch b
+    LEFT JOIN corpus c ON b.fingerprint = c.fingerprint
+    JOIN bk k ON b.fingerprint = k.fingerprint
+    """,
+    "dedup", "scale",
+    doc="Incremental dedup — the operational mode at 100 TB: a new batch "
+        "is checked against the persisted (fingerprint, keeper) corpus "
+        "state instead of recomputing the corpus (even docs stand in for "
+        "the corpus, odd docs for the day's batch). Corpus text is never "
+        "rescanned; the batch side is small so it broadcasts against the "
+        "bucketed fingerprint table. Batch-internal duplicates resolve "
+        "to the smallest batch id; is_new_unique marks rows that extend "
+        "the state. Engine-portable md5 twin of the xxhash64 operator "
+        "(operators/dedup.incremental_dedup).",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_dedup as op, normalize_text
+    d = _docs(spark, sf_dir)
+    old = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+    corpus_fps = (old.select("doc_id",
+                             F.md5(normalize_text(F.col("text")))
+                             .alias("fingerprint"))
+                  .groupBy("fingerprint")
+                  .agg(F.min("doc_id").alias("keeper")))
+    out = op(new, corpus_fps, hash_fn=F.md5)
+    return out.select(
+        "doc_id", "fingerprint", "duplicate_of",
+        F.when(F.col("is_new_unique"), 1).otherwise(0).cast("long")
+        .alias("is_new_unique"))

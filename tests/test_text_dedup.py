@@ -52,3 +52,29 @@ def test_prefix_filter_matches_bruteforce_under_stopword_skew(spark, tmp_path):
     assert got == expected
     # the engineered clusters are found, nothing else leaks past 0.6
     assert (100, 101) in got and (100, 102) in got and (101, 102) in got
+
+
+def test_incremental_dedup_planted(spark):
+    """Batch vs corpus-state dedup: corpus hits, batch-internal dups,
+    and new uniques, on planted texts (xxhash64 path)."""
+    from adsmasterpipeline_spark.operators.dedup import incremental_dedup
+    corpus = spark.createDataFrame(
+        [(1, "known text one"), (2, "known text two")],
+        "doc_id long, text string")
+    from adsmasterpipeline_spark.operators.dedup import normalize_text
+    from pyspark.sql import functions as F
+    state = (corpus.select("doc_id",
+                           F.xxhash64(normalize_text(F.col("text")))
+                           .alias("fingerprint"))
+             .groupBy("fingerprint").agg(F.min("doc_id").alias("keeper")))
+    batch = spark.createDataFrame(
+        [(10, "known  TEXT one"),   # corpus dup (normalization applies)
+         (11, "fresh content a"),   # new unique
+         (12, "fresh content a"),   # batch-internal dup of 11
+         (13, "fresh content b")],  # new unique
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in incremental_dedup(batch, state).collect()}
+    assert out[10]["duplicate_of"] == 1 and not out[10]["is_new_unique"]
+    assert out[11]["duplicate_of"] is None and out[11]["is_new_unique"]
+    assert out[12]["duplicate_of"] == 11 and not out[12]["is_new_unique"]
+    assert out[13]["duplicate_of"] is None and out[13]["is_new_unique"]
