@@ -7,12 +7,11 @@ those clusters.
 
 ``connected_components`` is iterative min-label propagation expressed
 as DataFrame joins: each round every node adopts the smallest label in
-its neighborhood; convergence is reached when no label changes. Rounds
-needed = graph diameter — duplicate clusters are small and dense
-(near-cliques from banding), so diameter is tiny regardless of corpus
-size; the alternating large-star/small-star scheme (O(log n) rounds on
-adversarial paths) is the documented upgrade if components with long
-chains ever appear.
+its neighborhood, then follows its label's own label (pointer jumping
+— path compression as a node-keyed self-join), halving any remaining
+chain each round. Convergence is reached when no label changes, after
+O(log diameter) rounds; duplicate clusters are near-cliques from
+banding, so in practice that's 2-4 rounds at any corpus size.
 
 Scale posture per round: one shuffle keyed on node id (the groupBy),
 edges re-broadcast-joined against the (id, label) table; lineage is cut
@@ -50,9 +49,19 @@ def connected_components(edges: DataFrame, src: str = "src",
         # neighbor labels: node a hears the label of each neighbor b
         heard = (sym.join(labels.withColumnRenamed("id", "b"), "b")
                  .select(F.col("a").alias("id"), "component"))
-        new_labels = (labels.unionByName(heard)
+        propagated = (labels.unionByName(heard)
                       .groupBy("id")
-                      .agg(F.min("component").alias("component"))
+                      .agg(F.min("component").alias("component")))
+        # pointer jumping (path compression): follow the label's own
+        # label — every label is a node id, so this node-keyed self-join
+        # halves remaining chain length each round, making the loop
+        # O(log diameter) instead of O(diameter)
+        parents = propagated.select(F.col("id").alias("component"),
+                                    F.col("component").alias("_parent"))
+        new_labels = (propagated.join(parents, "component", "left")
+                      .select("id",
+                              F.coalesce("_parent", "component")
+                              .alias("component"))
                       .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
