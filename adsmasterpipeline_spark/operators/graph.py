@@ -27,13 +27,18 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 20) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 20,
+                         rounds_out: list | None = None) -> DataFrame:
     """Resolve undirected ``edges`` into components.
 
     Returns (id, component) where ``component`` is the smallest node id
     reachable from ``id`` — a deterministic canonical representative.
     Isolated nodes don't appear in ``edges`` and so don't appear here;
     callers left-join and coalesce(component, id).
+
+    ``rounds_out``: optional list that receives the number of rounds
+    actually run (convergence telemetry — tests pin the O(log diameter)
+    bound with it).
     """
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -45,7 +50,9 @@ def connected_components(edges: DataFrame, src: str = "src",
               .distinct()
               .withColumn("component", F.col("id")))
 
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # neighbor labels: node a hears the label of each neighbor b
         heard = (sym.join(labels.withColumnRenamed("id", "b"), "b")
                  .select(F.col("a").alias("id"), "component"))
@@ -70,6 +77,8 @@ def connected_components(edges: DataFrame, src: str = "src",
         labels = new_labels
         if changed == 0:
             break
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return labels
 
 

@@ -67,3 +67,14 @@ def test_cluster_keeper_quality_prefers_longest(spark):
     for r in merged.values():
         assert r["keeper_n_chars"] == r["max_chars"]
         assert r["cluster_size"] == r["n"]
+
+
+def test_long_chain_converges_logarithmically(spark):
+    """Pointer jumping: a 64-node path (diameter 63) must converge in
+    O(log d) rounds, not 63."""
+    edges = _edges(spark, [(i, i + 1) for i in range(63)])
+    rounds = []
+    comp = {r["id"]: r["component"] for r in
+            connected_components(edges, rounds_out=rounds).collect()}
+    assert all(v == 0 for v in comp.values())
+    assert rounds[0] <= 9, f"took {rounds[0]} rounds for diameter 63"
