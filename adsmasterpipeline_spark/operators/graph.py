@@ -77,6 +77,13 @@ def connected_components(edges: DataFrame, src: str = "src",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning unconverged labels would split one
+        # duplicate cluster into several and keep extra copies — fail
+        # loudly instead (with pointer jumping, max_iter=20 covers
+        # diameters up to ~2^20, so this only fires on misuse)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
     if rounds_out is not None:
         rounds_out.append(rounds)
     return labels

@@ -166,16 +166,15 @@ FRAME_SCHEMA = ("asset_id long, frame_idx int, ts_ms int, "
 
 
 def decode_video_frame(payload: bytes, ts_ms: int, dims: int = 8) -> list[float]:
-    """Real video frame decode (optional extra): PyAV seek + grayscale
-    strip. Raises NotImplementedError when PyAV/ffmpeg are absent —
-    recorded per-row by the caller, never failing the job."""
-    try:
-        import av  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "video codecs not available in this environment (needs "
-            "PyAV/ffmpeg); use fake_decode=True for plumbing tests")
-    raise NotImplementedError("PyAV decode path not exercised here")
+    """Video frame decode — DECLARED, NOT IMPLEMENTED: unlike
+    decode_image/decode_audio (real behind their import gates), the
+    PyAV seek+decode body is not written because no video codec exists
+    in this environment to test it against; this always raises
+    NotImplementedError (recorded per-row by the caller, never failing
+    the job). The tested path is fake_decode=True."""
+    raise NotImplementedError(
+        "video frame decode not implemented (needs PyAV/ffmpeg "
+        "deployment); use fake_decode=True for plumbing tests")
 
 
 def _fake_frame_feature(payload: bytes, ts_ms: int, dims: int = 8) -> list[float]:

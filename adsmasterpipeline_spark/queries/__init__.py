@@ -79,9 +79,10 @@ PRIORITY: tuple[str, ...] = (
     # Round-1-green queries whose §2 family keeps another in-window
     # representative ceded slots to never-driver-checked work:
     # string_hier_facet, json_payload_extract, except_keys,
-    # intersect_keys, agg_nonnull_counts, window_bucket_assign ->
-    # has_fields (round-1 hasher crash, since fixed) + the five
-    # training-corpus curation queries (queries/training.py).
+    # intersect_keys, agg_nonnull_counts, window_bucket_assign,
+    # join_anti, union_distinct -> has_fields (round-1 hasher crash,
+    # since fixed), the five training-corpus curation queries
+    # (queries/training.py), dedup_clusters, and incremental_dedup.
 )
 
 

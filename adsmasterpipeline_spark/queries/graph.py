@@ -12,12 +12,9 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from . import query
-
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-
-
-def _norm_text():
-    return F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+# the normalizer must stay bit-identical across every Spark/oracle
+# pair — single definition in queries/text.py
+from .text import _NORM_SQL, _norm_text
 
 
 # Shared oracle CTEs: duplicate-pair graph (exact md5 groups + Jaccard

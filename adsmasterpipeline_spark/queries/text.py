@@ -336,10 +336,13 @@ def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int) -> DataFrame:
     prefix = ranked.where(F.col("rnk") <= plen) \
         .select("doc_id", "source", "n_chars", "tok", "rnk", "sz")
     # both self-join branches reference the prefix subtree (explode +
-    # df join + two windows) — materialize it once; at cluster scale
-    # this cache is a checkpoint of ~40% of the token rows
-    prefix = prefix.cache()
-    prefix.count()
+    # df join + two windows) — materialize it once. localCheckpoint
+    # rather than cache: three registered queries route through here
+    # and cached tables would accumulate in the catalog for the life
+    # of the session, while checkpoint blocks are freed when the
+    # DataFrame is garbage collected; at cluster scale this is a real
+    # checkpoint of ~40% of the token rows either way
+    prefix = prefix.localCheckpoint(eager=True)
 
     # PPJoin filters, both exact: length filter (J>=t forces
     # n*sz_a <= d*sz_b and vice versa) and positional filter (tokens

@@ -22,12 +22,9 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from . import query
-
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-
-
-def _norm_text():
-    return F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+# the normalizer must stay bit-identical across every Spark/oracle
+# pair — single definition in queries/text.py
+from .text import _NORM_SQL, _norm_text
 
 
 def _ppm(num, den):
@@ -203,10 +200,12 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Per-language keep rates as md5-hex-prefix thresholds (lexicographic
-# compare — '4000'/'ffff' ≈ 25%/100% of the 16-bit prefix space).
-# Rebalances the synthetic corpus's English skew.
-_SAMPLE_THRESHOLDS = (("en", "4000"), ("es", "8000"), ("de", "ffff"),
-                      ("fr", "ffff"), ("zh", "ffff"))
+# compare — '4000' ≈ 25% of the 16-bit prefix space). Keep-all strata
+# use 'g': it sorts after every hex string, so the strict < keeps all
+# 65536 prefixes — 'ffff' would silently drop the docs whose prefix is
+# exactly 'ffff'. Rebalances the synthetic corpus's English skew.
+_SAMPLE_THRESHOLDS = (("en", "4000"), ("es", "8000"), ("de", "g"),
+                      ("fr", "g"), ("zh", "g"))
 
 
 @query(
@@ -217,7 +216,7 @@ _SAMPLE_THRESHOLDS = (("en", "4000"), ("es", "8000"), ("de", "ffff"),
     WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4)
           < CASE lang {" ".join(f"WHEN '{k}' THEN '{v}'"
                                 for k, v in _SAMPLE_THRESHOLDS)}
-            ELSE 'ffff' END
+            ELSE 'g' END
     """,
     "corpus",
     doc="Deterministic stratified downsampling: per-language keep rates "
@@ -232,7 +231,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.substring(
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
                        F.col("lang"))), 1, 4)
-    thr = F.lit("ffff")
+    thr = F.lit("g")
     for lang, t in reversed(_SAMPLE_THRESHOLDS):
         thr = F.when(F.col("lang") == lang, t).otherwise(thr)
     return d.where(h < thr).select("doc_id", "lang", "source")
