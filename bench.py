@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Headline set: one per operator family — scan+agg, multi-join, window,
 # keyed merge, checksum dispatch, dedup hashing, near-dup join, ANN,
 # plus the scale-path variants (two-phase assignment, LSH dedup/ANN,
-# temporal as-of).
+# temporal as-of) and the training-corpus curation stages (repetition
+# quality, decontamination, sequence packing, incremental dedup).
+# The first 16 are the round-1 set, unchanged for cross-round
+# comparability; the curation stages were added in round 2.
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q5_regional_revenue",
@@ -40,6 +43,10 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "cosine_topk",
     "ann_sign_lsh",
+    "repetition_quality",
+    "benchmark_contamination",
+    "sequence_pack",
+    "incremental_dedup",
 ]
 
 
