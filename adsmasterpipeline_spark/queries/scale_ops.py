@@ -208,3 +208,25 @@ def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("meta"),
     ).where(F.col("doc_id") % 5 == 0)
     return video_frame_features(assets, every_ms=1000)
+
+
+@query(
+    "salted_group_counts",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang
+    """,
+    "scale",
+    doc="Skew-safe two-stage aggregation (operators/skew.salted_agg_count): "
+        "pre-aggregate on (key, salt) to bound per-task state, then "
+        "combine per key — the explicit form of map-side partial "
+        "aggregation for skewed keys and non-algebraic aggregates. The "
+        "salt is internal: output is bit-identical to the plain GROUP BY "
+        "the oracle runs, which is exactly the equivalence that makes "
+        "salting safe to apply at 100 TB.",
+)
+def salted_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg_count
+    d = load_table(spark, sf_dir, "documents")
+    return salted_agg_count(d, "lang").select(
+        "lang", F.col("count").cast("long").alias("n"))
