@@ -119,7 +119,7 @@ def _load() -> None:
         return
     from . import (  # noqa: F401
         analytics, corpus, relational, relational2, relational3,
-        pipeline, text, tpch_more, vectors, scale_ops, temporal,
-        training, graph,
+        pipeline, text, tpch_more, tpch_full, vectors, scale_ops,
+        temporal, training, graph,
     )
     _LOADED = True
