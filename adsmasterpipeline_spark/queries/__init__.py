@@ -120,6 +120,6 @@ def _load() -> None:
     from . import (  # noqa: F401
         analytics, corpus, relational, relational2, relational3,
         pipeline, text, tpch_more, tpch_full, vectors, scale_ops,
-        temporal, training, graph, scrub,
+        temporal, training, graph, scrub, layout,
     )
     _LOADED = True
