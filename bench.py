@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # keyed merge, checksum dispatch, dedup hashing, near-dup join, ANN,
 # plus the scale-path variants (two-phase assignment, LSH dedup/ANN,
 # temporal as-of) and the training-corpus curation stages (repetition
-# quality, decontamination, sequence packing, incremental dedup).
+# quality, decontamination, sequence packing, incremental dedup),
+# and the corpus-hygiene/layout stages (span dedup, quality gate,
+# Z-order skipping stats).
 # The first 16 are the round-1 set, unchanged for cross-round
 # comparability; the curation stages were added in round 2.
 BENCH_QUERIES = [
@@ -47,6 +49,10 @@ BENCH_QUERIES = [
     "benchmark_contamination",
     "sequence_pack",
     "incremental_dedup",
+    # round-2 additions: corpus hygiene + layout
+    "span_dedup_docs",
+    "quality_rules_filter",
+    "zorder_data_skipping",
 ]
 
 
