@@ -45,6 +45,12 @@ def _save_records(df, data_dir: str) -> None:
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(staging, path)
+    # The staging-dir rename happens behind Spark's back: any cached
+    # relation over `path` (cmd_reindex caches records) would keep
+    # serving the PRE-swap rows to every later read in this session.
+    # Cross-process callers never notice; in-process sequences (tests,
+    # long-lived drivers) silently lose the writeback without this.
+    df.sparkSession.catalog.refreshByPath(path)
 
 
 def cmd_ingest(args) -> int:
@@ -68,9 +74,15 @@ def cmd_reindex(args) -> int:
     """Incremental dispatch: watermark scan -> readiness -> checksum
     diff -> write the three sink batches -> mark processed -> advance
     the watermark (rollback semantics: the watermark only moves after
-    every sink write succeeded)."""
-    from .dispatch import mark_processed, reindex
+    every sink write succeeded).
+
+    ``--bibcodes FILE`` restricts the run to a bibcode list (run.py
+    -b/-n); ``--failed`` reselects rows whose last dispatch failed
+    (run.py --index_failed)."""
+    from pyspark.sql import functions as F
+    from .dispatch import failed_filter, mark_processed, reindex
     from .sinks.writers import write_links_dir, write_solr_dir
+    from .sources import bibcode_list
     from .storage import KeyValueStore
     from .transform import solr_docs_json
     spark = _spark()
@@ -79,7 +91,16 @@ def cmd_reindex(args) -> int:
     wm_key = "last.reindex.forced" if args.force else "last.reindex.normal"
     since = args.since or (None if args.force else kv.get(wm_key))
 
-    batches = reindex(records, since=since, force=args.force,
+    scope = records
+    if args.bibcodes:
+        scope = scope.join(F.broadcast(bibcode_list(spark, args.bibcodes)),
+                           "bibcode", "left_semi")
+        since = None  # an explicit list overrides the watermark scan
+    if args.failed:
+        scope = failed_filter(scope)
+        since = None
+
+    batches = reindex(scope, since=since, force=args.force,
                       ignore_checksums=args.ignore_checksums)
     solr = batches["solr"].cache()
     metrics = batches["metrics"].cache()
@@ -103,8 +124,11 @@ def cmd_reindex(args) -> int:
     counts = {"solr": solr.count(), "metrics": metrics.count(),
               "links": links.count()}
     _save_records(updated, args.data)
-    import datetime as dt
-    kv.put(wm_key, dt.datetime.now(dt.timezone.utc).isoformat())
+    if not (args.bibcodes or args.failed):
+        # a scoped run never saw the full table — advancing the
+        # incremental watermark would silently skip everything else
+        import datetime as dt
+        kv.put(wm_key, dt.datetime.now(dt.timezone.utc).isoformat())
     print(json.dumps(counts))
     return 0
 
@@ -227,6 +251,81 @@ def cmd_scixid(args) -> int:
     return 0
 
 
+def cmd_diag(args) -> int:
+    """run.py -d/-k parity: one JSON of table + dispatch health and
+    the KV store contents — the operational at-a-glance check."""
+    from pyspark.sql import functions as F
+    from .storage import KeyValueStore
+    spark = _spark()
+    records = _load_records(spark, args.data)
+    agg = records.agg(
+        F.count(F.lit(1)).alias("records"),
+        F.count("bib_data").alias("with_bib_data"),
+        F.count("scix_id").alias("with_scix_id"),
+        F.sum(F.when(F.col("solr_processed").isNull(), 1).otherwise(0))
+        .alias("solr_pending"),
+        F.sum(F.when(F.col("metrics_processed").isNull(), 1).otherwise(0))
+        .alias("metrics_pending"),
+        F.sum(F.when(F.col("datalinks_processed").isNull(), 1).otherwise(0))
+        .alias("links_pending"),
+        F.sum(F.when(F.col("status").rlike("-failed$"), 1).otherwise(0))
+        .alias("failed"),
+    ).collect()[0].asDict()
+    kv = KeyValueStore(spark, os.path.join(args.data, "kv"))
+    agg["kv"] = kv._load()
+    print(json.dumps(agg, default=str))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """run.py --delete parity: remove a file of bibcodes from the
+    records table, emit solr tombstones, and (when a sitemap table
+    exists) anti-join it too, reporting files emptied by the removal."""
+    from pyspark.sql import functions as F
+    from . import sitemap as sm
+    from .sources import bibcode_list
+    spark = _spark()
+    records = _load_records(spark, args.data)
+    bibs = bibcode_list(spark, args.bibcodes).cache()
+    survivors = records.join(F.broadcast(bibs), "bibcode", "left_anti") \
+        .localCheckpoint()
+    deleted = records.count() - survivors.count()
+    _save_records(survivors, args.data)
+    out = args.out or os.path.join(args.data, "sinks")
+    bibs.select("bibcode").write.mode("overwrite") \
+        .json(os.path.join(out, "solr_deletes"))
+    emptied: list[str] = []
+    table_path = os.path.join(args.data, "sitemap")
+    if os.path.exists(table_path):
+        table = spark.read.parquet(table_path)
+        remaining, emptied = sm.remove_records(table, bibs)
+        remaining.localCheckpoint().write.mode("overwrite") \
+            .parquet(table_path + ".staging")
+        import shutil
+        shutil.rmtree(table_path)
+        os.rename(table_path + ".staging", table_path)
+    print(json.dumps({"deleted": deleted, "sitemap_files_emptied": emptied}))
+    return 0
+
+
+def cmd_outbox(args) -> int:
+    """run.py -a / boost / classify parity: derive outbound request
+    batches for the downstream pipelines and write them to the outbox
+    directory (the HTTP/queue adapter's pickup point)."""
+    from .outbox import (aff_augment_requests, boost_requests,
+                         classify_requests, write_outbox)
+    spark = _spark()
+    records = _load_records(spark, args.data)
+    fn = {"augment": aff_augment_requests,
+          "boost": boost_requests,
+          "classify": classify_requests}[args.kind]
+    requests = fn(records)
+    out = args.out or os.path.join(args.data, "outbox", args.kind)
+    write_outbox(requests, out)
+    print(json.dumps({"kind": args.kind, "requests": requests.count()}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from .validate import compare
     spark = _spark()
@@ -254,6 +353,10 @@ def main(argv=None) -> int:
     pr.add_argument("--force", action="store_true")
     pr.add_argument("--since")
     pr.add_argument("--ignore-checksums", action="store_true")
+    pr.add_argument("--bibcodes", help="file with one bibcode per line; "
+                    "restricts the run and skips the watermark")
+    pr.add_argument("--failed", action="store_true",
+                    help="reselect rows whose last dispatch failed")
     pr.set_defaults(fn=cmd_reindex)
 
     ps = sub.add_parser("sitemap", help="sitemap table + XML generation")
@@ -282,6 +385,24 @@ def main(argv=None) -> int:
                     required=True)
     px.add_argument("--bibcodes", help="file with one bibcode per line")
     px.set_defaults(fn=cmd_scixid)
+
+    pd_ = sub.add_parser("diag", help="table + dispatch health, KV dump")
+    pd_.add_argument("--data", required=True)
+    pd_.set_defaults(fn=cmd_diag)
+
+    pdel = sub.add_parser("delete", help="remove a file of bibcodes")
+    pdel.add_argument("--data", required=True)
+    pdel.add_argument("--bibcodes", required=True,
+                      help="file with one bibcode per line")
+    pdel.add_argument("--out")
+    pdel.set_defaults(fn=cmd_delete)
+
+    po = sub.add_parser("outbox", help="derive outbound pipeline requests")
+    po.add_argument("--data", required=True)
+    po.add_argument("--kind", choices=("augment", "boost", "classify"),
+                    required=True)
+    po.add_argument("--out")
+    po.set_defaults(fn=cmd_outbox)
 
     pv = sub.add_parser("validate", help="differential doc compare")
     pv.add_argument("--left", required=True)

@@ -1,3 +1,5 @@
-from .testdata import TABLES, load_table, load_tables, register_views
+from .testdata import (TABLES, bibcode_list, load_table, load_tables,
+                       register_views)
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = ["TABLES", "bibcode_list", "load_table", "load_tables",
+           "register_views"]

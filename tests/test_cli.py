@@ -104,3 +104,64 @@ def test_sitemap_update_is_incremental(spark, tmp_path, events_dir, capsys):
     assert main(["sitemap", "--data", data, "--action", "update"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["files"] == 2  # one dirty file x two sites
+
+
+def test_cli_scoped_reindex_diag_delete_outbox(spark, tmp_path, events_dir,
+                                               capsys):
+    """The run.py parity verbs: -b/-n scoped reindex (watermark must
+    NOT advance), -d/-k diag, --delete, and -a outbox."""
+    data = str(tmp_path / "data")
+    assert main(["ingest", "--events", str(events_dir), "--data", data]) == 0
+    capsys.readouterr()
+
+    # scoped reindex: only the listed bibcode dispatches
+    bibfile = tmp_path / "bibs.txt"
+    bibfile.write_text("E01\n")
+    assert main(["reindex", "--data", data, "--bibcodes", str(bibfile)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["solr"] == 1
+    # the incremental watermark must not have advanced
+    import json as _json
+    kv_dir = tmp_path / "data" / "kv"
+    kv = {r["key"]: r["value"]
+          for r in spark.read.parquet(str(kv_dir)).collect()} \
+        if kv_dir.exists() else {}
+    assert "last.reindex.normal" not in kv
+
+    # a full run still sees the other three as pending
+    assert main(["reindex", "--data", data]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["solr"] == 3
+
+    # diag reflects the dispatch state
+    assert main(["diag", "--data", data]) == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["records"] == 4 and d["with_bib_data"] == 4
+    assert d["solr_pending"] == 0 and d["failed"] == 0
+    assert "last.reindex.normal" in d["kv"]
+
+    # failed reselection: nothing failed -> empty batches
+    assert main(["reindex", "--data", data, "--failed"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"solr": 0, "metrics": 0, "links": 0}
+
+    # outbox derivation: no affs in the fixture -> augment skips all
+    # (reference app.py:648-653); boost fires for every bib_data row
+    assert main(["outbox", "--data", data, "--kind", "augment"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["requests"] == 0
+    assert main(["outbox", "--data", data, "--kind", "boost"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["requests"] == 4
+    assert (tmp_path / "data" / "outbox" / "boost").exists()
+
+    # delete: records shrink, tombstones written, sitemap pruned
+    assert main(["sitemap", "--data", data, "--action", "bootstrap"]) == 0
+    capsys.readouterr()
+    assert main(["delete", "--data", data, "--bibcodes", str(bibfile)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["deleted"] == 1
+    assert spark.read.parquet(str(tmp_path / "data" / "records")).count() == 3
+    assert (tmp_path / "data" / "sinks" / "solr_deletes").exists()
+    smt = spark.read.parquet(str(tmp_path / "data" / "sitemap"))
+    assert smt.where("bibcode = 'E01'").count() == 0
