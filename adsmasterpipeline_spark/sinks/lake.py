@@ -64,10 +64,13 @@ def merge_records(spark, changed: DataFrame, deleted_keys: DataFrame,
          .whenMatchedUpdateAll()
          .whenNotMatchedInsertAll()
          .execute())
-        dk = [r[key] for r in deleted_keys.collect()]
-        if dk:
-            quoted = ", ".join("'" + k.replace("'", "''") + "'" for k in dk)
-            t.delete(f"{key} IN ({quoted})")
+        # Tombstones stay distributed: a second MERGE with matched-delete,
+        # never a collect-into-IN-list (a real deletion batch is millions
+        # of keys — driver OOM + unbounded SQL text).
+        (t.alias("t")
+         .merge(deleted_keys.select(key).alias("s"), f"t.{key} = s.{key}")
+         .whenMatchedDelete()
+         .execute())
         return
 
     existing = spark.read.parquet(path)

@@ -26,15 +26,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long and truncate to microseconds
-    (same floor semantics as DuckDB's TIMESTAMP_NS -> TIMESTAMP cast,
-    so oracle comparisons agree)."""
+    """Dtype-adaptive ``ts`` load: the synthetic events table has shipped
+    both as TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    read as long via ``nanosAsLong`` and floor-truncate to micros, same
+    semantics as DuckDB's TIMESTAMP_NS -> TIMESTAMP cast) and as plain
+    ``timestamp[us]`` (read natively, cast NTZ -> session timestamp).
+    Branching on the actual read schema keeps either generation of the
+    data working."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

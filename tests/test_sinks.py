@@ -113,3 +113,72 @@ def test_lake_delta_gated(spark, tmp_path):
         pass
     with _pytest.raises(NotImplementedError, match="delta-spark"):
         write_records(empty_records(spark), str(tmp_path / "d"), fmt="delta")
+
+
+def test_lake_delta_delete_stays_distributed(spark, monkeypatch):
+    """The delta branch must apply tombstones via MERGE ... whenMatchedDelete,
+    never by collecting keys to the driver (a production deletion batch is
+    millions of rows). Drives the branch with a stubbed DeltaTable and a
+    collect-poisoned tombstone frame."""
+    import sys
+    import types
+
+    from adsmasterpipeline_spark.sinks import lake
+
+    calls = []
+
+    class FakeMerge:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def whenMatchedUpdateAll(self):
+            calls.append((self.tag, "update_all"))
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            calls.append((self.tag, "insert_all"))
+            return self
+
+        def whenMatchedDelete(self):
+            calls.append((self.tag, "matched_delete"))
+            return self
+
+        def execute(self):
+            calls.append((self.tag, "execute"))
+
+    class FakeTable:
+        def alias(self, a):
+            return self
+
+        def merge(self, src, cond):
+            # src must still be a DataFrame (distributed), not a list
+            assert hasattr(src, "select") or hasattr(src, "alias")
+            calls.append(("merge", cond))
+            return FakeMerge(cond)
+
+        def delete(self, *a, **kw):  # pragma: no cover - the forbidden path
+            raise AssertionError("delta delete must go through MERGE, "
+                                 "not a collected IN-list")
+
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = types.SimpleNamespace(
+        forPath=lambda _spark, _path: FakeTable())
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+
+    changed = spark.createDataFrame([("B1", 1)], "bibcode string, v int")
+    deleted = spark.createDataFrame([("B9",)], "bibcode string")
+    monkeypatch.setattr(
+        type(deleted), "collect",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("tombstone frame collected to the driver")),
+        raising=True)
+
+    lake.merge_records(spark, changed, deleted, "/nonexistent", fmt="delta")
+
+    assert ("merge", "t.bibcode = s.bibcode") in calls
+    assert any(op == "matched_delete" for _, op in calls)
+    # two merges executed: upsert + delete
+    assert sum(1 for _, op in calls if op == "execute") == 2
