@@ -165,16 +165,53 @@ FRAME_SCHEMA = ("asset_id long, frame_idx int, ts_ms int, "
                 "feature array<double>, decode_ok boolean, error string")
 
 
+RAWV_MAGIC = b"RAWV"
+_RAWV_HEADER_LEN = 10  # magic + u16 width + u16 height + u16 frame_ms
+
+
+def encode_rawv(frames: list[bytes], width: int, height: int,
+                frame_ms: int) -> bytes:
+    """Encode grayscale frames into the RAWV container: ``RAWV`` magic,
+    little-endian u16 width/height/frame-interval-ms, then frames of
+    ``width*height`` intensity bytes concatenated in order."""
+    import struct
+    if any(len(f) != width * height for f in frames):
+        raise ValueError("every RAWV frame must be width*height bytes")
+    return (RAWV_MAGIC + struct.pack("<HHH", width, height, frame_ms)
+            + b"".join(frames))
+
+
 def decode_video_frame(payload: bytes, ts_ms: int, dims: int = 8) -> list[float]:
-    """Video frame decode — DECLARED, NOT IMPLEMENTED: unlike
-    decode_image/decode_audio (real behind their import gates), the
-    PyAV seek+decode body is not written because no video codec exists
-    in this environment to test it against; this always raises
-    NotImplementedError (recorded per-row by the caller, never failing
-    the job). The tested path is fake_decode=True."""
-    raise NotImplementedError(
-        "video frame decode not implemented (needs PyAV/ffmpeg "
-        "deployment); use fake_decode=True for plumbing tests")
+    """Real video frame decode for the RAWV raw-frame container (pure
+    Python, no system codecs): seek to the frame covering ``ts_ms`` and
+    reduce it to a ``dims``-value strip of mean normalized intensities —
+    the same feature shape as ``decode_image``. Non-RAWV payloads raise
+    NotImplementedError (compressed codecs need a PyAV/ffmpeg deployment
+    this container lacks); corrupt RAWV raises ValueError. Either way the
+    caller records the error per-row and never fails the job."""
+    import struct
+    if payload is None or len(payload) < _RAWV_HEADER_LEN \
+            or payload[:4] != RAWV_MAGIC:
+        raise NotImplementedError(
+            "only the RAWV raw-frame container decodes in-environment; "
+            "compressed video needs PyAV/ffmpeg deployment")
+    width, height, frame_ms = struct.unpack_from("<HHH", payload, 4)
+    if width == 0 or height == 0 or frame_ms == 0:
+        raise ValueError("corrupt RAWV header (zero dimension/interval)")
+    fsize = width * height
+    idx = ts_ms // frame_ms
+    off = _RAWV_HEADER_LEN + idx * fsize
+    if off + fsize > len(payload):
+        raise ValueError(f"frame {idx} (ts={ts_ms}ms) beyond payload")
+    frame = payload[off:off + fsize]
+    # mean intensity over `dims` contiguous pixel blocks
+    step = fsize / dims
+    out = []
+    for i in range(dims):
+        lo, hi = round(i * step), round((i + 1) * step)
+        block = frame[lo:hi] or frame[lo:lo + 1]
+        out.append(sum(block) / len(block) / 255.0)
+    return out
 
 
 def _fake_frame_feature(payload: bytes, ts_ms: int, dims: int = 8) -> list[float]:

@@ -42,47 +42,43 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``queries()`` in iteration order (verified round 1).  Order matters:
-# every training-data operator and §2-critical query must land in that
-# window, and rows-only entries (oracle=None) must not burn checked
-# slots.  This list pins the front of the window explicitly; oracled
-# queries not named here follow in registration order; rows-only
-# entries always sort last.
+# rows-only entries (oracle=None) must not burn checked slots.  This
+# list pins the front of the window explicitly; oracled queries not
+# named here follow in registration order; rows-only entries always
+# sort last.
+#
+# Round-3 rotation (VERDICT.md r2 task 4): the cumulative driver-green
+# set across rounds is what counts, so this window = the six r02-red
+# queries (loader fix needs green rows) + every oracled query that has
+# never had a driver row (21: four hygiene, zorder, salted/tfidf,
+# cluster keeper, thirteen tpch_full shapes) + one representative per
+# previously-green family (23).  Everything else is covered by the
+# committed full-registry artifact CHECKALL_r03.json.
 PRIORITY: tuple[str, ...] = (
-    # -- training-data operators (dedup / similarity / text / multimodal) --
-    "dedup_exact", "minhash_signatures", "simhash", "ngram_jaccard_pairs",
-    "corpus_dedup_pipeline", "dedup_clusters", "incremental_dedup",
-    "embedding_cosine_neardup",
-    "cosine_topk", "ann_sign_lsh", "ann_ivf_kmeans",
-    "vector_norms", "label_centroid_distance", "embedding_quantize",
-    "text_quality", "token_count", "langid_heuristic", "doc_fingerprint",
-    "corpus_clean", "corpus_train_split",
-    "repetition_quality", "benchmark_contamination", "stratified_sample",
-    "sequence_pack", "corpus_token_stats",
-    # -- scale paths & temporal operators --
-    "assign_scalable", "asof_attribution", "range_join_bands",
-    "streaming_windowed_counts", "distinct_counts_exact_vs_approx",
-    # -- TPC-H breadth --
-    "q1_pricing_summary", "q4_order_priority", "q5_regional_revenue",
-    "q7_volume_shipping", "q12_shipmode_priority", "q14_promo_revenue",
-    "q19_disjunctive",
-    # -- §2 pipeline core --
+    # -- r02-red, fixed by the dtype-adaptive events loader --
     "merge_last_writer_wins", "checksum_dispatch",
     "incremental_watermark_scan", "sessionize",
-    # -- §2 joins / set ops --
-    "join_left_outer", "join_semi",
-    "full_outer_diff",
-    # -- §2 aggregations / windows / functions --
-    "agg_counts_per_group", "agg_argmax_per_group",
-    "agg_collect_sorted", "native_max_by",
-    "window_flag_first", "has_fields",
-    # Window economics: the driver checks only the first 50 entries.
-    # Round-1-green queries whose §2 family keeps another in-window
-    # representative ceded slots to never-driver-checked work:
-    # string_hier_facet, json_payload_extract, except_keys,
-    # intersect_keys, agg_nonnull_counts, window_bucket_assign,
-    # join_anti, union_distinct -> has_fields (round-1 hasher crash,
-    # since fixed), the five training-corpus curation queries
-    # (queries/training.py), dedup_clusters, and incremental_dedup.
+    "asof_attribution", "streaming_windowed_counts",
+    # -- never-driver-checked: corpus hygiene + layout + misc --
+    "pii_scrub", "quality_rules_filter", "span_dedup_docs",
+    "source_mixture_sample", "zorder_data_skipping",
+    "cluster_keeper_quality", "salted_group_counts", "tfidf_top_terms",
+    # -- never-driver-checked: remaining tpch_full shapes --
+    "q3_shipping_priority", "q6_forecast_revenue", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_stock",
+    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
+    "q18_large_volume", "q20_potential_promotion",
+    "q21_suppliers_kept_waiting", "q22_global_sales_opportunity",
+    # -- family representatives (kept in-window to catch regressions) --
+    "dedup_exact", "minhash_signatures", "simhash", "ngram_jaccard_pairs",
+    "dedup_clusters", "incremental_dedup",
+    "cosine_topk", "ann_ivf_kmeans", "vector_norms",
+    "text_quality", "corpus_train_split",
+    "repetition_quality", "benchmark_contamination", "stratified_sample",
+    "sequence_pack", "corpus_token_stats",
+    "assign_scalable", "range_join_bands",
+    "q1_pricing_summary", "q5_regional_revenue",
+    "join_left_outer", "full_outer_diff", "native_max_by",
 )
 
 

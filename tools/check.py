@@ -3,11 +3,17 @@
 ``oracle_sql()`` via DuckDB — row count, sorted-by-name schema, and an
 order-insensitive value comparison.
 
-Usage: python tools/check.py [sf_dir] [query_name ...]
+Usage: python tools/check.py [--json OUT.json] [sf_dir] [query_name ...]
+
+With ``--json`` the per-query results are also written as a JSON object
+{name: {status, rows, secs, oracled, detail}} so a round can commit the
+full-registry evidence (CHECKALL_r{N}.json) instead of relying on
+uncommitted local runs.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -42,8 +48,20 @@ def main() -> int:
     from adsmasterpipeline_spark.queries import REGISTRY, _load
     from adsmasterpipeline_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+
+    results: dict[str, dict] = {}
+
+    def record(name, status, rows=None, secs=None, oracled=True, detail=None):
+        results[name] = {"status": status, "rows": rows,
+                         "secs": None if secs is None else round(secs, 2),
+                         "oracled": oracled, "detail": detail}
 
     _load()
     spark = get_spark("correctness_check")
@@ -64,6 +82,8 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc(limit=3)
+            record(name, "spark_error",
+                   detail=traceback.format_exc(limit=1).splitlines()[-1])
             n_fail += 1
             continue
         # The driver's value-hash dies on array/map-typed output columns
@@ -75,11 +95,15 @@ def main() -> int:
         if complex_cols and qd.oracle is not None:
             print(f"FAIL  {name}: complex-typed output columns {complex_cols} "
                   f"would crash the driver hasher — serialize to string")
+            record(name, "complex_cols", rows=len(srows),
+                   detail=str(complex_cols))
             n_fail += 1
             continue
         if qd.oracle is None:
             print(f"OK*   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
+            record(name, "rows_only_ok", rows=len(srows),
+                   secs=time.time() - t0, oracled=False)
             n_pass += 1
             continue
         try:
@@ -89,28 +113,43 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc(limit=3)
+            record(name, "duckdb_error", rows=len(srows),
+                   detail=traceback.format_exc(limit=1).splitlines()[-1])
             n_fail += 1
             continue
         sc, sr = normalize_rows(scols, srows)
         oc, orr = normalize_rows(ocols, orows)
         if sc != oc:
             print(f"FAIL  {name}: schema {sc} != {oc}")
+            record(name, "schema_mismatch", rows=len(sr),
+                   detail=f"{sc} != {oc}")
             n_fail += 1
             continue
         if len(sr) != len(orr):
             print(f"FAIL  {name}: rows {len(sr)} != {len(orr)}")
+            record(name, "rowcount_mismatch",
+                   detail=f"spark={len(sr)} oracle={len(orr)}")
             n_fail += 1
             continue
         bad = [(a, b) for a, b in zip(sr, orr) if a != b]
         if bad:
             print(f"FAIL  {name}: {len(bad)} mismatched rows; first: "
                   f"\n  spark={bad[0][0]}\n  duck ={bad[0][1]}")
+            record(name, "value_mismatch", rows=len(sr),
+                   detail=f"{len(bad)} mismatched rows")
             n_fail += 1
             continue
         print(f"PASS  {name} ({len(sr)} rows, {time.time()-t0:.1f}s)")
+        record(name, "pass", rows=len(sr), secs=time.time() - t0)
         n_pass += 1
 
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if json_out:
+        summary = {"sf_dir": sf_dir, "passed": n_pass, "failed": n_fail,
+                   "queries": results}
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
