@@ -320,3 +320,83 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p50_tokens_e3"),
         F.floor(F.percentile(nt, F.lit(0.9)) * 1000).cast("long")
         .alias("p90_tokens_e3"))
+
+
+@query(
+    "dsir_importance_weights",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    tokf AS (
+      SELECT doc_id, lang, tok FROM (
+        SELECT doc_id, lang, unnest(w) AS tok FROM base
+      ) WHERE tok <> ''
+    ),
+    dt AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tokf GROUP BY doc_id, tok
+    ),
+    rawc AS (SELECT tok, COUNT(*) AS cr FROM tokf GROUP BY tok),
+    tgtc AS (SELECT tok, COUNT(*) AS ct FROM tokf WHERE lang = 'en'
+             GROUP BY tok),
+    tot AS (
+      SELECT (SELECT SUM(cr) FROM rawc) AS nr,
+             (SELECT COALESCE(SUM(ct), 0) FROM tgtc) AS nt,
+             (SELECT COUNT(*) FROM rawc) AS v
+    ),
+    wts AS (
+      SELECT r.tok,
+             CAST(FLOOR(LN(
+               CAST((COALESCE(t.ct, 0) + 1) * (tot.nr + tot.v) AS BIGINT)
+               / CAST((r.cr + 1) * (tot.nt + tot.v) AS BIGINT)
+             ) * 1000000.0) AS BIGINT) AS w_e6
+      FROM rawc r LEFT JOIN tgtc t ON r.tok = t.tok, tot
+    )
+    SELECT dt.doc_id, CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(dt.c * w.w_e6) AS BIGINT) AS score_e6
+    FROM dt JOIN wts w ON dt.tok = w.tok
+    GROUP BY dt.doc_id
+    """,
+    "corpus", "scale",
+    doc="DSIR-style importance weighting (Xie et al. 2023, public): score "
+        "each document by the summed log-likelihood ratio of its tokens "
+        "under the target distribution (here lang='en') vs the raw corpus, "
+        "with add-one smoothing over the shared vocabulary. Cross-engine "
+        "determinism: the per-TOKEN-TYPE weight is computed once from "
+        "exact integer counts (the double division of exact int64 products "
+        "is correctly rounded in both engines) and floor-scaled to an e6 "
+        "integer; the per-doc score is then an exact BIGINT dot product — "
+        "no float summation order anywhere. Scale shape: token-count "
+        "aggregations are map-side combinable; the weight table is "
+        "vocabulary-sized and joins against (doc_id, token) count rows, "
+        "never raw text. Production DSIR buckets tokens by hash to bound "
+        "the vocab — same plan with hash(tok) as the key.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokf = (d.select("doc_id", "lang",
+                     F.explode(F.split(_norm_text(), " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+    dt = tokf.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    rawc = tokf.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    tgtc = (tokf.where(F.col("lang") == "en")
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("ct")))
+    tot = rawc.agg(
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    ).crossJoin(tgtc.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
+    wts = (rawc.join(tgtc, "tok", "left")
+           .crossJoin(F.broadcast(tot))
+           .select(
+               "tok",
+               F.floor(F.log(
+                   ((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    * (F.col("nr") + F.col("v"))).cast("bigint")
+                   / ((F.col("cr") + 1)
+                      * (F.col("nt") + F.col("v"))).cast("bigint")
+               ) * 1000000.0).cast("long").alias("w_e6")))
+    return (dt.join(wts, "tok")
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.sum(F.col("c") * F.col("w_e6")).cast("long")
+                 .alias("score_e6")))

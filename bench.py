@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "span_dedup_docs",
     "quality_rules_filter",
     "zorder_data_skipping",
+    # round-3 addition: SemDeDup-style embedding dedup
+    "semantic_dedup",
 ]
 
 

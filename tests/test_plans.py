@@ -138,6 +138,24 @@ def test_corpus_pipeline_no_cartesian(spark):
     assert "CartesianProduct" not in s
 
 
+def test_semantic_dedup_bounded_pairs(spark):
+    """Centroid table broadcasts (k rows); the only self-join keys on
+    the cluster id — no corpus-wide cartesian pair space."""
+    df = _q(spark, "semantic_dedup")
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_dsir_pruned_scan_no_cartesian(spark):
+    """Importance weighting reads only (doc_id, lang, text); the scalar
+    totals cross-join is a broadcast of one row, never a cartesian of
+    data-sized sides."""
+    df = _q(spark, "dsir_importance_weights")
+    for rs in read_schemas(df):
+        assert "source" not in rs and "n_chars" not in rs
+    assert "CartesianProduct" not in join_strategies(df)
+
+
 def test_contamination_broadcasts_benchmark(spark):
     """The benchmark shingle set (eval sets are small) must broadcast;
     the training side streams map-side — no doc x doc pair join."""

@@ -64,6 +64,42 @@ def test_q18_semi_join_before_fact_join(spark):
     assert "LeftSemi" in plan, plan[:2000]
 
 
+def test_q3_pushdown_and_dim_broadcast(spark):
+    df = _q(spark, "q3_shipping_priority")
+    pf = pushed_filters(df)
+    assert any("c_mktsegment" in f for f in pf), pf
+    s = join_strategies(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s, s
+
+
+def test_q10_returned_items_pushdown(spark):
+    df = _q(spark, "q10_returned_items")
+    pf = pushed_filters(df)
+    assert any("l_returnflag" in f for f in pf), pf
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_q22_anti_join_not_cartesian(spark):
+    # NOT EXISTS -> anti join; the scalar avg-balance threshold arrives
+    # by 1-row broadcast, never a cartesian of data-sized sides
+    df = _q(spark, "q22_global_sales_opportunity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_all_tpch_full_no_cartesian(spark):
+    """Blanket sweep: no tpch_full shape may degrade to a cartesian
+    product — scalar subqueries broadcast, correlations decorrelate."""
+    names = [n for n in REGISTRY
+             if n.startswith("q") and n[1].isdigit()]
+    assert len(names) >= 16, names
+    for n in names:
+        s = join_strategies(_q(spark, n))
+        assert "CartesianProduct" not in s, f"{n}: {s}"
+
+
 def test_q21_single_aggregation_no_self_join_blowup(spark):
     # The EXISTS/NOT-EXISTS pair is collapsed into one per-order
     # aggregate: exactly 2 lineitem scans would mean the collapse
