@@ -400,3 +400,52 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").cast("long").alias("n_tokens"),
                  F.sum(F.col("c") * F.col("w_e6")).cast("long")
                  .alias("score_e6")))
+
+
+@query(
+    "mixture_temperature_weights",
+    """
+    WITH lt AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(toks) AS BIGINT) AS t,
+             SUM(POWER(CAST(toks AS DOUBLE), 0.3)) AS sx
+      FROM lt
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, toks AS total_tokens,
+           CAST(FLOOR(CAST(toks AS DOUBLE) * 1000000.0 / t) AS BIGINT)
+             AS raw_share_ppm,
+           CAST(FLOOR(POWER(CAST(toks AS DOUBLE), 0.3) * 1000000.0 / sx)
+             AS BIGINT) AS temp_share_ppm
+    FROM lt, tot
+    """,
+    "corpus",
+    doc="Temperature-based multilingual mixture weights (the mT5/XLM-R "
+        "alpha-sampling rule, alpha=0.3): per-language sampling share "
+        "proportional to (token share)^alpha, which upsamples the tail "
+        "languages without letting any head language dominate. T^alpha "
+        "cancels in the normalization, so both engines compute "
+        "pow(token_count, alpha) on exact integer counts — no "
+        "intermediate share division — and emit floor-scaled ppm. One "
+        "map-side-combinable aggregate + a 1-row totals broadcast; "
+        "feeds stratified_sample / source_mixture_sample rates.",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " "))
+    lt = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(nt).cast("long").alias("toks"))
+    x = F.pow(F.col("toks").cast("double"), F.lit(0.3))
+    tot = lt.agg(F.sum("toks").cast("long").alias("t"),
+                 F.sum(x).alias("sx"))
+    return (lt.crossJoin(F.broadcast(tot))
+            .select(
+                "lang", "n_docs", F.col("toks").alias("total_tokens"),
+                F.floor(F.col("toks").cast("double") * 1000000.0
+                        / F.col("t")).cast("long").alias("raw_share_ppm"),
+                F.floor(x * 1000000.0 / F.col("sx")).cast("long")
+                .alias("temp_share_ppm")))

@@ -18,11 +18,53 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# Canonical logical column types per table — the contract every query
+# in the registry compiles against. The synthetic testdata has been
+# regenerated with different PHYSICAL types between rounds (events.ts
+# shipped as TIMESTAMP(NANOS), then timestamp[us]); coercing on read
+# keeps a regeneration from breaking 100+ downstream plans. Columns
+# already at the canonical type cost nothing (the cast is a no-op and
+# Catalyst elides it).
+CANONICAL_TYPES: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int"},
+    "nation": {"n_nationkey": "int", "n_regionkey": "int"},
+    "customer": {"c_custkey": "bigint", "c_nationkey": "int",
+                 "c_acctbal": "double"},
+    "supplier": {"s_suppkey": "bigint", "s_nationkey": "int",
+                 "s_acctbal": "double"},
+    "part": {"p_partkey": "bigint", "p_size": "int",
+             "p_retailprice": "double"},
+    "orders": {"o_orderkey": "bigint", "o_custkey": "bigint",
+               "o_totalprice": "double", "o_orderdate": "timestamp_ntz"},
+    "lineitem": {"l_orderkey": "bigint", "l_partkey": "bigint",
+                 "l_suppkey": "bigint", "l_linenumber": "int",
+                 "l_quantity": "double", "l_extendedprice": "double",
+                 "l_discount": "double", "l_tax": "double",
+                 "l_shipdate": "timestamp_ntz"},
+    "events": {"event_id": "bigint", "user_id": "bigint",
+               "value": "double"},  # ts handled by _load_events
+    "documents": {"doc_id": "bigint", "n_chars": "bigint"},
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>",
+                   "label": "int"},
+}
+
+
+def _coerce(df: DataFrame, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    want = CANONICAL_TYPES.get(name, {})
+    fixes = [c for c, t in want.items()
+             if c in df.columns and df.schema[c].dataType.simpleString() != t]
+    if not fixes:
+        return df
+    return df.withColumns(
+        {c: F.col(c).cast(want[c]) for c in fixes})
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return _coerce(_load_events(spark, sf_dir), name)
+    raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _coerce(raw, name)
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,8 +53,11 @@ BENCH_QUERIES = [
     "span_dedup_docs",
     "quality_rules_filter",
     "zorder_data_skipping",
-    # round-3 addition: SemDeDup-style embedding dedup
+    # round-3 additions: SemDeDup-style embedding dedup, DSIR data
+    # selection, blocked-GEMM exact all-pairs cosine
     "semantic_dedup",
+    "dsir_importance_weights",
+    "embedding_cosine_neardup_gemm",
 ]
 
 

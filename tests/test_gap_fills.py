@@ -27,6 +27,43 @@ def test_bibcode_list_source(spark, tmp_path):
     assert sorted(got) == ["B1", "B2", "B3"]
 
 
+def test_load_table_coerces_drifted_physical_types(spark, tmp_path):
+    """Regenerated testdata with narrower/variant physical types (the
+    round-2 events.ts incident, generalized) must coerce to the
+    canonical logical schema every registered query compiles against;
+    data already canonical passes through un-projected."""
+    import pandas as pd
+
+    from adsmasterpipeline_spark.sources.testdata import (
+        CANONICAL_TYPES, load_table,
+    )
+
+    drifted = pd.DataFrame({
+        "doc_id": pd.array([1, 2], dtype="int32"),       # canonical: bigint
+        "text": ["a b", "c d"],
+        "lang": ["en", "de"],
+        "source": ["s0", "s1"],
+        "n_chars": pd.array([3, 3], dtype="int32"),       # canonical: bigint
+    })
+    drifted.to_parquet(tmp_path / "documents.parquet")
+    df = load_table(spark, str(tmp_path), "documents")
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert got["doc_id"] == "bigint" and got["n_chars"] == "bigint"
+    assert df.count() == 2
+
+    # canonical map itself must describe the real testdata: loading the
+    # actual tables triggers zero coercions (no extra Project on the hot
+    # path)
+    from tests.conftest import SF_DIR
+    for name in CANONICAL_TYPES:
+        real = load_table(spark, SF_DIR, name)
+        want = CANONICAL_TYPES[name]
+        for f in real.schema.fields:
+            if f.name in want:
+                assert f.dataType.simpleString() == want[f.name], \
+                    (name, f.name, f.dataType.simpleString())
+
+
 def test_delete_by_bibcodes(spark):
     sink = spark.createDataFrame(
         [("B1", "d1"), ("B2", "d2"), ("B3", "d3")], "bibcode string, doc string")

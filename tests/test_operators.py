@@ -323,6 +323,30 @@ def test_video_frame_features_tick_parity(spark):
     assert multi and all(len(set(v)) > 1 for v in multi)
 
 
+def test_blocked_gemm_pairs_equals_hof_join(spark):
+    """The BLAS tile path must reproduce the zip_with/aggregate join
+    bit-for-bit at 6 dp — same pairs, same sims, no pair duplicated or
+    dropped across tile boundaries (incl. the diagonal tiles)."""
+    from adsmasterpipeline_spark.operators.similarity import (
+        blocked_gemm_pairs, cosine,
+    )
+    from adsmasterpipeline_spark.sources import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("_b"))
+    hof = {(r["vec_a"], r["vec_b"]): r["sim"] for r in
+           a.join(b, F.col("vec_a") < F.col("vec_b"))
+           .select("vec_a", "vec_b",
+                   F.round(cosine(F.col("_a"), F.col("_b")), 6).alias("sim"))
+           .where("sim >= 0.4").collect()}
+    gemm = {(r["vec_a"], r["vec_b"]): r["sim"] for r in
+            blocked_gemm_pairs(e, threshold=0.4, n_blocks=7).collect()}
+    assert hof and gemm == hof
+
+
 def test_video_frame_real_decode_records_error(spark):
     """Non-RAWV payloads on the real-decode path must record per-row
     errors (no codec for them in-environment), not fail the job."""
