@@ -326,6 +326,91 @@ def cmd_outbox(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """End-to-end training-corpus preparation over the documents table:
+    hygiene gate -> PII scrub -> exact dedup -> near-dup cluster prune
+    (MinHash-LSH + connected components, best-quality keeper) ->
+    deterministic hash split. Writes the final corpus as parquet plus a
+    per-stage JSON summary; composes the same operators the
+    oracle-checked queries wrap, so every stage's semantics are
+    gate-verified elsewhere."""
+    from pyspark.sql import functions as F
+
+    from .operators.curation import quality_rules, scrub_pii
+    from .operators.dedup import exact_dedup, minhash_lsh_pairs
+    from .operators.graph import connected_components
+    from .sources import load_table
+
+    spark = _spark()
+    docs = load_table(spark, args.sf_dir, "documents")
+    summary: dict[str, int] = {"input_docs": docs.count()}
+
+    # 1. hygiene gate (Gopher-style rules)
+    gated = quality_rules(docs)
+    kept = gated.where("keep")
+    summary["hygiene_kept"] = kept.count()
+
+    # 2. PII scrub — redacted text replaces the original; audit totals
+    scrubbed = scrub_pii(kept)
+    pii_totals = scrubbed.agg(
+        F.sum("n_email").alias("email"), F.sum("n_ipv4").alias("ipv4"),
+        F.sum("n_phone").alias("phone")).first()
+    summary["pii_email"] = int(pii_totals["email"] or 0)
+    summary["pii_ipv4"] = int(pii_totals["ipv4"] or 0)
+    summary["pii_phone"] = int(pii_totals["phone"] or 0)
+    clean = scrubbed.select(
+        "doc_id", F.col("clean_text").alias("text"), "lang", "source",
+        F.length("clean_text").cast("long").alias("n_chars"))
+    # later stages reuse `clean` several times (exact fp join, minhash
+    # shingles, final anti-joins) — pin it once
+    clean = clean.localCheckpoint(eager=True)
+
+    # 3. exact dedup — lowest-id keeper per fingerprint group
+    ex = exact_dedup(clean)
+    exact_kept = clean.join(
+        ex.where("is_keeper").select("doc_id"), "doc_id", "left_semi")
+    summary["exact_kept"] = exact_kept.count()
+
+    # 4. near-dup prune — verified LSH pairs resolve to clusters, keep
+    # the longest member (doc_id tie-break) of each cluster
+    pairs = minhash_lsh_pairs(exact_kept, num_hashes=12, bands=2,
+                              jaccard_threshold=args.jaccard,
+                              materialize="checkpoint")
+    comp = connected_components(pairs.select("id_a", "id_b"),
+                                "id_a", "id_b")
+    assigned = (exact_kept.select("doc_id", "n_chars")
+                .join(comp.withColumnRenamed("id", "doc_id"),
+                      "doc_id", "left")
+                .select("doc_id", "n_chars",
+                        F.coalesce("component", F.col("doc_id"))
+                        .alias("cluster_id")))
+    keepers = assigned.groupBy("cluster_id").agg(
+        F.max_by("doc_id", F.struct(F.col("n_chars"),
+                                    (-F.col("doc_id")).alias("neg")))
+        .alias("doc_id"))
+    neardup_kept = exact_kept.join(keepers.select("doc_id"),
+                                   "doc_id", "left_semi")
+    summary["neardup_kept"] = neardup_kept.count()
+
+    # 5. deterministic split (same rule family as corpus_train_split)
+    bucket = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.lit("split"), F.col("doc_id"))), 1, 4), 16, 10).cast("long")
+    final = neardup_kept.withColumn(
+        "split",
+        F.when(bucket % 100 < args.train_pct, "train")
+         .when(bucket % 100 < args.train_pct + args.val_pct, "val")
+         .otherwise("test"))
+
+    out = args.out
+    final.write.mode("overwrite").parquet(out)
+    for row in final.groupBy("split").count().collect():
+        summary[f"split_{row['split']}"] = row["count"]
+    with open(os.path.join(out, "_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from .validate import compare
     spark = _spark()
@@ -403,6 +488,15 @@ def main(argv=None) -> int:
                     required=True)
     po.add_argument("--out")
     po.set_defaults(fn=cmd_outbox)
+
+    pc = sub.add_parser("corpus", help="end-to-end training-corpus prep")
+    pc.add_argument("--sf-dir", required=True,
+                    help="directory holding documents.parquet")
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--jaccard", type=float, default=0.7)
+    pc.add_argument("--train-pct", type=int, default=90)
+    pc.add_argument("--val-pct", type=int, default=5)
+    pc.set_defaults(fn=cmd_corpus)
 
     pv = sub.add_parser("validate", help="differential doc compare")
     pv.add_argument("--left", required=True)

@@ -5,10 +5,13 @@ all per-asset compute (decode, resize, feature extraction, frame
 sampling) runs as Arrow-batched ``mapInPandas`` so bytes never leave
 the executor and batches amortize Python crossing costs.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-``decode_image`` raises ``NotImplementedError`` unless a deterministic
-fake is requested — the Spark-side plumbing (schema, partitioning,
-batch shape, UDF signatures) is real and tested either way.
+Decode reality in this container: audio PCM WAV decodes for REAL via
+the stdlib ``wave`` fallback, video decodes for REAL for the RAWV
+raw-frame container (pure Python); image needs PIL (import-gated) and
+compressed audio/video need soundfile/ffmpeg deployments — those
+paths record per-row NotImplementedError. The Spark-side plumbing
+(schema, partitioning, batch shape, UDF signatures) is identical for
+every path and tested with the deterministic fake as well.
 """
 
 from __future__ import annotations
@@ -53,25 +56,55 @@ def decode_image(payload: bytes, dims: int = 8) -> list[float]:
 
 
 def decode_audio(payload: bytes, dims: int = 8) -> list[float]:
-    """Real audio decode (optional extra): soundfile -> mono -> mean
-    absolute amplitude over ``dims`` equal chunks (a coarse loudness
-    envelope). Raises NotImplementedError when soundfile is absent."""
-    try:
-        import soundfile as sf
-    except ImportError:
-        raise NotImplementedError(
-            "audio codecs not available in this environment; "
-            "use fake_decode=True for deterministic plumbing tests")
+    """Real audio decode: mono -> mean absolute amplitude over ``dims``
+    equal chunks (a coarse loudness envelope). Prefers soundfile (any
+    libsndfile format) when installed; falls back to the stdlib
+    ``wave`` module for PCM WAV — a REAL decode with no third-party
+    codec, which is what this container exercises. Non-WAV payloads
+    without soundfile raise NotImplementedError (recorded per-row by
+    callers)."""
     import io
 
     import numpy as np
-    data, _sr = sf.read(io.BytesIO(payload))
+    try:
+        import soundfile as sf
+        data, _sr = sf.read(io.BytesIO(payload))
+    except ImportError:
+        data = _wav_pcm_samples(payload)
     if getattr(data, "ndim", 1) > 1:
         data = data.mean(axis=1)
     if len(data) == 0:
         return [0.0] * dims
     return [float(c.mean()) if len(c) else 0.0
             for c in np.array_split(np.abs(data), dims)]
+
+
+def _wav_pcm_samples(payload: bytes):
+    """PCM WAV -> float array in [-1, 1] via the stdlib wave module
+    (8/16/32-bit int PCM; channels averaged by the caller)."""
+    import io
+    import wave
+
+    import numpy as np
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            width = w.getsampwidth()
+            nch = w.getnchannels()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            f"not a PCM WAV and soundfile is not installed ({e}); "
+            "use fake_decode=True for plumbing tests")
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported PCM width {width}")
+    data = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+    if width == 1:                       # 8-bit WAV is unsigned
+        data = data - 128.0
+    data /= float(2 ** (8 * width - 1))
+    if nch > 1:
+        data = data.reshape(-1, nch)
+    return data
 
 
 _REAL_DECODERS = {"image": decode_image, "audio": decode_audio}

@@ -165,3 +165,29 @@ def test_cli_scoped_reindex_diag_delete_outbox(spark, tmp_path, events_dir,
     assert (tmp_path / "data" / "sinks" / "solr_deletes").exists()
     smt = spark.read.parquet(str(tmp_path / "data" / "sitemap"))
     assert smt.where("bibcode = 'E01'").count() == 0
+
+
+def test_cli_corpus_prep(spark, tmp_path, capsys):
+    """The corpus verb runs the full hygiene->scrub->dedup->split chain
+    and its summary is consistent with the written parquet."""
+    from tests.conftest import SF_DIR
+
+    out = tmp_path / "corpus"
+    rc = main(["corpus", "--sf-dir", SF_DIR, "--out", str(out)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = spark.read.parquet(str(out))
+    assert got.count() == summary["neardup_kept"]
+    assert summary["input_docs"] >= summary["hygiene_kept"] \
+        >= summary["exact_kept"] >= summary["neardup_kept"] > 0
+    splits = {r["split"]: r["count"]
+              for r in got.groupBy("split").count().collect()}
+    assert sum(splits.values()) == summary["neardup_kept"]
+    assert set(splits) <= {"train", "val", "test"}
+    assert splits["train"] == summary["split_train"]
+    # deterministic: a second run reproduces the same corpus
+    out2 = tmp_path / "corpus2"
+    main(["corpus", "--sf-dir", SF_DIR, "--out", str(out2)])
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(str(out2)).collect())
+    assert a == b

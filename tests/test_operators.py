@@ -196,6 +196,44 @@ def test_frame_sample_plan(spark):
     assert w7 == [(0, 500), (250, 750), (500, 1000), (750, 1200)]
 
 
+def test_audio_real_wav_decode(spark):
+    """PCM WAV decodes for real via the stdlib wave fallback (no
+    third-party codec): the loudness envelope reflects actual sample
+    amplitudes, quiet half vs loud half."""
+    import io
+    import struct
+    import wave
+
+    from adsmasterpipeline_spark.operators.multimodal import (
+        decode_audio, extract_features,
+    )
+
+    n = 800
+    quiet = [2000] * (n // 2)           # |x| ~ 0.061 of full scale
+    loud = [20000] * (n // 2)           # |x| ~ 0.610
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{n}h", *(quiet + loud)))
+    payload = buf.getvalue()
+
+    env = decode_audio(payload, dims=8)
+    assert len(env) == 8
+    assert all(abs(v - 2000 / 32768) < 1e-9 for v in env[:4])
+    assert all(abs(v - 20000 / 32768) < 1e-9 for v in env[4:])
+
+    # and through the Spark mapInPandas path
+    assets = spark.createDataFrame(
+        [(1, "audio", payload, ("audio/wav", None, None, 100))],
+        "asset_id long, kind string, media binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>")
+    row = extract_features(assets, fake_decode=False).collect()[0]
+    assert row["decode_ok"], row["error"]
+    assert abs(row["feature"][0] - 2000 / 32768) < 1e-9
+
+
 def test_multimodal_real_decode_when_deps_present(spark):
     """Exercises the real PIL path when the optional extra is installed
     (skipped in codec-less containers)."""
