@@ -237,12 +237,17 @@ def decode_video_frame(payload: bytes, ts_ms: int, dims: int = 8) -> list[float]
     if off + fsize > len(payload):
         raise ValueError(f"frame {idx} (ts={ts_ms}ms) beyond payload")
     frame = payload[off:off + fsize]
-    # mean intensity over `dims` contiguous pixel blocks
+    # mean intensity over `dims` contiguous pixel blocks; when
+    # dims > pixels some blocks are empty — they repeat the nearest
+    # in-range pixel (clamped index) rather than dividing by zero
     step = fsize / dims
     out = []
     for i in range(dims):
         lo, hi = round(i * step), round((i + 1) * step)
-        block = frame[lo:hi] or frame[lo:lo + 1]
+        block = frame[lo:hi]
+        if not block:
+            j = min(lo, fsize - 1)
+            block = frame[j:j + 1]
         out.append(sum(block) / len(block) / 255.0)
     return out
 

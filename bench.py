@@ -96,6 +96,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        # cross-round comparability: the unchanged round-1 16-query set
+        # (r1: 27.1s, r2 advisory: 16.0s)
+        "r1_subset_total": round(
+            sum(times[n] for n in BENCH_QUERIES[:16]), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
