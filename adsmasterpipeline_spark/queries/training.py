@@ -449,3 +449,71 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.col("t")).cast("long").alias("raw_share_ppm"),
                 F.floor(x * 1000000.0 / F.col("sx")).cast("long")
                 .alias("temp_share_ppm")))
+
+
+@query(
+    "vocab_encode_docs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    tokpos AS (
+      -- parallel unnest zips the token list with its position list
+      -- (range() as a table function rejects lateral column bounds)
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, unnest(w) AS tok,
+               unnest(range(1, len(w) + 1)) AS pos
+        FROM base
+      ) WHERE tok <> ''
+    ),
+    counts AS (SELECT tok, COUNT(*) AS c FROM tokpos GROUP BY tok),
+    vocab AS (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) - 1 AS id
+      FROM counts QUALIFY id < 256
+    )
+    SELECT tp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           string_agg(CAST(COALESCE(v.id, -1) AS VARCHAR), ','
+                      ORDER BY tp.pos) AS ids
+    FROM tokpos tp LEFT JOIN vocab v ON tp.tok = v.tok
+    GROUP BY tp.doc_id
+    """,
+    "corpus", "textops",
+    doc="Vocabulary build + token-id encoding (the tokenize-to-ids "
+        "stage before training): top-256 tokens by corpus frequency "
+        "(count desc, token asc — fully deterministic) become ids "
+        "0..255, every document re-emits as its ordered id sequence "
+        "with -1 for OOV, serialized to a comma string (driver-hashable "
+        "stand-in for array<int>). Scale shape: the vocab table is "
+        "small by construction (the ONLY global sort is over distinct "
+        "tokens, bounded by vocab size after the count aggregate) and "
+        "broadcasts into the encode join; token positions ride the "
+        "explode, text never shuffles. Real BPE swaps the word split "
+        "for merges — the dataflow (build table, broadcast, encode) is "
+        "identical.",
+)
+def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokpos = (d.select(
+        "doc_id",
+        F.posexplode(F.split(_norm_text(), " ")).alias("pos0", "tok"))
+        .where(F.col("tok") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok"))
+    counts = tokpos.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w_v = W.orderBy(F.col("c").desc(), F.col("tok"))
+    vocab = (counts.withColumn("id", F.row_number().over(w_v) - 1)
+             .where(F.col("id") < 256).select("tok", "id"))
+    enc = (tokpos.join(F.broadcast(vocab), "tok", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum(F.when(F.col("id").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_oov"),
+                F.array_sort(F.collect_list(F.struct(
+                    "pos", F.coalesce(F.col("id"), F.lit(-1)).alias("id"))))
+                .alias("_pv")))
+    return enc.select(
+        "doc_id", "n_tokens", "n_oov",
+        F.concat_ws(",", F.transform(
+            "_pv", lambda s: s.getField("id").cast("string"))).alias("ids"))

@@ -156,6 +156,17 @@ def test_dsir_pruned_scan_no_cartesian(spark):
     assert "CartesianProduct" not in join_strategies(df)
 
 
+def test_vocab_encode_broadcast_and_bounded_sort(spark):
+    """The vocab id-assignment is the ONLY single-partition exchange
+    (a global sort over distinct tokens — bounded by vocab size, not
+    corpus size); the encode join must broadcast the vocab, and the
+    corpus text must never shuffle (explode output shuffles as
+    (doc_id, pos, tok) rows only)."""
+    df = _q(spark, "vocab_encode_docs")
+    assert has_broadcast_join(df)
+    assert single_partition_exchanges(df) == 1
+
+
 def test_contamination_broadcasts_benchmark(spark):
     """The benchmark shingle set (eval sets are small) must broadcast;
     the training side streams map-side — no doc x doc pair join."""
