@@ -517,3 +517,86 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "n_oov",
         F.concat_ws(",", F.transform(
             "_pv", lambda s: s.getField("id").cast("string"))).alias("ids"))
+
+
+@query(
+    "bigram_lm_nll",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1])
+                  ELSE [] END) AS bigram
+      FROM base
+    ),
+    db AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg
+           GROUP BY doc_id, bigram),
+    cb AS (SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram),
+    ctx AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                   CAST(SUM(cb) AS BIGINT) AS cctx
+            FROM cb GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v FROM (
+        SELECT unnest(w) AS tok FROM base) WHERE tok <> ''
+    ),
+    wts AS (
+      SELECT b.bigram,
+             CAST(FLOOR(-LN(
+               CAST(b.cb + 1 AS BIGINT) / CAST(x.cctx + vocab.v AS BIGINT)
+             ) * 1000000.0) AS BIGINT) AS nll_e6
+      FROM cb b JOIN ctx x ON split_part(b.bigram, ' ', 1) = x.w1,
+           vocab
+    )
+    SELECT db.doc_id, CAST(SUM(db.c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(db.c * w.nll_e6) AS BIGINT) AS nll_e6
+    FROM db JOIN wts w ON db.bigram = w.bigram
+    GROUP BY db.doc_id
+    """,
+    "corpus", "textops", "scale",
+    doc="CCNet-style LM quality scoring, self-trained: per-document "
+        "total negative log-likelihood under the corpus's own bigram "
+        "LM with add-one smoothing (p(w2|w1) = (c(w1 w2)+1) / "
+        "(c(w1 .)+V)). High NLL per bigram = improbable text = the "
+        "junk CCNet's perplexity buckets drop; consumers derive "
+        "perplexity as exp(nll/n). Determinism scheme as "
+        "dsir_importance_weights: per-bigram-TYPE weights floor-scaled "
+        "to e6 integers from one correctly-rounded division of exact "
+        "integer counts, per-doc score an exact BIGINT dot product. "
+        "Scale shape: two map-side-combinable count aggregates; the "
+        "weight table is bigram-vocabulary-sized and joins (doc, "
+        "bigram, count) rows — text never shuffles. Docs with <2 words "
+        "have no bigrams and drop out (both engines).",
+)
+def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split(_norm_text(), " ").alias("w"))
+    bigram = F.explode(F.when(
+        F.size("w") >= 2,
+        F.zip_with(F.slice("w", 1, F.size("w") - 1),
+                   F.slice("w", 2, F.size("w") - 1),
+                   lambda a, b: F.concat_ws(" ", a, b)))
+        .otherwise(F.array())).alias("bigram")
+    bg = base.select("doc_id", bigram)
+    db = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = (cb.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
+           .agg(F.sum("cb").cast("long").alias("cctx")))
+    vocab = (base.select(F.explode("w").alias("tok"))
+             .where(F.col("tok") != "")
+             .agg(F.countDistinct("tok").alias("v")))
+    wts = (cb.join(ctx, F.substring_index("bigram", " ", 1) == F.col("w1"))
+           .crossJoin(F.broadcast(vocab))
+           .select(
+               "bigram",
+               F.floor(-F.log(
+                   (F.col("cb") + 1).cast("bigint")
+                   / (F.col("cctx") + F.col("v")).cast("bigint")
+               ) * 1000000.0).cast("long").alias("nll_e6")))
+    return (db.join(wts, "bigram")
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("n_bigrams"),
+                 F.sum(F.col("c") * F.col("nll_e6")).cast("long")
+                 .alias("nll_e6")))

@@ -54,10 +54,12 @@ BENCH_QUERIES = [
     "quality_rules_filter",
     "zorder_data_skipping",
     # round-3 additions: SemDeDup-style embedding dedup, DSIR data
-    # selection, blocked-GEMM exact all-pairs cosine
+    # selection, blocked-GEMM exact all-pairs cosine, bigram-LM
+    # perplexity scoring
     "semantic_dedup",
     "dsir_importance_weights",
     "embedding_cosine_neardup_gemm",
+    "bigram_lm_nll",
 ]
 
 

@@ -175,6 +175,16 @@ def test_contamination_broadcasts_benchmark(spark):
     assert "CartesianProduct" not in join_strategies(df)
 
 
+def test_bigram_lm_no_cartesian_pruned_scan(spark):
+    """LM scoring shuffles (doc, bigram) count rows and a
+    bigram-vocabulary weight table — never a cartesian, never text
+    columns beyond (doc_id, text) at the scan."""
+    df = _q(spark, "bigram_lm_nll")
+    assert "CartesianProduct" not in join_strategies(df)
+    for rs in read_schemas(df):
+        assert "source" not in rs and "lang" not in rs
+
+
 def test_sequence_pack_parallel_windows(spark):
     """Per-shard packing must not funnel the corpus through one
     partition (the global-order variant would)."""
