@@ -506,3 +506,97 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "fingerprint", "duplicate_of",
         F.when(F.col("is_new_unique"), 1).otherwise(0).cast("long")
         .alias("is_new_unique"))
+
+
+@query(
+    "bm25_topdf_terms",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(w) AS tok FROM base) WHERE tok <> ''
+    ),
+    stats AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM toks
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks GROUP BY tok),
+    qterms AS (
+      SELECT tok, df FROM df
+      ORDER BY df DESC, tok LIMIT 3
+    ),
+    tf AS (
+      SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks t JOIN qterms q ON t.tok = q.tok
+      GROUP BY t.doc_id, t.tok
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(
+               LN(1.0 + (stats.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                 / (CAST(stats.n_tokens AS DOUBLE)
+                                    / stats.n_docs))),
+               6) AS s
+      FROM tf
+      JOIN qterms q ON tf.tok = q.tok
+      JOIN dl ON tf.doc_id = dl.doc_id, stats
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           ROUND(SUM(s), 4) AS bm25
+    FROM scored GROUP BY doc_id
+    QUALIFY ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) <= 50
+    """,
+    "textops", "corpus",
+    doc="BM25 retrieval scoring (k1=1.2, b=0.75, Lucene idf) of every "
+        "document against a deterministic query — the corpus's top-3 "
+        "document-frequency terms (df desc, token asc). The classic "
+        "inverted-index shape in dataflow form: token postings join a "
+        "3-row broadcast query-term table, so only matching (doc, term) "
+        "rows flow; per-(doc,term) partial scores round to 6 dp before "
+        "the per-doc sum (<= 3 addends), final score to 4 dp, top-50 by "
+        "(score, doc_id). The corpus stats (N, avgdl) are one-row "
+        "broadcasts of exact integer counts. At 100 TB the postings "
+        "join shuffles only term-matched rows — the text never moves.",
+)
+def bm25_topdf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.split(_norm_text(), " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+    stats = toks.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl"))
+    df_t = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"))
+    qterms = (df_t.orderBy(F.col("df").desc(), "tok").limit(3))
+    tf = (toks.join(F.broadcast(qterms.select("tok")), "tok")
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long")
+                                        .alias("tf")))
+    avgdl = F.col("n_tokens").cast("double") / F.col("n_docs")
+    s = F.round(
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+              / (F.col("df") + 0.5))
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)),
+        6)
+    scored = (tf.join(F.broadcast(qterms), "tok")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .select("doc_id", s.alias("s")))
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        F.round(F.sum("s"), 4).alias("bm25"))
+    w = W.orderBy(F.col("bm25").desc(), "doc_id")
+    return (agg.withColumn("_r", F.row_number().over(w))
+            .where("_r <= 50").drop("_r"))

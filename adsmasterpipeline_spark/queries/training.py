@@ -600,3 +600,95 @@ def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").cast("long").alias("n_bigrams"),
                  F.sum(F.col("c") * F.col("nll_e6")).cast("long")
                  .alias("nll_e6")))
+
+
+@query(
+    "chunk_documents",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, w,
+             unnest(range(0, CAST(FLOOR((len(w) - 1) / 48.0) AS BIGINT) + 1))
+               AS ci
+      FROM base
+    )
+    SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           CAST(ci * 48 AS BIGINT) AS start_tok,
+           CAST(len(list_slice(w, ci * 48 + 1, ci * 48 + 64)) AS BIGINT)
+             AS n_tokens,
+           array_to_string(list_slice(w, ci * 48 + 1, ci * 48 + 64), ' ')
+             AS chunk_text
+    FROM chunks
+    """,
+    "corpus", "textops",
+    doc="RAG-style document chunking: overlapping 64-token windows with "
+        "stride 48 (16-token overlap), the standard retrieval-corpus "
+        "prep before embedding. Pure narrow plan — split, sequence "
+        "explode, slice, rejoin — no shuffle at all; chunk boundaries "
+        "are deterministic functions of the token count. At 100 TB this "
+        "is embarrassingly parallel and the chunk table feeds the "
+        "embedding UDF / ANN index build downstream.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunk, stride = 64, 48
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w"))
+    n_chunks = F.floor((F.size("w") - 1) / stride).cast("int")
+    chunks = base.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("ci"))
+    cw = F.slice("w", F.col("ci") * stride + 1, chunk)
+    return chunks.select(
+        "doc_id", F.col("ci").cast("int").alias("chunk_idx"),
+        (F.col("ci") * stride).cast("long").alias("start_tok"),
+        F.size(cw).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", cw).alias("chunk_text"))
+
+
+@query(
+    "char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+    n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+                 COUNT(*) AS n_distinct FROM cc GROUP BY doc_id)
+    SELECT cc.doc_id, n.n_chars,
+           CAST(n.n_distinct AS BIGINT) AS n_distinct_chars,
+           CAST(SUM(cc.c * CAST(FLOOR(LN(
+             CAST(n.n_chars AS BIGINT) / CAST(cc.c AS BIGINT)
+           ) * 1000000.0) AS BIGINT)) AS BIGINT) AS entropy_num_e6
+    FROM cc JOIN n ON cc.doc_id = n.doc_id
+    GROUP BY cc.doc_id, n.n_chars, n.n_distinct
+    """,
+    "corpus", "textops",
+    doc="Character-entropy quality signal (gibberish / binary-junk "
+        "detector): per-doc Shannon entropy numerator as an exact "
+        "integer — sum over char TYPES of c * floor(ln(n/c) * 1e6); "
+        "consumers divide by n for nats/char (near 0 = degenerate "
+        "repetition, high = uniform noise). The usual determinism "
+        "scheme: one correctly-rounded division of exact int64 counts "
+        "per char type, BIGINT dot product after. One explode + two "
+        "map-side-combinable aggregates; text never shuffles.",
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cc = (d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+          .groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c")))
+    n = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct"))
+    w_e6 = F.floor(F.log(
+        F.col("n_chars").cast("bigint") / F.col("c").cast("bigint")
+    ) * 1000000.0).cast("long")
+    return (cc.join(n, "doc_id")
+            .groupBy("doc_id", "n_chars",
+                     F.col("n_distinct").cast("long")
+                     .alias("n_distinct_chars"))
+            .agg(F.sum(F.col("c") * w_e6).cast("long")
+                 .alias("entropy_num_e6"))
+            .select("doc_id", "n_chars", "n_distinct_chars",
+                    "entropy_num_e6"))
