@@ -600,3 +600,86 @@ def bm25_topdf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy(F.col("bm25").desc(), "doc_id")
     return (agg.withColumn("_r", F.row_number().over(w))
             .where("_r <= 50").drop("_r"))
+
+
+@query(
+    "winnow_fingerprints",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w,
+             {_NORM_SQL} AS norm
+      FROM documents
+    ),
+    gsets AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5
+                  THEN list_transform(range(1, len(w) - 3),
+                       i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                                || ' ' || w[i + 3] || ' ' || w[i + 4]))
+                  ELSE [md5(norm)] END AS g
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id, len(g) AS n_grams, unnest(g) AS h,
+             unnest(range(1, len(g) + 1)) AS pos
+      FROM gsets
+    ),
+    wins AS (
+      SELECT doc_id, n_grams,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+             pos
+      FROM grams
+      QUALIFY pos <= GREATEST(n_grams - 3, 1)
+    ),
+    sel AS (SELECT DISTINCT doc_id, n_grams, mh FROM wins)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           md5(string_agg(mh, ',' ORDER BY mh)) AS fp_sig
+    FROM sel GROUP BY doc_id, n_grams
+    """,
+    "textops", "dedup",
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "
+        "the MOSS algorithm): md5 each word 5-gram, slide a 4-gram "
+        "window over the hash sequence, keep each window's minimum — "
+        "guarantees any shared run of >= 8 words contributes a shared "
+        "fingerprint, with ~1/4 the storage of full shingling. Hash "
+        "order is md5-hex lexicographic (engine-portable, no numeric "
+        "conversion); the selected set serializes to one md5 signature "
+        "per doc. One explode + one bounded window per doc + a "
+        "distinct — shuffle keys are (doc, 32-char hash) rows. Docs "
+        "shorter than the gram width fall back to whole-text md5, same "
+        "as the shingle operators.",
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(_norm_text(), " ")
+    gsets = d.select(
+        "doc_id", w.alias("w"), _norm_text().alias("norm")
+    ).select(
+        "doc_id",
+        F.when(F.size("w") >= 5,
+               F.transform(F.sequence(F.lit(1), F.size("w") - 4),
+                           lambda i: F.md5(F.concat_ws(
+                               " ", F.element_at("w", i),
+                               F.element_at("w", i + 1),
+                               F.element_at("w", i + 2),
+                               F.element_at("w", i + 3),
+                               F.element_at("w", i + 4)))))
+        .otherwise(F.array(F.md5("norm"))).alias("g"))
+    grams = gsets.select(
+        "doc_id", F.size("g").alias("n_grams"),
+        F.posexplode("g").alias("pos0", "h")
+    ).select("doc_id", "n_grams", (F.col("pos0") + 1).alias("pos"), "h")
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    sel = (grams
+           .withColumn("mh", F.min("h").over(win))
+           .where(F.col("pos") <= F.greatest(F.col("n_grams") - 3, F.lit(1)))
+           .select("doc_id", "n_grams", "mh").distinct())
+    return (sel.groupBy("doc_id", "n_grams")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+                 F.md5(F.concat_ws(",", F.array_sort(F.collect_list("mh"))))
+                 .alias("fp_sig"))
+            .select("doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+                    "n_fingerprints", "fp_sig"))
