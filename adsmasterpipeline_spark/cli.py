@@ -403,7 +403,9 @@ def cmd_corpus(args) -> int:
 
     out = args.out
     final.write.mode("overwrite").parquet(out)
-    for row in final.groupBy("split").count().collect():
+    # count splits from the WRITTEN parquet — re-counting `final` would
+    # re-execute the dedup joins and component iterations a second time
+    for row in spark.read.parquet(out).groupBy("split").count().collect():
         summary[f"split_{row['split']}"] = row["count"]
     with open(os.path.join(out, "_summary.json"), "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)

@@ -231,6 +231,9 @@ def decode_video_frame(payload: bytes, ts_ms: int, dims: int = 8) -> list[float]
     width, height, frame_ms = struct.unpack_from("<HHH", payload, 4)
     if width == 0 or height == 0 or frame_ms == 0:
         raise ValueError("corrupt RAWV header (zero dimension/interval)")
+    if ts_ms < 0:
+        # floor division would seek a negative offset into the header
+        raise ValueError(f"negative frame timestamp {ts_ms}ms")
     fsize = width * height
     idx = ts_ms // frame_ms
     off = _RAWV_HEADER_LEN + idx * fsize

@@ -183,9 +183,12 @@ def blocked_gemm_pairs(vectors: DataFrame, threshold: float,
                 na = np.linalg.norm(ma, axis=1)
                 nb = np.linalg.norm(mb, axis=1)
                 # dot-then-divide (not pre-normalized rows): the same
-                # evaluation shape as the HOF/oracle quotient, so the
-                # 6-dp rounding agrees
-                s = np.round((ma @ mb.T) / np.outer(na, nb), 6)
+                # evaluation shape as the HOF/oracle quotient. Rounding
+                # must be HALF-AWAY-FROM-ZERO to match Spark F.round and
+                # DuckDB ROUND — np.round is half-to-even and would flip
+                # exact .xxxxxx5 boundaries.
+                raw = (ma @ mb.T) / np.outer(na, nb)
+                s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
                 ia, ib = np.nonzero(s >= threshold)
                 if ba == bb:
                     keep = ids_a[ia] < ids_b[ib]

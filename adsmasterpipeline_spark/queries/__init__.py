@@ -49,11 +49,13 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 #
 # Round-3 rotation (VERDICT.md r2 task 4): the cumulative driver-green
 # set across rounds is what counts, so this window = the six r02-red
-# queries (loader fix needs green rows) + every oracled query that has
-# never had a driver row (21: four hygiene, zorder, salted/tfidf,
-# cluster keeper, thirteen tpch_full shapes) + one representative per
-# previously-green family (23).  Everything else is covered by the
-# committed full-registry artifact CHECKALL_r03.json.
+# queries (loader fix needs green rows) + every oracled query without a
+# driver row as of the rotation (21: four hygiene, zorder,
+# salted/tfidf, cluster keeper, thirteen tpch_full shapes) + the ten
+# NEW round-3 queries (registered after the rotation, slotted in by
+# ceding multiply-proven family representatives) + one representative
+# per remaining previously-green family.  Everything else is covered by
+# the committed full-registry artifacts CHECKALL_r03_sf001/sf01.json.
 PRIORITY: tuple[str, ...] = (
     # -- r02-red, fixed by the dtype-adaptive events loader --
     "merge_last_writer_wins", "checksum_dispatch",
@@ -69,16 +71,17 @@ PRIORITY: tuple[str, ...] = (
     "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
     "q18_large_volume", "q20_potential_promotion",
     "q21_suppliers_kept_waiting", "q22_global_sales_opportunity",
+    # -- new round-3 queries (never driver-checked) --
+    "semantic_dedup", "dsir_importance_weights",
+    "mixture_temperature_weights", "embedding_cosine_neardup_gemm",
+    "vocab_encode_docs", "bigram_lm_nll", "bm25_topdf_terms",
+    "chunk_documents", "char_entropy", "winnow_fingerprints",
     # -- family representatives (kept in-window to catch regressions) --
-    "dedup_exact", "minhash_signatures", "simhash", "ngram_jaccard_pairs",
-    "dedup_clusters", "incremental_dedup",
-    "cosine_topk", "ann_ivf_kmeans", "vector_norms",
-    "text_quality", "corpus_train_split",
-    "repetition_quality", "benchmark_contamination", "stratified_sample",
-    "sequence_pack", "corpus_token_stats",
+    "dedup_exact", "minhash_signatures", "ngram_jaccard_pairs",
+    "dedup_clusters", "cosine_topk", "text_quality",
+    "repetition_quality", "benchmark_contamination",
     "assign_scalable", "range_join_bands",
-    "q1_pricing_summary", "q5_regional_revenue",
-    "join_left_outer", "full_outer_diff", "native_max_by",
+    "q1_pricing_summary", "full_outer_diff", "native_max_by",
 )
 
 

@@ -66,9 +66,12 @@ def merge_records(spark, changed: DataFrame, deleted_keys: DataFrame,
          .execute())
         # Tombstones stay distributed: a second MERGE with matched-delete,
         # never a collect-into-IN-list (a real deletion batch is millions
-        # of keys — driver OOM + unbounded SQL text).
+        # of keys — driver OOM + unbounded SQL text). distinct() because
+        # MERGE rejects multiple source rows matching one target (two
+        # delete events for one key in a batch is normal).
         (t.alias("t")
-         .merge(deleted_keys.select(key).alias("s"), f"t.{key} = s.{key}")
+         .merge(deleted_keys.select(key).distinct().alias("s"),
+                f"t.{key} = s.{key}")
          .whenMatchedDelete()
          .execute())
         return

@@ -98,8 +98,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
-        # cross-round comparability: the unchanged round-1 16-query set
-        # (r1: 27.1s, r2 advisory: 16.0s)
+        # cross-round comparability: the round-1 16-query NAMES
+        # (r1: 27.1s, r2 advisory: 16.0s). The query set is fixed but
+        # implementations evolve — round 3 retuned minhash_lsh_neardup
+        # (16x8 -> 12x6 hashes, same verified output), so deltas mix
+        # engine and parameter improvements.
         "r1_subset_total": round(
             sum(times[n] for n in BENCH_QUERIES[:16]), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -56,6 +56,9 @@ def test_rawv_roundtrip(width, height, frame_ms, dims, frames, data):
 
     with pytest.raises(ValueError):
         decode_video_frame(payload, len(payload_frames) * frame_ms, dims)
+    # negative seek must never silently decode header bytes as pixels
+    with pytest.raises(ValueError):
+        decode_video_frame(payload, -1, dims)
 
 
 @given(junk=st.binary(min_size=0, max_size=64))

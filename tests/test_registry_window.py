@@ -22,6 +22,11 @@ MUST_PROVE = (
     # never driver-checked tpch_full shapes
     "q3_shipping_priority", "q6_forecast_revenue", "q8_market_share",
     "q9_product_profit", "q18_large_volume", "q21_suppliers_kept_waiting",
+    # the ten round-3 queries (never driver-checked)
+    "semantic_dedup", "dsir_importance_weights",
+    "mixture_temperature_weights", "embedding_cosine_neardup_gemm",
+    "vocab_encode_docs", "bigram_lm_nll", "bm25_topdf_terms",
+    "chunk_documents", "char_entropy", "winnow_fingerprints",
     # one representative per previously-green family (regression canaries)
     "dedup_exact", "minhash_signatures", "ngram_jaccard_pairs",
     "dedup_clusters", "cosine_topk", "text_quality",
