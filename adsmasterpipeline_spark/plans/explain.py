@@ -73,6 +73,16 @@ def single_partition_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"Arguments: SinglePartition", _formatted(df)))
 
 
+def takeordered_count(df: DataFrame) -> int:
+    """Count TakeOrderedAndProject nodes — the distributed-TopK
+    operator orderBy+limit compiles to (per-partition heaps of k, then
+    a k-row merge; NOT a single-partition global sort). TopK queries
+    assert >= 1 of these and zero corpus-sized SinglePartition
+    exchanges."""
+    return len(re.findall(r"\(\d+\) TakeOrderedAndProject",
+                          _formatted(df)))
+
+
 def scan_count(df: DataFrame) -> int:
     """Distinct scan nodes (the formatted plan mentions each node twice:
     once in the tree, once in the detail section — count details)."""

@@ -562,12 +562,14 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "3-row broadcast query-term table, so only matching (doc, term) "
         "rows flow; per-(doc,term) partial scores round to 6 dp before "
         "the per-doc sum (<= 3 addends), final score to 4 dp, top-50 by "
-        "(score, doc_id). The corpus stats (N, avgdl) are one-row "
-        "broadcasts of exact integer counts. At 100 TB the postings "
-        "join shuffles only term-matched rows — the text never moves.",
+        "(score, doc_id) via DISTRIBUTED TopK (orderBy+limit compiles "
+        "to TakeOrderedAndProject — per-partition heaps, no "
+        "single-partition sort of the corpus-sized scored table). The "
+        "corpus stats (N, avgdl) are one-row broadcasts of exact "
+        "integer counts. At 100 TB the postings join shuffles only "
+        "term-matched rows — the text never moves.",
 )
 def bm25_topdf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
     d = load_table(spark, sf_dir, "documents")
     toks = (d.select("doc_id",
                      F.explode(F.split(_norm_text(), " ")).alias("tok"))
@@ -597,9 +599,10 @@ def bm25_topdf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
         F.round(F.sum("s"), 4).alias("bm25"))
-    w = W.orderBy(F.col("bm25").desc(), "doc_id")
-    return (agg.withColumn("_r", F.row_number().over(w))
-            .where("_r <= 50").drop("_r"))
+    # distributed TopK (TakeOrderedAndProject): the scored table is
+    # corpus-sized (top-DF terms match most docs) — per-partition
+    # 50-row heaps, never a single-partition global sort
+    return agg.orderBy(F.col("bm25").desc(), "doc_id").limit(50)
 
 
 @query(

@@ -486,9 +486,11 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(count desc, token asc — fully deterministic) become ids "
         "0..255, every document re-emits as its ordered id sequence "
         "with -1 for OOV, serialized to a comma string (driver-hashable "
-        "stand-in for array<int>). Scale shape: the vocab table is "
-        "small by construction (the ONLY global sort is over distinct "
-        "tokens, bounded by vocab size after the count aggregate) and "
+        "stand-in for array<int>). Scale shape: the vocab is selected "
+        "by DISTRIBUTED TopK (orderBy+limit compiles to "
+        "TakeOrderedAndProject — per-partition 256-row heaps, no global "
+        "sort of the distinct-token table), so the only "
+        "single-partition work is the 256-row id window; the vocab "
         "broadcasts into the encode join; token positions ride the "
         "explode, text never shuffles. Real BPE swaps the word split "
         "for merges — the dataflow (build table, broadcast, encode) is "
@@ -502,9 +504,13 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tok") != "")
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok"))
     counts = tokpos.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # distributed TopK (TakeOrderedAndProject): per-partition heaps of
+    # 256, never a global sort over the distinct-token table — the id
+    # window below sorts 256 rows, not the corpus's token space
+    top = counts.orderBy(F.col("c").desc(), F.col("tok")).limit(256)
     w_v = W.orderBy(F.col("c").desc(), F.col("tok"))
-    vocab = (counts.withColumn("id", F.row_number().over(w_v) - 1)
-             .where(F.col("id") < 256).select("tok", "id"))
+    vocab = (top.withColumn("id", F.row_number().over(w_v) - 1)
+             .select("tok", "id"))
     enc = (tokpos.join(F.broadcast(vocab), "tok", "left")
            .groupBy("doc_id")
            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from adsmasterpipeline_spark.plans.explain import (
     codegen_stage_count, has_broadcast_join, join_strategies,
     pushed_filters, read_schemas, scan_count, single_partition_exchanges,
+    takeordered_count,
 )
 from adsmasterpipeline_spark.queries import REGISTRY, _load
 from tests.conftest import SF_DIR
@@ -157,14 +158,28 @@ def test_dsir_pruned_scan_no_cartesian(spark):
 
 
 def test_vocab_encode_broadcast_and_bounded_sort(spark):
-    """The vocab id-assignment is the ONLY single-partition exchange
-    (a global sort over distinct tokens — bounded by vocab size, not
-    corpus size); the encode join must broadcast the vocab, and the
-    corpus text must never shuffle (explode output shuffles as
+    """Vocab selection is DISTRIBUTED TopK (TakeOrderedAndProject —
+    per-partition 256-row heaps), so there is NO single-partition
+    exchange anywhere: the id window runs over the already-collapsed
+    256-row TopK output. The encode join must broadcast the vocab, and
+    the corpus text never shuffles (explode output shuffles as
     (doc_id, pos, tok) rows only)."""
     df = _q(spark, "vocab_encode_docs")
     assert has_broadcast_join(df)
-    assert single_partition_exchanges(df) == 1
+    assert takeordered_count(df) >= 1
+    assert single_partition_exchanges(df) == 0
+
+
+def test_bm25_distributed_topk(spark):
+    """Both the query-term top-3 and the final top-50 must compile to
+    TakeOrderedAndProject; the only SinglePartition exchange allowed is
+    the one-row corpus-stats aggregate (its input is one pre-aggregated
+    row per partition) — never a global sort of the corpus-sized
+    scored table."""
+    df = _q(spark, "bm25_topdf_terms")
+    assert has_broadcast_join(df)
+    assert takeordered_count(df) >= 2
+    assert single_partition_exchanges(df) <= 1
 
 
 def test_contamination_broadcasts_benchmark(spark):
