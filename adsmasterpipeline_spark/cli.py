@@ -334,6 +334,12 @@ def cmd_corpus(args) -> int:
     per-stage JSON summary; composes the same operators the
     oracle-checked queries wrap, so every stage's semantics are
     gate-verified elsewhere."""
+    if (args.train_pct < 0 or args.val_pct < 0
+            or args.train_pct + args.val_pct > 100):
+        raise SystemExit(
+            "--train-pct/--val-pct must be non-negative and sum to <= 100 "
+            f"(got train={args.train_pct}, val={args.val_pct}); otherwise "
+            "the hash-bucket bands overlap and a split is silently empty")
     from pyspark.sql import functions as F
 
     from .operators.curation import quality_rules, scrub_pii

@@ -130,6 +130,17 @@ def label_centroids(vectors: DataFrame, label_col: str = "label",
                     F.transform("_pv", lambda s: s.getField("v")).alias("centroid")))
 
 
+def _round6_decimal(x: float) -> float:
+    """Round to 6 dp through the decimal path Spark's Round uses for
+    doubles: BigDecimal.valueOf == shortest round-trip decimal repr
+    (Python ``repr``), then HALF_UP. Matches F.round/DuckDB ROUND on
+    exact ...5 decimal boundaries where binary-double emulation
+    (sign * floor(abs * 1e6 + 0.5)) can be off by 1e-6."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
 def blocked_gemm_pairs(vectors: DataFrame, threshold: float,
                        n_blocks: int = 32, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
@@ -184,20 +195,32 @@ def blocked_gemm_pairs(vectors: DataFrame, threshold: float,
                 nb = np.linalg.norm(mb, axis=1)
                 # dot-then-divide (not pre-normalized rows): the same
                 # evaluation shape as the HOF/oracle quotient. Rounding
-                # must be HALF-AWAY-FROM-ZERO to match Spark F.round and
-                # DuckDB ROUND — np.round is half-to-even and would flip
-                # exact .xxxxxx5 boundaries.
+                # happens in two phases: a fast binary half-away-from-
+                # zero pass prunes the tile to near/above-threshold
+                # candidates (guard band 1e-6, the max divergence of
+                # the two schemes), then the survivors re-round through
+                # the DECIMAL path — Decimal(repr(x)) is the shortest
+                # round-trip decimal, the same value Spark's Round
+                # (BigDecimal.valueOf) and DuckDB ROUND quantize with
+                # HALF_UP — so output values match F.round(sim, 6)
+                # even on exact ...5 decimal boundaries the binary
+                # emulation can flip.
                 raw = (ma @ mb.T) / np.outer(na, nb)
                 s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
-                ia, ib = np.nonzero(s >= threshold)
+                ia, ib = np.nonzero(s >= threshold - 1e-6)
                 if ba == bb:
                     keep = ids_a[ia] < ids_b[ib]
                     ia, ib = ia[keep], ib[keep]
+                sv = np.array(
+                    [_round6_decimal(v) for v in raw[ia, ib]],
+                    dtype=np.float64) if ia.size else np.empty(0)
+                keep = sv >= threshold
+                ia, ib, sv = ia[keep], ib[keep], sv[keep]
                 lo = np.minimum(ids_a[ia], ids_b[ib])
                 hi = np.maximum(ids_a[ia], ids_b[ib])
                 out_a.append(lo)
                 out_b.append(hi)
-                out_s.append(s[ia, ib])
+                out_s.append(sv)
             yield pd.DataFrame({
                 "vec_a": np.concatenate(out_a) if out_a else [],
                 "vec_b": np.concatenate(out_b) if out_b else [],

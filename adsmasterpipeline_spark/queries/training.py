@@ -347,8 +347,10 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wts AS (
       SELECT r.tok,
              CAST(FLOOR(LN(
-               CAST((COALESCE(t.ct, 0) + 1) * (tot.nr + tot.v) AS BIGINT)
-               / CAST((r.cr + 1) * (tot.nt + tot.v) AS BIGINT)
+               (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                * CAST(tot.nr + tot.v AS DOUBLE))
+               / (CAST(r.cr + 1 AS DOUBLE)
+                  * CAST(tot.nt + tot.v AS DOUBLE))
              ) * 1000000.0) AS BIGINT) AS w_e6
       FROM rawc r LEFT JOIN tgtc t ON r.tok = t.tok, tot
     )
@@ -363,9 +365,12 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "under the target distribution (here lang='en') vs the raw corpus, "
         "with add-one smoothing over the shared vocabulary. Cross-engine "
         "determinism: the per-TOKEN-TYPE weight is computed once from "
-        "exact integer counts (the double division of exact int64 products "
-        "is correctly rounded in both engines) and floor-scaled to an e6 "
-        "integer; the per-doc score is then an exact BIGINT dot product — "
+        "exact integer counts, each cast to double BEFORE the multiply "
+        "(counts < 2^53 cast exactly; the IEEE product and quotient then "
+        "round identically in both engines — and int64 products of "
+        "corpus-scale counts would overflow, so the integer-product form "
+        "is wrong at 100 TB) and floor-scaled to an e6 integer; the "
+        "per-doc score is then an exact BIGINT dot product — "
         "no float summation order anywhere. Scale shape: token-count "
         "aggregations are map-side combinable; the weight table is "
         "vocabulary-sized and joins against (doc_id, token) count rows, "
@@ -390,10 +395,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(
                "tok",
                F.floor(F.log(
-                   ((F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                    * (F.col("nr") + F.col("v"))).cast("bigint")
-                   / ((F.col("cr") + 1)
-                      * (F.col("nt") + F.col("v"))).cast("bigint")
+                   ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    * (F.col("nr") + F.col("v")).cast("double"))
+                   / ((F.col("cr") + 1).cast("double")
+                      * (F.col("nt") + F.col("v")).cast("double"))
                ) * 1000000.0).cast("long").alias("w_e6")))
     return (dt.join(wts, "tok")
             .groupBy("doc_id")
@@ -615,9 +620,11 @@ def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
     chunks AS (
+      -- chunks past the first must cover NEW tokens: start + overlap
+      -- < len, i.e. ci <= floor((len - overlap - 1) / stride)
       SELECT doc_id, w,
-             unnest(range(0, CAST(FLOOR((len(w) - 1) / 48.0) AS BIGINT) + 1))
-               AS ci
+             unnest(range(0, CAST(FLOOR(GREATEST(len(w) - 17, 0) / 48.0)
+                                  AS BIGINT) + 1)) AS ci
       FROM base
     )
     SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
@@ -631,17 +638,27 @@ def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus", "textops",
     doc="RAG-style document chunking: overlapping 64-token windows with "
         "stride 48 (16-token overlap), the standard retrieval-corpus "
-        "prep before embedding. Pure narrow plan — split, sequence "
-        "explode, slice, rejoin — no shuffle at all; chunk boundaries "
-        "are deterministic functions of the token count. At 100 TB this "
+        "prep before embedding. A chunk past the first is emitted only "
+        "when it covers tokens its predecessor did not (start + overlap "
+        "< doc length) — no fully-redundant tail chunks. Pure narrow "
+        "plan — split, sequence explode, slice, rejoin — no shuffle at "
+        "all; chunk boundaries are deterministic functions of the token "
+        "count. At 100 TB this "
         "is embarrassingly parallel and the chunk table feeds the "
         "embedding UDF / ANN index build downstream.",
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk, stride = 64, 48
+    overlap = chunk - stride
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.split("text", " ").alias("w"))
-    n_chunks = F.floor((F.size("w") - 1) / stride).cast("int")
+    # a chunk past the first exists only if it covers tokens the
+    # previous chunk did not: ci * stride + overlap < len(w) — without
+    # the bound, len(w) % stride inside the overlap emits a tail chunk
+    # fully contained in its predecessor (duplicated RAG content)
+    n_chunks = F.floor(
+        F.greatest(F.size("w") - overlap - 1, F.lit(0)) / stride
+    ).cast("int")
     chunks = base.select(
         "doc_id", "w",
         F.explode(F.sequence(F.lit(0), n_chunks)).alias("ci"))

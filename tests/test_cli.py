@@ -191,3 +191,14 @@ def test_cli_corpus_prep(spark, tmp_path, capsys):
     a = sorted(tuple(r) for r in got.collect())
     b = sorted(tuple(r) for r in spark.read.parquet(str(out2)).collect())
     assert a == b
+
+
+def test_cli_corpus_rejects_bad_split_pcts(tmp_path):
+    """train+val > 100 (or negatives) would silently empty a split —
+    the verb must refuse up front."""
+    from tests.conftest import SF_DIR
+    for tr, va in ((95, 10), (-1, 5), (90, -2), (101, 0)):
+        with pytest.raises(SystemExit):
+            main(["corpus", "--sf-dir", SF_DIR,
+                  "--out", str(tmp_path / "x"),
+                  "--train-pct", str(tr), "--val-pct", str(va)])

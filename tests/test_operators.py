@@ -432,3 +432,17 @@ def test_video_frame_real_rawv_decode(spark):
         .replace(b"\x01\x00", b"\x00\x00", 1)
     with pytest.raises((ValueError, NotImplementedError)):
         decode_video_frame(bad, ts_ms=0)
+
+
+def test_round6_decimal_matches_spark_round_on_boundaries(spark):
+    """The GEMM kernel's per-candidate rounding must equal Spark's
+    Round (BigDecimal over the shortest-decimal repr, HALF_UP) — these
+    inputs are exact ...5 decimal boundaries whose binary value sits
+    BELOW the boundary, where the fast sign*floor(abs*1e6+0.5) scheme
+    rounds down but Spark rounds up."""
+    from adsmasterpipeline_spark.operators.similarity import _round6_decimal
+    vals = [0.0001245, 0.0001255, 0.0002445, 0.1234565, -0.0001245]
+    got = spark.createDataFrame([(v,) for v in vals], "v double") \
+        .select(F.round("v", 6).alias("r")).collect()
+    for v, row in zip(vals, got):
+        assert _round6_decimal(v) == row["r"], v

@@ -103,3 +103,31 @@ def test_corpus_token_stats_percentiles(spark, tmp_path):
     assert r["n_docs"] == 3 and r["total_tokens"] == 60
     assert r["p50_tokens_e3"] == 20000
     assert r["p90_tokens_e3"] == 28000
+
+
+def test_chunk_documents_no_redundant_tail(spark, tmp_path):
+    """A tail whose tokens are fully contained in the previous chunk
+    must not be emitted: 60 tokens = one 60-token chunk (the old
+    formula emitted chunk 1 = tokens 49-60, a strict subset of chunk
+    0); 65 tokens = two chunks, the second covering new token 65."""
+    from adsmasterpipeline_spark.queries.training import chunk_documents
+    sf = _write_docs(spark, tmp_path, [
+        (1, " ".join(f"w{i}" for i in range(60)), "en", "s", 60),
+        (2, " ".join(f"w{i}" for i in range(65)), "en", "s", 65),
+        (3, " ".join(f"w{i}" for i in range(64)), "en", "s", 64),
+        (4, "solo", "en", "s", 4),
+    ])
+    out = {}
+    for r in chunk_documents(spark, sf).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    assert len(out[1]) == 1 and out[1][0]["n_tokens"] == 60
+    assert len(out[3]) == 1 and out[3][0]["n_tokens"] == 64
+    assert len(out[4]) == 1
+    assert len(out[2]) == 2
+    c1 = next(r for r in out[2] if r["chunk_idx"] == 1)
+    assert c1["start_tok"] == 48 and c1["n_tokens"] == 17
+    # every non-first chunk covers at least one new token
+    for rows in out.values():
+        for r in rows:
+            if r["chunk_idx"] > 0:
+                assert r["n_tokens"] > 16
