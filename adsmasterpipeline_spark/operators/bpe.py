@@ -1,0 +1,99 @@
+"""Byte-pair-encoding vocabulary learning, Spark-first.
+
+Public algorithm: Sennrich, Haddow & Birch 2016, "Neural Machine
+Translation of Rare Words with Subword Units" (ACL) — iteratively
+merge the most frequent adjacent symbol pair, starting from
+characters. No reference analogue (training-data extension per the
+build brief); proves the claim in ``vocab_encode_docs`` that "real BPE
+swaps the word split for merges — same dataflow".
+
+Scale shape (designed for the 100 TB posture, tested at small SF):
+
+- the merge loop runs over the WORD-TYPE table (distinct words +
+  corpus counts), never the corpus: pair counting is a
+  map-side-combinable aggregate over vocabulary-sized data;
+- each round's argmax pair is a DISTRIBUTED TopK
+  (``orderBy().limit(1)`` compiles to TakeOrderedAndProject — no
+  single-partition sort of the pair space) and collects exactly ONE
+  row to the driver, the same bounded-collect pattern as the k-means
+  centroid loop (operators/kmeans.py);
+- merge application is a per-row fold (``F.aggregate``) with
+  greedy-left-to-right semantics — "a a a" under merge (a,a) becomes
+  [aa, a], matching the canonical BPE scan — expressed identically in
+  the DuckDB oracle via ``list_reduce`` over a \\x1f-separated
+  accumulator string, so the two engines agree symbol-for-symbol;
+- ``localCheckpoint`` after each round bounds lineage (without it
+  round k replays rounds 1..k-1's folds).
+
+Determinism: ties in pair frequency break on (a, b) lexicographically
+(binary UTF-8 order in both engines); merging stops early when the
+best pair's weighted count drops below 2 — the SQL oracle expresses
+the same stop as a per-round pass-through guard, which is equivalent
+because an unapplied merge leaves the type table (and therefore every
+later round's argmax) unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: symbol separator inside the fold accumulator — below every
+#: character the whitespace-collapsed normalizer can emit, and shared
+#: with the SQL oracle's chr(31)
+SEP = "\x1f"
+
+
+def pair_counts(types: DataFrame) -> DataFrame:
+    """Adjacent-symbol-pair frequencies over a (word, cnt, sym) type
+    table, weighted by word count. Map-side combinable; rows are
+    (a, b, c)."""
+    prs = (types.where(F.size("sym") >= 2)
+           .select("cnt",
+                   F.explode(F.zip_with(
+                       F.slice("sym", 1, F.size("sym") - 1),
+                       F.slice("sym", 2, F.size("sym") - 1),
+                       lambda p, q: F.struct(p.alias("a"), q.alias("b"))))
+                   .alias("pr")))
+    return (prs.groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("cnt").cast("long").alias("c")))
+
+
+def apply_merge(sym, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) into a+b within a
+    symbol array — the canonical BPE replacement scan, as a fold over
+    a SEP-joined accumulator (mirrors the oracle's list_reduce)."""
+    folded = F.aggregate(
+        sym, F.lit(""),
+        lambda acc, x: F.when(
+            F.endswith(acc, F.lit(SEP + a)) & (x == F.lit(b)),
+            F.concat(
+                F.substring(acc, F.lit(1),
+                            F.length(acc) - F.lit(len(a) + 1)),
+                F.lit(SEP + a + b))
+        ).otherwise(F.concat(acc, F.lit(SEP), x)))
+    return F.split(F.substring(folded, 2, 2147483647), SEP)
+
+
+def learn_bpe(word_counts: DataFrame, n_merges: int = 12,
+              ) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn up to ``n_merges`` BPE merges from a (word, cnt) table.
+
+    Returns (merge list in application order, final type table
+    (word, cnt, sym array<string>)). Stops early when no adjacent pair
+    occurs at least twice (weighted by word count).
+    """
+    types = word_counts.select(
+        "word", "cnt", F.split("word", "").alias("sym"))
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (pair_counts(types)
+                .orderBy(F.col("c").desc(), "a", "b")
+                .limit(1).collect())
+        if not best or best[0]["c"] < 2:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        types = types.withColumn(
+            "sym", apply_merge(F.col("sym"), a, b)).localCheckpoint()
+    return merges, types

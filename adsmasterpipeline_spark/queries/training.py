@@ -715,3 +715,114 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("entropy_num_e6"))
             .select("doc_id", "n_chars", "n_distinct_chars",
                     "entropy_num_e6"))
+
+
+def _bpe_sql(n_merges: int = 12) -> str:
+    """Unrolled DuckDB replay of learn_bpe + encode: each merge round
+    is three CTEs (pair counts -> guarded top-1 -> fold application),
+    with the greedy left-to-right merge expressed as list_reduce over
+    a chr(31)-separated accumulator — the exact scheme
+    operators/bpe.py uses Spark-side. The early-stop (best weighted
+    count < 2) becomes a pass-through guard: an unapplied merge leaves
+    the type table unchanged, so later rounds are no-ops too.
+
+    Every t{k} is AS MATERIALIZED: each is referenced twice (by p{k+1}
+    and t{k+1}) and DuckDB's default inlining would otherwise replay
+    the whole fold chain per reference — measured 439 s -> ~1 s at
+    sf0.001."""
+    rounds = []
+    for k in range(1, n_merges + 1):
+        rounds.append(f"""
+    p{k} AS (
+      SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (
+        SELECT cnt, unnest(list_transform(range(1, len(sym)),
+                                          i -> [sym[i], sym[i + 1]])) AS pr
+        FROM t{k - 1} WHERE len(sym) >= 2
+      ) GROUP BY 1, 2
+    ),
+    g{k} AS (
+      SELECT a, b FROM (SELECT a, b, c FROM p{k}
+                        ORDER BY c DESC, a, b LIMIT 1)
+      WHERE c >= 2
+    ),
+    t{k} AS MATERIALIZED (
+      SELECT word, cnt,
+        CASE WHEN g.a IS NULL THEN sym ELSE
+          string_split(ltrim(
+            list_reduce(list_prepend('', sym), (acc, x) ->
+              CASE WHEN ends_with(acc, chr(31) || g.a) AND x = g.b
+                   THEN left(acc, length(acc) - length(g.a) - 1)
+                        || chr(31) || g.a || g.b
+                   ELSE acc || chr(31) || x END),
+            chr(31)), chr(31))
+        END AS sym
+      FROM t{k - 1} LEFT JOIN g{k} g ON TRUE
+    )""")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    wp AS (
+      SELECT doc_id, tok AS word, pos FROM (
+        SELECT doc_id, unnest(w) AS tok,
+               unnest(range(1, len(w) + 1)) AS pos
+        FROM base
+      ) WHERE tok <> ''
+    ),
+    wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM wp GROUP BY word),
+    t0 AS MATERIALIZED (
+      SELECT word, cnt, string_split(word, '') AS sym FROM wc),
+    {','.join(rounds)}
+    SELECT wp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(t.sym)) AS BIGINT) AS n_tokens,
+           md5(string_agg(array_to_string(t.sym, ' '), ' '
+                          ORDER BY wp.pos)) AS tok_sig
+    FROM wp JOIN t{n_merges} t ON wp.word = t.word
+    GROUP BY wp.doc_id
+    """
+
+
+@query(
+    "bpe_learn_encode",
+    _bpe_sql(12),
+    "corpus", "textops", "scale",
+    doc="Real BPE (Sennrich et al. 2016): learn 12 merges from the "
+        "corpus's own word-type table (most-frequent adjacent symbol "
+        "pair per round, ties (a, b)-lexicographic, stop when the best "
+        "pair's weighted count < 2), then encode every document and "
+        "emit per-doc token counts plus an md5 signature of the full "
+        "token sequence in word order. Proves the vocab_encode_docs "
+        "docstring's 'real BPE is the same dataflow' claim. Scale "
+        "shape: the merge loop touches only the vocabulary-sized "
+        "word-type table; each round's argmax is distributed TopK "
+        "(TakeOrderedAndProject) + a ONE-row driver collect (the "
+        "k-means centroid pattern); merge application is a per-row "
+        "fold; the corpus is touched exactly twice — once for word "
+        "counts, once for the encode join on word — and text never "
+        "rides a shuffle. Oracle: the identical algorithm unrolled as "
+        "12 CTE rounds with list_reduce folds (queries/training.py "
+        "_bpe_sql).",
+)
+def bpe_learn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import learn_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split(_norm_text(), " ").alias("w"))
+    wp = (base.select(
+        "doc_id", F.posexplode("w").alias("pos0", "word"))
+        .where(F.col("word") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word"))
+    wc = wp.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    _, types = learn_bpe(wc, n_merges=12)
+    return (wp.join(types.select("word", "sym"), "word")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum(F.size("sym")).cast("long").alias("n_tokens"),
+                 F.md5(F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(F.struct(
+                         "pos",
+                         F.array_join("sym", " ").alias("s")))),
+                     lambda r: r.getField("s")))).alias("tok_sig")))

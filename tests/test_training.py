@@ -5,6 +5,7 @@ values, independent of the DuckDB oracles."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from adsmasterpipeline_spark.queries.training import (
     benchmark_contamination, corpus_token_stats, repetition_quality,
@@ -131,3 +132,47 @@ def test_chunk_documents_no_redundant_tail(spark, tmp_path):
         for r in rows:
             if r["chunk_idx"] > 0:
                 assert r["n_tokens"] > 16
+
+
+def test_learn_bpe_hand_computed_merges(spark):
+    """Sennrich-style toy corpus: 'aaab' x3 + 'ab' x2. Pairs round 1:
+    (a,a) c=6, (a,b) c=5 -> merge (a,a). Round 2 symbols: aaab ->
+    [aa,a,b] (greedy left-to-right), ab -> [a,b]; pairs: (aa,a) 3,
+    (a,b) 5 -> merge (a,b). Round 3: [aa,ab] / [ab]; (aa,ab) c=3.
+    Ties and the c<2 stop are covered by the ababa type below."""
+    from adsmasterpipeline_spark.operators.bpe import learn_bpe
+    wc = spark.createDataFrame(
+        [("aaab", 3), ("ab", 2)], "word string, cnt long")
+    merges, types = learn_bpe(wc, n_merges=10)
+    assert merges == [("a", "a"), ("a", "b"), ("aa", "ab")]
+    out = {r["word"]: r["sym"] for r in types.collect()}
+    assert out["aaab"] == ["aaab"]
+    assert out["ab"] == ["ab"]
+
+
+def test_learn_bpe_greedy_overlap_and_stop(spark):
+    """'ababa': greedy left-to-right on merge (a,b) gives [ab, ab, a]
+    — overlapping occurrences merge like the canonical BPE scan, and
+    learning stops when no pair repeats."""
+    from adsmasterpipeline_spark.operators.bpe import learn_bpe
+    wc = spark.createDataFrame([("ababa", 1)], "word string, cnt long")
+    merges, types = learn_bpe(wc, n_merges=10)
+    # round 1: (a,b) c=2 merges; [ab, ab, a] then has no pair with
+    # weighted count >= 2 -> stop
+    assert merges == [("a", "b")]
+    assert types.collect()[0]["sym"] == ["ab", "ab", "a"]
+
+
+def test_bpe_pair_argmax_is_distributed_topk(spark):
+    """Each learning round's argmax must compile to
+    TakeOrderedAndProject (per-partition heaps), never a
+    single-partition global sort of the pair space."""
+    from adsmasterpipeline_spark.operators.bpe import pair_counts
+    from adsmasterpipeline_spark.plans.explain import (
+        single_partition_exchanges, takeordered_count)
+    types = spark.createDataFrame(
+        [("ab", 1, ["a", "b"])], "word string, cnt long, sym array<string>")
+    top1 = (pair_counts(types)
+            .orderBy(F.col("c").desc(), "a", "b").limit(1))
+    assert takeordered_count(top1) >= 1
+    assert single_partition_exchanges(top1) == 0
