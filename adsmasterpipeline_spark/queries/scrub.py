@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..operators.curation import quality_rules, scrub_pii, span_dedup
 from ..sources import load_table
 from . import query
+from .text import _NORM_SQL, _norm_text
 
 _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -191,3 +192,94 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_total"),
                  F.sum("kept").cast("long").alias("n_kept")))
+
+
+@query(
+    "duplicated_substring_runs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 6),
+                      i -> md5(array_to_string(w[i:i+7], ' ')))) AS h,
+               unnest(range(1, len(w) - 6)) AS pos
+        FROM base WHERE len(w) >= 8
+      )
+    ),
+    dup AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM g GROUP BY h)
+            WHERE c >= 2),
+    dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM dp
+    ),
+    runs AS (
+      SELECT doc_id, MIN(pos) AS start_pos,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS n_tokens
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT r.doc_id, CAST(r.start_pos AS BIGINT) AS start_pos,
+           r.n_grams, r.n_tokens,
+           md5(array_to_string(
+             b.w[r.start_pos:r.start_pos + r.n_tokens - 1], ' '))
+             AS run_sig
+    FROM runs r JOIN base b USING (doc_id)
+    """,
+    "corpus", "dedup",
+    doc="Exact duplicated-substring detection (the Lee et al. 2022 "
+        "'Deduplicating Training Data Makes Language Models Better' "
+        "shape, dataflow form): hash every word 8-gram at every "
+        "position, keep positions whose gram occurs >= 2 times in the "
+        "corpus, and merge consecutive duplicated positions into "
+        "MAXIMAL runs via gaps-and-islands (pos - row_number per doc) "
+        "— a run of g overlapping duplicated grams is a duplicated "
+        "substring of g+7 tokens, i.e. maximal duplicated substrings "
+        "at 8-token resolution, where span_dedup_docs only sees fixed "
+        "10-word tiles. run_sig pins the covered text byte-for-byte. "
+        "Scale shape: grams shuffle as (doc_id, pos, 32-char hash) "
+        "rows — the gram TEXT never leaves the narrow stage (hashes "
+        "are built per-row by transform before the explode, and the "
+        "run text is recovered by re-joining the doc-keyed base, not "
+        "by carrying word arrays through the gram shuffle); the "
+        "islands window partitions by doc_id (parallel, no global "
+        "funnel); the dup-hash table joins on the hash key. The "
+        "production suffix-array variant catches duplicates shorter "
+        "than 8 tokens; this K-gram form is the standard distributed "
+        "approximation.",
+)
+def duplicated_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    K = 8
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split(_norm_text(), " ").alias("w"))
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (K - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, K))))
+    g = (base.where(F.size("w") >= K)
+         .select("doc_id", F.posexplode(hs).alias("pos0", "h"))
+         .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"),
+                 "h"))
+    dup = (g.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") >= 2).select("h"))
+    dp = g.join(dup, "h").select("doc_id", "pos")
+    isl = dp.withColumn(
+        "grp", F.col("pos") - F.row_number().over(
+            W.partitionBy("doc_id").orderBy("pos")))
+    runs = (isl.groupBy("doc_id", "grp")
+            .agg(F.min("pos").alias("start_pos"),
+                 F.count(F.lit(1)).cast("long").alias("n_grams"),
+                 (F.max("pos") - F.min("pos") + K).cast("long")
+                 .alias("n_tokens")))
+    return (runs.join(base, "doc_id")
+            .select("doc_id", F.col("start_pos").cast("long"),
+                    "n_grams", "n_tokens",
+                    F.md5(F.concat_ws(" ", F.slice(
+                        F.col("w"), F.col("start_pos").cast("int"),
+                        F.col("n_tokens").cast("int")))).alias("run_sig")))

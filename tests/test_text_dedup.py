@@ -78,3 +78,50 @@ def test_incremental_dedup_planted(spark):
     assert out[11]["duplicate_of"] is None and out[11]["is_new_unique"]
     assert out[12]["duplicate_of"] == 11 and not out[12]["is_new_unique"]
     assert out[13]["duplicate_of"] is None and out[13]["is_new_unique"]
+
+
+def test_duplicated_substring_runs_planted(spark, tmp_path):
+    """Two docs sharing a 12-word run: the maximal run covers exactly
+    the shared words (5 overlapping 8-grams, 12 tokens) in both docs,
+    and unique text produces no runs."""
+    from pyspark.sql import functions as F
+
+    from adsmasterpipeline_spark.queries.scrub import (
+        duplicated_substring_runs)
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(10)) + " " + shared + " "
+         + " ".join(f"b{i}" for i in range(9))),
+        (2, " ".join(f"c{i}" for i in range(5)) + " " + shared + " "
+         + " ".join(f"d{i}" for i in range(7))),
+        (3, " ".join(f"e{i}" for i in range(30))),   # all unique
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path / "runs")
+    df.coalesce(1).write.parquet(sf + "/documents.parquet")
+    out = {r["doc_id"]: r
+           for r in duplicated_substring_runs(spark, sf).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["start_pos"] == 11 and out[2]["start_pos"] == 6
+    for r in out.values():
+        assert r["n_grams"] == 5 and r["n_tokens"] == 12
+    assert out[1]["run_sig"] == out[2]["run_sig"]
+
+
+def test_duplicated_runs_plan_is_scale_safe(spark):
+    """Gram text never rides a shuffle (scan reads only doc_id+text),
+    the islands window partitions by doc (no single-partition
+    exchange), and no join degenerates to a cartesian."""
+    from adsmasterpipeline_spark.plans.explain import (
+        join_strategies, read_schemas, single_partition_exchanges)
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["duplicated_substring_runs"].spark_fn(spark, SF_DIR)
+    assert single_partition_exchanges(df) == 0
+    s = join_strategies(df)
+    assert "CartesianProduct" not in s
+    for rs in read_schemas(df):
+        assert "lang" not in rs and "source" not in rs
