@@ -47,41 +47,44 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 # named here follow in registration order; rows-only entries always
 # sort last.
 #
-# Round-3 rotation (VERDICT.md r2 task 4): the cumulative driver-green
-# set across rounds is what counts, so this window = the six r02-red
-# queries (loader fix needs green rows) + every oracled query without a
-# driver row as of the rotation (21: four hygiene, zorder,
-# salted/tfidf, cluster keeper, thirteen tpch_full shapes) + the ten
-# NEW round-3 queries (registered after the rotation, slotted in by
-# ceding multiply-proven family representatives) + one representative
-# per remaining previously-green family.  Everything else is covered by
-# the committed full-registry artifacts CHECKALL_r03_sf001/sf01.json.
+# Round-4 rotation (VERDICT.md r3 task 9): cumulative driver-green
+# across rounds is what counts — every oracled query has a green row
+# in r01-r03, so this window = the six NEW round-4 queries + the six
+# whose code CHANGED in round 4 (need fresh green rows) + the 38
+# oracled queries whose last driver-green is OLDEST (round 1),
+# refreshing the stalest evidence.  Everything else is covered by the
+# committed full-registry artifacts CHECKALL_r04_sf001/sf01.json plus
+# prior-round CORRECTNESS rows.
 PRIORITY: tuple[str, ...] = (
-    # -- r02-red, fixed by the dtype-adaptive events loader --
-    "merge_last_writer_wins", "checksum_dispatch",
-    "incremental_watermark_scan", "sessionize",
-    "asof_attribution", "streaming_windowed_counts",
-    # -- never-driver-checked: corpus hygiene + layout + misc --
-    "pii_scrub", "quality_rules_filter", "span_dedup_docs",
-    "source_mixture_sample", "zorder_data_skipping",
-    "cluster_keeper_quality", "salted_group_counts", "tfidf_top_terms",
-    # -- never-driver-checked: remaining tpch_full shapes --
-    "q3_shipping_priority", "q6_forecast_revenue", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q11_important_stock",
-    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
-    "q18_large_volume", "q20_potential_promotion",
-    "q21_suppliers_kept_waiting", "q22_global_sales_opportunity",
-    # -- new round-3 queries (never driver-checked) --
-    "semantic_dedup", "dsir_importance_weights",
-    "mixture_temperature_weights", "embedding_cosine_neardup_gemm",
-    "vocab_encode_docs", "bigram_lm_nll", "bm25_topdf_terms",
-    "chunk_documents", "char_entropy", "winnow_fingerprints",
-    # -- family representatives (kept in-window to catch regressions) --
-    "dedup_exact", "minhash_signatures", "ngram_jaccard_pairs",
-    "dedup_clusters", "cosine_topk", "text_quality",
-    "repetition_quality", "benchmark_contamination",
-    "assign_scalable", "range_join_bands",
-    "q1_pricing_summary", "full_outer_diff", "native_max_by",
+    # -- new round-4 queries (never driver-checked) --
+    "bpe_learn_encode", "duplicated_substring_runs",
+    "countmin_heavy_hitters", "pagerank_supplier_customer",
+    "ntile_rank_scalable", "ann_int8_quantized",
+    # -- changed in round 4 (distributed TopK / multiprobe / decimal
+    #    rounding / tail-chunk + overflow fixes) --
+    "ann_sign_lsh", "vocab_encode_docs", "bm25_topdf_terms",
+    "chunk_documents", "dsir_importance_weights",
+    "embedding_cosine_neardup_gemm",
+    # -- stalest driver evidence (r01): window analytics --
+    "window_lag_lead", "window_ntile_rank", "window_range_frame",
+    "string_agg_ordered", "first_last_value", "window_bucket_assign",
+    "window_flag_first", "window_running_total", "topk_per_group",
+    # -- stalest (r01): joins / set ops / aggregates --
+    "join_left_outer", "join_semi", "join_anti", "union_distinct",
+    "except_keys", "intersect_keys", "agg_counts_per_group",
+    "agg_nonnull_counts", "agg_argmax_per_group", "agg_collect_sorted",
+    # -- stalest (r01/r02): scalar-function family --
+    "string_hier_facet", "regexp_rewrite", "case_when_mapping",
+    "date_buckets", "has_fields", "levenshtein_similarity",
+    "json_payload_extract",
+    # -- stalest (r01): grouping-set extras --
+    "rollup_revenue", "cube_order_stats", "pivot_status_by_segment",
+    "stats_per_brand",
+    # -- stalest (r01/r02): corpus + ANN pipeline family --
+    "corpus_clean", "embedding_quantize", "corpus_dedup_pipeline",
+    "corpus_train_split", "ann_ivf_kmeans",
+    # -- headline representatives --
+    "q5_regional_revenue", "q7_volume_shipping", "q4_order_priority",
 )
 
 
@@ -119,6 +122,6 @@ def _load() -> None:
     from . import (  # noqa: F401
         analytics, corpus, relational, relational2, relational3,
         pipeline, text, tpch_more, tpch_full, vectors, scale_ops,
-        temporal, training, graph, scrub, layout,
+        temporal, training, graph, scrub, layout, sketch,
     )
     _LOADED = True

@@ -54,7 +54,12 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "window",
     doc="Distribution/ranking functions: quartiles, percent_rank, "
-        "rank vs dense_rank over a low-cardinality key.",
+        "rank vs dense_rank over a low-cardinality key. CAVEAT: the "
+        "unpartitioned windows funnel the table through one partition "
+        "— inherent to ntile/percent_rank's total-order semantics in "
+        "declarative form; ntile_rank_scalable is the bit-identical "
+        "distributed twin (assign_sequential position + closed-form "
+        "bucket math) for data-sized inputs.",
 )
 def window_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -140,3 +145,72 @@ def first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(w_full).alias("last_order"),
     ).distinct()
+
+
+@query(
+    "ntile_rank_scalable",
+    """
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey), 6)
+             AS pct_rank,
+           RANK() OVER (ORDER BY c_mktsegment) AS seg_rank,
+           DENSE_RANK() OVER (ORDER BY c_mktsegment) AS seg_dense_rank
+    FROM customer
+    """,
+    "window", "scale",
+    doc="Scale twin of window_ntile_rank: the SAME distribution/ranking "
+        "outputs with NO data-sized single-partition window. "
+        "window_ntile_rank's global windows are inherent to ntile/"
+        "percent_rank's total-order semantics in declarative form; this "
+        "twin derives them from a distributed global position instead: "
+        "(1) assign_sequential (range-bucket + per-bucket window + "
+        "broadcast offsets, the W3/assign_scalable pattern) gives the "
+        "0-based position rn-1 over the UNIQUE composite key "
+        "(-acctbal*100)*2^33 + custkey (exact: acctbal has 2 decimal "
+        "places, custkey < 2^33); (2) ntile(4) is closed-form from "
+        "(rn, n): the first n%4 buckets take ceil(n/4) rows, the rest "
+        "floor(n/4); (3) percent_rank = (rn-1)/(n-1) since the key is "
+        "unique (rank == row_number); (4) segment rank/dense_rank come "
+        "from a 5-row per-segment aggregate (cumulative counts over a "
+        "bounded window) broadcast back. The only single-partition "
+        "exchanges carry <= num-segments rows — plan-asserted; bit-"
+        "identity with the declarative twin is pytest-pinned.",
+)
+def ntile_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.assignment import assign_sequential
+
+    c = load_table(spark, sf_dir, "customer")
+    # exact order-preserving composite: c_acctbal desc, c_custkey asc
+    # (round before the cast — the double 123.45*100 can sit below the
+    # integer and a bare cast truncates, colliding distinct balances)
+    ordkey = ((-F.round(F.col("c_acctbal") * 100)).cast("long")
+              * F.lit(1 << 33) + F.col("c_custkey")).alias("_ord")
+    seq = assign_sequential(
+        c.select("c_custkey", "c_mktsegment", ordkey), "_ord")
+    n1 = F.broadcast(seq.agg(F.count(F.lit(1)).alias("_n")))
+    rn = F.col("seq") + 1
+    n = F.col("_n")
+    base, rem = (n / 4).cast("long"), n % 4
+    cut = rem * (base + 1)
+    quartile = (F.when(rn <= cut,
+                       F.floor((rn + base) / (base + 1)))
+                .otherwise(rem + F.floor((rn - cut + base - 1)
+                                         / F.greatest(base, F.lit(1)))))
+    pct = F.when(n > 1, F.round((rn - 1).cast("double") / (n - 1), 6)) \
+        .otherwise(F.lit(0.0))
+    seg = (seq.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("_sc")))
+    w_seg = W.orderBy("c_mktsegment")
+    seg = F.broadcast(seg.select(
+        "c_mktsegment",
+        (F.coalesce(
+            F.sum("_sc").over(w_seg.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0)) + 1).alias("seg_rank"),
+        F.row_number().over(w_seg).alias("seg_dense_rank")))
+    return (seq.crossJoin(n1).join(seg, "c_mktsegment")
+            .select("c_custkey",
+                    quartile.cast("int").alias("quartile"),
+                    pct.alias("pct_rank"),
+                    F.col("seg_rank").cast("long"),
+                    F.col("seg_dense_rank").cast("long")))

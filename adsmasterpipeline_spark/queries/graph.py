@@ -170,3 +170,108 @@ def cluster_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_best.doc_id").alias("keeper_doc_id"),
         F.col("_best.n_chars").cast("long").alias("keeper_n_chars"),
         F.col("cluster_size").cast("long").alias("cluster_size"))
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled integer-exact PageRank oracle. Integer division is
+    spelled (a - a % b) / b in BOTH engines: the quotient is then an
+    exact integer well under 2^53, so the double division is lossless
+    — a bare FLOOR(a/b) is NOT (at rank magnitudes the correctly-
+    rounded double quotient can land above the true integer)."""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f"""
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(150000 + (85 * s.s - (85 * s.s) % 100) / 100
+                  AS BIGINT) AS rank_e6
+      FROM nodes n JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((r.rank_e6 - r.rank_e6 % d.deg) / d.deg)
+                    AS BIGINT) AS s
+        FROM edges e
+        JOIN r{k - 1} r ON r.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )""")
+    return f"""
+    WITH raw AS (
+      SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS a,
+             'c' || CAST(o.o_custkey AS VARCHAR) AS b
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM raw
+      UNION ALL
+      SELECT b AS src, a AS dst FROM raw
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    deg AS MATERIALIZED (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_e6 FROM nodes),
+    {','.join(rounds)}
+    SELECT r.node, d.deg, r.rank_e6
+    FROM r{iters} r JOIN deg d ON d.node = r.node
+    """
+
+
+@query(
+    "pagerank_supplier_customer",
+    _pagerank_sql(3),
+    "graph", "scale",
+    doc="Bounded-iteration PageRank (Page et al. 1999; damping 0.85, 3 "
+        "iterations) over the undirected supplier-customer trade graph "
+        "(distinct lineitem-orders pairs, both directions, so every "
+        "node has degree >= 1 and no dangling mass). Cross-engine "
+        "determinism scheme as dsir/bigram_lm: ranks live in INTEGER "
+        "e6 units, per-edge contributions use exact integer division "
+        "((r - r % deg) / deg), and the damped update is integer too — "
+        "no float summation order anywhere, so three engines' sums "
+        "can't drift. Scale shape: each iteration is one join of the "
+        "rank table to the edge list + a map-side-combinable SUM by "
+        "dst — the textbook iterative-dataflow pattern (Pregel's "
+        "message sum) in DataFrame form; the degree table joins by "
+        "key; 3 lazily-chained iterations keep the plan linear, and a "
+        "production run would localCheckpoint per round exactly like "
+        "operators/graph.connected_components. Oracle: the identical "
+        "integer algorithm unrolled as materialized CTE rounds.",
+)
+def pagerank_supplier_customer(spark: SparkSession, sf_dir: str,
+                               iters: int = 3) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                     "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    raw = (l.join(o, l["l_orderkey"] == o["o_orderkey"])
+           .select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
+                   F.concat(F.lit("c"), F.col("o_custkey")).alias("b"))
+           .distinct())
+    edges = (raw.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionAll(raw.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst"))))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = (edges.groupBy(F.col("src").alias("node"))
+           .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    ranks = nodes.select("node", F.lit(1000000).cast("long")
+                         .alias("rank_e6"))
+
+    def idiv(a, b):
+        return ((a - a % b) / b).cast("long")
+
+    for _ in range(iters):
+        contrib = (edges
+                   .join(ranks.withColumnRenamed("node", "src"), "src")
+                   .join(deg.withColumnRenamed("node", "src"), "src")
+                   .select("dst", idiv(F.col("rank_e6"),
+                                       F.col("deg")).alias("c")))
+        s = contrib.groupBy(F.col("dst").alias("node")) \
+            .agg(F.sum("c").cast("long").alias("s"))
+        ranks = (nodes.join(s, "node")
+                 .select("node",
+                         (F.lit(150000)
+                          + idiv(85 * F.col("s"), F.lit(100)))
+                         .cast("long").alias("rank_e6")))
+    return ranks.join(deg, "node").select("node", "deg", "rank_e6")

@@ -246,3 +246,82 @@ def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dist"), 4).alias("avg_dist"),
         F.round(F.max("dist"), 4).alias("max_dist"),
     )
+
+
+@query(
+    "ann_int8_quantized",
+    """
+    WITH q8 AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / s + 0.5)
+                              AS BIGINT) END) AS qv
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS s
+        FROM embeddings
+      )
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               CAST(SUM(q.qv[t.i] * c.qv[t.i]) AS DOUBLE)
+               / (sqrt(CAST(SUM(q.qv[t.i] * q.qv[t.i]) AS DOUBLE))
+                  * sqrt(CAST(SUM(c.qv[t.i] * c.qv[t.i]) AS DOUBLE))),
+               6) AS sim_q
+      FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id,
+           range(1, 65) t(i)
+      WHERE q.vec_id < 8
+      GROUP BY q.vec_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, sim_q, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim_q DESC, neighbor_id) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 3
+    """,
+    "vectors", "scale",
+    doc="Cosine top-k over SYMMETRIC INT8 SCALAR-QUANTIZED vectors — "
+        "the 4x-storage-compression ANN path (per-vector scale = "
+        "max|x|, q_i = floor(x*127/scale + 0.5); the floor form is "
+        "bit-identical across engines where ROUND's half-boundary is "
+        "not). Dot products become exact BIGINT arithmetic — only the "
+        "final norm division is floating point — so a quantized index "
+        "is both 4x smaller to shuffle/broadcast AND integer-exact to "
+        "score; ranking agreement vs the float baseline is tracked in "
+        "ANNRECALL_r{N}.json. Same broadcast-query plan as "
+        "cosine_topk.",
+)
+def ann_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    s = F.array_max(F.transform("embedding",
+                                lambda x: F.abs(x.cast("double"))))
+    qv = F.when(s == 0, F.transform(
+        "embedding", lambda x: F.lit(0).cast("long"))) \
+        .otherwise(F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 127.0 / s + 0.5)))
+    q8 = e.select("vec_id", qv.alias("qv"))
+    q = (q8.where(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("qv").alias("_q")))
+    c = q8.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("qv").alias("_c"))
+    idot = F.aggregate(
+        F.zip_with("_q", F.col("_c"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    inorm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, v: acc + v).cast("double"))
+    sim_q = F.round(idot.cast("double")
+                    / (inorm("_q") * inorm(F.col("_c"))), 6)
+    pairs = (c.join(F.broadcast(q),
+                    F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id", sim_q.alias("sim_q")))
+    w = W.partitionBy("query_id").orderBy(F.col("sim_q").desc(),
+                                          F.col("neighbor_id"))
+    return (pairs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("query_id", "neighbor_id", "sim_q", "rnk"))

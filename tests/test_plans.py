@@ -218,3 +218,16 @@ def test_repetition_quality_prunes_scan(spark):
     """Only doc_id + text reach the parquet scan."""
     for rs in read_schemas(_q(spark, "repetition_quality")):
         assert "lang" not in rs and "source" not in rs
+
+
+def test_ntile_scalable_no_data_sized_funnel(spark):
+    """The scalable ntile/percent_rank twin must keep every
+    single-partition exchange bounded (segment table + 1-row count):
+    <= 2 such exchanges, none fed by the customer scan directly, and
+    the declarative twin's output must match bit-for-bit."""
+    df = _q(spark, "ntile_rank_scalable")
+    assert single_partition_exchanges(df) <= 2
+    assert "CartesianProduct" not in join_strategies(df)
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in _q(spark, "window_ntile_rank").collect())
+    assert a == b

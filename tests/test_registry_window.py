@@ -11,27 +11,14 @@ from adsmasterpipeline_spark.queries import (
 _load()
 
 MUST_PROVE = (
-    # r02-red (events-loader casualties, fixed round 3) — need green rows
-    "merge_last_writer_wins", "checksum_dispatch",
-    "incremental_watermark_scan", "sessionize",
-    "asof_attribution", "streaming_windowed_counts",
-    # never driver-checked before round 3 — corpus hygiene / layout / misc
-    "pii_scrub", "quality_rules_filter", "span_dedup_docs",
-    "source_mixture_sample", "zorder_data_skipping",
-    "cluster_keeper_quality", "salted_group_counts", "tfidf_top_terms",
-    # never driver-checked tpch_full shapes
-    "q3_shipping_priority", "q6_forecast_revenue", "q8_market_share",
-    "q9_product_profit", "q18_large_volume", "q21_suppliers_kept_waiting",
-    # the ten round-3 queries (never driver-checked)
-    "semantic_dedup", "dsir_importance_weights",
-    "mixture_temperature_weights", "embedding_cosine_neardup_gemm",
-    "vocab_encode_docs", "bigram_lm_nll", "bm25_topdf_terms",
-    "chunk_documents", "char_entropy", "winnow_fingerprints",
-    # one representative per previously-green family (regression canaries)
-    "dedup_exact", "minhash_signatures", "ngram_jaccard_pairs",
-    "dedup_clusters", "cosine_topk", "text_quality",
-    "repetition_quality", "benchmark_contamination",
-    "assign_scalable", "range_join_bands", "q1_pricing_summary",
+    # the six round-4 queries (never driver-checked)
+    "bpe_learn_encode", "duplicated_substring_runs",
+    "countmin_heavy_hitters", "pagerank_supplier_customer",
+    "ntile_rank_scalable", "ann_int8_quantized",
+    # changed in round 4 — need fresh green rows
+    "ann_sign_lsh", "vocab_encode_docs", "bm25_topdf_terms",
+    "chunk_documents", "dsir_importance_weights",
+    "embedding_cosine_neardup_gemm",
 )
 
 

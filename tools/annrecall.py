@@ -23,7 +23,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-ANN_QUERIES = ("ann_sign_lsh", "ann_ivf", "ann_ivf_kmeans")
+ANN_QUERIES = ("ann_sign_lsh", "ann_ivf", "ann_ivf_kmeans",
+               "ann_int8_quantized")
 
 
 def pairs(df) -> set[tuple[int, int]]:
