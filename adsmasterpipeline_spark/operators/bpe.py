@@ -83,8 +83,11 @@ def learn_bpe(word_counts: DataFrame, n_merges: int = 12,
     (word, cnt, sym array<string>)). Stops early when no adjacent pair
     occurs at least twice (weighted by word count).
     """
+    # pin the type table up front: round 1 otherwise evaluates the
+    # caller's word-count lineage (a corpus scan + aggregate) twice —
+    # once for the argmax, once under the first fold's checkpoint
     types = word_counts.select(
-        "word", "cnt", F.split("word", "").alias("sym"))
+        "word", "cnt", F.split("word", "").alias("sym")).localCheckpoint()
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         best = (pair_counts(types)

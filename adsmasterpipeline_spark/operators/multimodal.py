@@ -7,11 +7,13 @@ the executor and batches amortize Python crossing costs.
 
 Decode reality in this container: audio PCM WAV decodes for REAL via
 the stdlib ``wave`` fallback, video decodes for REAL for the RAWV
-raw-frame container (pure Python); image needs PIL (import-gated) and
-compressed audio/video need soundfile/ffmpeg deployments — those
-paths record per-row NotImplementedError. The Spark-side plumbing
-(schema, partitioning, batch shape, UDF signatures) is identical for
-every path and tested with the deterministic fake as well.
+raw-frame container (pure Python), and image decodes for REAL for
+binary netpbm (P5 grayscale / P6 RGB — the standard netpbm formats,
+parsed stdlib+numpy). PNG/JPEG need PIL (import-gated) and compressed
+audio/video need soundfile/ffmpeg deployments — those paths record
+per-row NotImplementedError. The Spark-side plumbing (schema,
+partitioning, batch shape, UDF signatures) is identical for every
+path and tested with the deterministic fake as well.
 """
 
 from __future__ import annotations
@@ -39,17 +41,71 @@ FEATURE_SCHEMA = ("asset_id long, kind string, n_bytes long, "
                   "feature array<double>, decode_ok boolean, error string")
 
 
+def _netpbm_gray(payload: bytes):
+    """Parse a binary netpbm image (P5 grayscale / P6 RGB — REAL public
+    formats, pure stdlib+numpy) into a normalized [0,1] grayscale
+    (h, w) array. Returns None when the magic doesn't match (so the
+    caller can fall through to PIL); raises ValueError on a corrupt
+    header/raster."""
+    import numpy as np
+
+    if payload is None or payload[:2] not in (b"P5", b"P6"):
+        return None
+    # header: magic, then 3 ints (w, h, maxval) separated by
+    # whitespace, with '#' comments running to end-of-line
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("corrupt netpbm header (unclosed comment)")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("corrupt netpbm header (missing field)")
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then the raster
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or maxval <= 0 or maxval > 65535:
+        raise ValueError("corrupt netpbm header (bad dimensions)")
+    nch = 3 if payload[:2] == b"P6" else 1
+    dt = np.dtype(">u2" if maxval > 255 else "u1")
+    need = w * h * nch * dt.itemsize
+    raster = payload[pos:pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated netpbm raster")
+    px = np.frombuffer(raster, dtype=dt).astype(np.float64) / maxval
+    if nch == 3:
+        px = px.reshape(h, w, 3).mean(axis=2)
+    else:
+        px = px.reshape(h, w)
+    return px
+
+
 def decode_image(payload: bytes, dims: int = 8) -> list[float]:
-    """Real image decode (optional extra): PIL grayscale-resize to a
-    ``dims``-pixel strip of normalized intensities. Raises
-    NotImplementedError when PIL is not installed — callers record the
+    """Real image decode: binary netpbm (P5/P6) parses with the stdlib
+    + numpy — no third-party codec — into a ``dims``-strip of
+    block-mean normalized intensities (the decode_video_frame feature
+    shape). Other formats (PNG/JPEG) go through PIL when installed;
+    without it they raise NotImplementedError — callers record the
     error per-row instead of failing the job."""
+    import numpy as np
+
+    gray = _netpbm_gray(payload)
+    if gray is not None:
+        return [float(c.mean()) if c.size else 0.0 for c in
+                np.array_split(gray, dims, axis=1)]
     try:
         from PIL import Image
     except ImportError:
         raise NotImplementedError(
-            "image codecs not available in this environment; "
-            "use fake_decode=True for deterministic plumbing tests")
+            "only netpbm (P5/P6) decodes in-environment; PNG/JPEG need "
+            "PIL; use fake_decode=True for deterministic plumbing tests")
     import io
     img = Image.open(io.BytesIO(payload)).convert("L").resize((dims, 1))
     return [p / 255.0 for p in img.getdata()]

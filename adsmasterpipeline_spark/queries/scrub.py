@@ -262,10 +262,15 @@ def duplicated_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = F.transform(
         F.sequence(F.lit(1), F.size("w") - (K - 1)),
         lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, K))))
+    # pin the gram table: it feeds both the dup-count aggregate and the
+    # position join, and Catalyst does not CSE the explode subtree —
+    # unpinned, the corpus is re-hashed per branch (the minhash
+    # materialize pattern; localCheckpoint severs lineage so the scale
+    # form works when grams exceed executor memory)
     g = (base.where(F.size("w") >= K)
          .select("doc_id", F.posexplode(hs).alias("pos0", "h"))
          .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"),
-                 "h"))
+                 "h")).localCheckpoint()
     dup = (g.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
            .where(F.col("c") >= 2).select("h"))
     dp = g.join(dup, "h").select("doc_id", "pos")

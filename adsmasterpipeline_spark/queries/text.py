@@ -686,3 +686,58 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("fp_sig"))
             .select("doc_id", F.col("n_grams").cast("long").alias("n_grams"),
                     "n_fingerprints", "fp_sig"))
+
+
+@query(
+    "inverted_index_topdf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    tf AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY tok, doc_id),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+                  CAST(SUM(tf) AS BIGINT) AS cf
+           FROM tf GROUP BY tok),
+    top AS (SELECT tok, df, cf FROM df ORDER BY df DESC, tok LIMIT 32)
+    SELECT t.tok AS term, t.df, t.cf,
+           md5(string_agg(tf.doc_id || ':' || tf.tf, ','
+                          ORDER BY tf.doc_id)) AS postings_sig
+    FROM top t JOIN tf ON tf.tok = t.tok
+    GROUP BY t.tok, t.df, t.cf
+    """,
+    "textops", "scale",
+    doc="Inverted-index build (the retrieval-index counterpart of "
+        "bm25_topdf_terms' scoring): per-term document frequency, "
+        "collection frequency, and the full postings list "
+        "(doc_id:tf pairs in doc order) md5-signed, for the corpus's "
+        "top-32 DF terms. Scale shape: postings shuffle keyed on the "
+        "TERM (the classic index-build partitioning — map-side "
+        "combinable tf aggregate, then term-keyed assembly); the "
+        "term selection is distributed TopK (TakeOrderedAndProject). "
+        "At 100 TB a production index range-shards each hot term's "
+        "postings by doc-id block before assembly — same plan keyed "
+        "on (term, doc_id DIV B); the md5 signature stands in for the "
+        "serialized posting block a real index would write.",
+)
+def inverted_index_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.split(_norm_text(), " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+    tf = (toks.groupBy("tok", "doc_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    df_t = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"))
+    top = df_t.orderBy(F.col("df").desc(), "tok").limit(32)
+    postings = F.md5(F.concat_ws(",", F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+        lambda s: F.concat_ws(":", s.getField("doc_id").cast("string"),
+                              s.getField("tf").cast("string")))))
+    return (tf.join(F.broadcast(top), "tok")
+            .groupBy(F.col("tok").alias("term"), "df", "cf")
+            .agg(postings.alias("postings_sig")))

@@ -60,6 +60,15 @@ BENCH_QUERIES = [
     "dsir_importance_weights",
     "embedding_cosine_neardup_gemm",
     "bigram_lm_nll",
+    # round-4 additions: real BPE (12 learned merges + encode),
+    # Lee-et-al-style duplicated-substring runs, count-min sketch,
+    # integer PageRank, scalable ntile twin, int8-quantized ANN
+    "bpe_learn_encode",
+    "duplicated_substring_runs",
+    "countmin_heavy_hitters",
+    "pagerank_supplier_customer",
+    "ntile_rank_scalable",
+    "ann_int8_quantized",
 ]
 
 

@@ -179,7 +179,7 @@ def test_multimodal_real_decode_stubbed(spark):
     except ImportError:
         has_pil = False
     if not has_pil:
-        assert "codecs not available" in errs["image"]
+        assert "only netpbm" in errs["image"]
     assert "no codec for kind=video" in errs["video"]
 
 
@@ -466,3 +466,35 @@ def test_sign_lsh_multiprobe_beats_single_probe(spark):
                                     hamming=2).collect()}
     assert len(multi & bf) >= len(single & bf)
     assert len(multi & bf) >= len(bf) * 0.25
+
+
+def test_image_real_netpbm_decode(spark):
+    """P5/P6 netpbm images decode for REAL (stdlib parse, block-mean
+    strip features) through the full mapInPandas path: hand-built
+    images with known intensities, comment-bearing headers, 16-bit
+    maxval, and a truncated raster recording its error row-wise."""
+    from adsmasterpipeline_spark.operators.multimodal import (
+        decode_image, extract_features)
+
+    # P5 4x2 grayscale, maxval 255: columns 0,64,128,255
+    p5 = b"P5\n# a comment\n4 2\n255\n" + bytes([0, 64, 128, 255] * 2)
+    f = decode_image(p5, dims=4)
+    assert f == [0.0, 64 / 255, 128 / 255, 1.0]
+    # P6 2x1 RGB: pixel0 pure red, pixel1 white -> grays 1/3, 1.0
+    p6 = b"P6 2 1 255\n" + bytes([255, 0, 0, 255, 255, 255])
+    f6 = decode_image(p6, dims=2)
+    assert abs(f6[0] - 1 / 3) < 1e-12 and f6[1] == 1.0
+    # 16-bit maxval (big-endian)
+    p5w = b"P5 1 1 65535\n" + (32768).to_bytes(2, "big")
+    assert abs(decode_image(p5w, dims=1)[0] - 32768 / 65535) < 1e-12
+
+    rows = [(1, "image", bytearray(p5)), (2, "image", bytearray(p6)),
+            (3, "image", bytearray(b"P5 4 4 255\n\x00\x01"))]  # truncated
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, media binary")
+    out = {r["asset_id"]: r for r in
+           extract_features(df, fake_decode=False).collect()}
+    assert out[1]["decode_ok"] and out[2]["decode_ok"]
+    assert not out[3]["decode_ok"]
+    assert "truncated netpbm raster" in out[3]["error"]
+    assert out[1]["feature"][:2] == [0.0, 64 / 255]
