@@ -114,3 +114,126 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cms_est").cast("long"),
                     (F.col("cms_est") - F.col("c")).cast("long")
                     .alias("overcount")))
+
+
+def _hex_int_sql(h: str, start: int, n: int) -> str:
+    """Value of n hex chars of ``h`` starting at 1-based ``start`` —
+    digit-fold form (DuckDB has no base-16 conv())."""
+    terms = " + ".join(
+        f"(strpos('{_HEX}', substr({h}, {start + i}, 1)) - 1) "
+        f"* {16 ** (n - 1 - i)}"
+        for i in range(n))
+    return f"({terms})"
+
+
+_HLL_M = 64          # registers (2^6)
+#: alpha_64 — write the same literal arithmetic in both engines so the
+#: doubles match bit-for-bit
+_HLL_ALPHA_SQL = "0.7213 / (1 + 1.079 / 64)"
+
+
+@query(
+    "hll_distinct_tokens",
+    f"""
+    WITH toks AS (
+      SELECT lang, tok FROM (
+        SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    h AS (
+      SELECT lang, tok,
+             {_hex_int_sql("md5(tok)", 31, 2)} % {_HLL_M} AS idx,
+             {_hex_int_sql("md5(tok)", 1, 8)} AS v
+      FROM toks
+    ),
+    regs AS (
+      SELECT lang, idx,
+             MAX(CASE WHEN v = 0 THEN 33
+                 ELSE 32 - CAST(FLOOR(LOG2(CAST(v AS DOUBLE))) AS BIGINT)
+                 END) AS m
+      FROM h GROUP BY lang, idx
+    ),
+    sums AS (
+      SELECT lang,
+             SUM(POWER(2.0, -CAST(m AS DOUBLE))) AS s,
+             COUNT(*) AS n_regs
+      FROM regs GROUP BY lang
+    ),
+    exact AS (
+      SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+      FROM toks GROUP BY lang
+    ),
+    est AS (
+      -- raw estimator + the standard small-range linear-counting
+      -- correction: raw <= 2.5m with V empty registers -> m*ln(m/V)
+      SELECT lang,
+             CASE WHEN {_HLL_ALPHA_SQL} * {_HLL_M} * {_HLL_M}
+                       / (s + ({_HLL_M} - n_regs)) <= 2.5 * {_HLL_M}
+                       AND n_regs < {_HLL_M}
+                  THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE)
+                                     / ({_HLL_M} - n_regs))
+                  ELSE {_HLL_ALPHA_SQL} * {_HLL_M} * {_HLL_M}
+                       / (s + ({_HLL_M} - n_regs)) END AS e
+      FROM sums
+    )
+    SELECT x.lang, x.exact_distinct,
+           CAST(FLOOR(est.e) AS BIGINT) AS hll_est,
+           CAST(FLOOR(ABS(est.e - x.exact_distinct) * 1000000.0
+                      / x.exact_distinct) AS BIGINT) AS err_ppm
+    FROM exact x JOIN est ON x.lang = est.lang
+    """,
+    "textops", "scale",
+    doc="HyperLogLog distinct-token cardinality per language (Flajolet "
+        f"et al. 2007), deterministic-hash form: {_HLL_M} registers, "
+        "register = md5 tail bits, rank = leading zeros of a 32-bit "
+        "md5 prefix (rho via FLOOR(LOG2) — exact for 32-bit values; "
+        "the 48-bit form can round across the floor boundary). "
+        "Cross-engine determinism: every 2^-M term is an exact power "
+        "of two spanning <= 33 bits, so the register sum is EXACT in "
+        "double regardless of summation order, and the alpha constant "
+        "is written as the same literal arithmetic in both engines. "
+        "Scale shape: one pass, max-aggregated onto <= 64 cells per "
+        "group — constant-size mergeable state (the HLL contract: "
+        "union = register-wise max), the exact COUNT DISTINCT exists "
+        "only to MEASURE the sketch error. The standard small-range "
+        "linear-counting correction (raw <= 2.5m with V empty "
+        "registers -> m*ln(m/V)) applies in both engines — the "
+        "synthetic per-language vocabulary sits in that regime, where "
+        "raw HLL overestimates ~2x and linear counting is near-exact. "
+        "Companion to "
+        "countmin_heavy_hitters: cardinality sketch + frequency "
+        "sketch. Spark's native approx_count_distinct is the same "
+        "algorithm engine-side; this form is the ORACLE-CHECKABLE "
+        "twin (distinct_counts_exact_vs_approx covers the native "
+        "one rows-only).",
+)
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select("lang",
+                     F.explode(F.split(_norm_text(), " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+    h5 = F.md5(F.col("tok"))
+    idx = F.conv(F.substring(h5, 31, 2), 16, 10).cast("long") % _HLL_M
+    v = F.conv(F.substring(h5, 1, 8), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(33)).otherwise(
+        32 - F.floor(F.log2(v.cast("double"))).cast("long"))
+    regs = (toks.select("lang", idx.alias("idx"), rho.alias("rho"))
+            .groupBy("lang", "idx").agg(F.max("rho").alias("m")))
+    alpha = F.lit(0.7213) / (1 + F.lit(1.079) / _HLL_M)
+    sums = regs.groupBy("lang").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m").cast("double"))).alias("s"),
+        F.count(F.lit(1)).alias("n_regs"))
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").cast("long").alias("exact_distinct"))
+    raw = alpha * _HLL_M * _HLL_M / (F.col("s") + (_HLL_M - F.col("n_regs")))
+    est = F.when((raw <= 2.5 * _HLL_M) & (F.col("n_regs") < _HLL_M),
+                 _HLL_M * F.log(F.lit(float(_HLL_M))
+                                / (_HLL_M - F.col("n_regs")))) \
+        .otherwise(raw)
+    return (exact.join(sums, "lang")
+            .select("lang", "exact_distinct",
+                    F.floor(est).cast("long").alias("hll_est"),
+                    F.floor(F.abs(est - F.col("exact_distinct"))
+                            * 1000000.0 / F.col("exact_distinct"))
+                    .cast("long").alias("err_ppm")))
