@@ -237,3 +237,120 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.abs(est - F.col("exact_distinct"))
                             * 1000000.0 / F.col("exact_distinct"))
                     .cast("long").alias("err_ppm")))
+
+
+_BLOOM_M = 262144   # bits (2^18) — sized for the benchmark set, not 512
+_BLOOM_K = 4        # hash functions
+
+_SHINGLE_SQL = ("CASE WHEN len(w) >= 3 THEN list_distinct("
+                "list_transform(range(1, len(w) - 1), "
+                "i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) "
+                "ELSE [norm] END")
+
+
+@query(
+    "bloom_shingle_filter",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS w,
+             {_NORM_SQL} AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, unnest({_SHINGLE_SQL}) AS shingle FROM base
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    bloombits AS MATERIALIZED (
+      SELECT DISTINCT
+             {_hex_int_sql("md5(CAST(r.j AS VARCHAR) || '|' || shingle)",
+                           28, 5)} % {_BLOOM_M} AS b
+      FROM bench, range(0, {_BLOOM_K}) r(j)
+    ),
+    train AS (
+      SELECT DISTINCT doc_id, shingle FROM sh WHERE source <> 'src0'
+    ),
+    probes AS (
+      SELECT t.doc_id, t.shingle,
+             {_hex_int_sql("md5(CAST(r.j AS VARCHAR) || '|' || t.shingle)",
+                           28, 5)} % {_BLOOM_M} AS b
+      FROM train t, range(0, {_BLOOM_K}) r(j)
+    ),
+    tested AS (
+      SELECT p.doc_id, p.shingle,
+             CASE WHEN COUNT(bb.b) = {_BLOOM_K} THEN 1 ELSE 0 END
+               AS bloom_pass
+      FROM probes p LEFT JOIN bloombits bb ON p.b = bb.b
+      GROUP BY p.doc_id, p.shingle
+    ),
+    labeled AS (
+      SELECT t.doc_id, t.bloom_pass,
+             CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END AS truth
+      FROM tested t LEFT JOIN bench b ON t.shingle = b.shingle
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(bloom_pass) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(truth) AS BIGINT) AS n_true,
+           CAST(SUM(bloom_pass) - SUM(truth) AS BIGINT)
+             AS n_false_positive
+    FROM labeled GROUP BY doc_id
+    """,
+    "textops", "scale", "dedup",
+    doc="Bloom-filter membership pre-screen (Bloom 1970) for the "
+        f"decontamination join: a {_BLOOM_M}-bit (2^18) / {_BLOOM_K}-"
+        "hash filter over the benchmark shingle set, tested against "
+        "every training shingle, with the TRUE match set joined "
+        "alongside so the false-positive count is measured per "
+        "document. Bloom never misses (n_bloom_pass >= n_true always "
+        "— a zero false-negative guarantee both engines must "
+        "reproduce exactly); md5-derived bit positions make the "
+        "filter bit-identical across engines. Scale shape: membership "
+        "is a hash JOIN on integer bit ids against the (distinct, "
+        "broadcastable) set-bit table — never a per-row linear scan "
+        "of a bit array — and the filter is sized ~13 bits/element "
+        "for the sf0.1 benchmark set (~0.8% theoretical FP at k=4; "
+        "the measured rate is the n_false_positive column). The "
+        "oracle-checkable twin of the runtime bloom-filter join "
+        "pruning Spark's AQE injects natively: only bloom-passing "
+        "shingles would reach the expensive verification join. "
+        "Completes the sketch trio: count-min (frequency), HLL "
+        "(cardinality), Bloom (membership).",
+)
+def bloom_shingle_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "source",
+                  F.explode(shingles(F.col("text"), 3)).alias("shingle"))
+    bench = (sh.where(F.col("source") == "src0")
+             .select("shingle").distinct())
+
+    def bit(j, col):
+        h = F.md5(F.concat(F.lit(f"{j}|"), col))
+        return F.conv(F.substring(h, 28, 5), 16, 10).cast("long") % _BLOOM_M
+
+    bloombits = (bench.select(F.explode(F.array(*[
+        bit(j, F.col("shingle")) for j in range(_BLOOM_K)])).alias("b"))
+        .distinct())
+    train = (sh.where(F.col("source") != "src0")
+             .select("doc_id", "shingle").distinct())
+    probes = train.select("doc_id", "shingle", F.explode(F.array(*[
+        bit(j, F.col("shingle")) for j in range(_BLOOM_K)])).alias("b"))
+    tested = (probes
+              .join(F.broadcast(bloombits.withColumnRenamed("b", "_hit")),
+                    F.col("b") == F.col("_hit"), "left")
+              .groupBy("doc_id", "shingle")
+              .agg(F.when(F.count("_hit") == _BLOOM_K, 1).otherwise(0)
+                   .alias("bloom_pass")))
+    labeled = (tested
+               .join(bench.withColumnRenamed("shingle", "_b"),
+                     F.col("shingle") == F.col("_b"), "left")
+               .select("doc_id", "bloom_pass",
+                       F.when(F.col("_b").isNotNull(), 1).otherwise(0)
+                       .alias("truth")))
+    return (labeled.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                 F.sum("bloom_pass").cast("long").alias("n_bloom_pass"),
+                 F.sum("truth").cast("long").alias("n_true"),
+                 (F.sum("bloom_pass") - F.sum("truth")).cast("long")
+                 .alias("n_false_positive")))
