@@ -267,3 +267,107 @@ def blocked_gemm_pairs(vectors: DataFrame, threshold: float,
             })
 
     return tiles.mapInPandas(run, schema="vec_a long, vec_b long, sim double")
+
+
+def pq_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
+            m_sub: int = 8, d_sub: int = 8, k_cent: int = 16,
+            iters: int = 2, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization ANN (Jegou, Douze & Schmid 2011, "Product
+    quantization for nearest neighbor search") with asymmetric
+    distance computation (ADC).
+
+    Vectors are L2-normalized (so ADC dot products approximate
+    cosine), split into ``m_sub`` subvectors of ``d_sub`` dims; each
+    subspace learns ``k_cent`` centroids by L2 k-means — ALL subspaces
+    train in ONE dataflow (rows are (vec_id, sub_idx, subvec); the
+    centroid table keys on (sub_idx, cid) and broadcasts) — and every
+    candidate compresses to ``m_sub`` one-byte codes. Queries build a
+    LUT of per-subspace partial dot products against the centroids
+    (|Q| * m_sub * k_cent rows, broadcast), and scoring is
+    codes ⋈ LUT + a sum — the candidate VECTORS never participate in
+    scoring, which is the PQ contract: a 64-float vector becomes 8
+    bytes (32x compression, vs int8's 4x) and search touches only
+    codes. Approximation quality is tracked in ANNRECALL_r{N}.json.
+
+    Scale shape: training touches (n * m_sub) slim rows per iteration
+    with a broadcast centroid table (m_sub * k_cent rows) and
+    localCheckpoint per round (the k-means pattern); scoring fans
+    codes out by |Q| — bounded query sets, the ADC regime. Rows-only
+    registry entry (8 subspace k-means rounds are not reasonably
+    SQL-replayable; ann_ivf_kmeans covers the oracled-kmeans shape).
+    """
+    def unit(vec):
+        n = F.sqrt(F.aggregate(
+            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, b: a + b))
+        return F.when(n == 0, F.transform(vec, lambda x: F.lit(0.0))) \
+            .otherwise(F.transform(vec, lambda x: x.cast("double") / n))
+
+    def subrows(df, ident):
+        subs = F.array(*[F.slice(unit(F.col(vec_col)), i * d_sub + 1, d_sub)
+                         for i in range(m_sub)])
+        return df.select(F.col(id_col).alias(ident),
+                         F.posexplode(subs).alias("sub_idx", "sv"))
+
+    cand_sub = subrows(candidates, "cid_v").localCheckpoint()
+
+    # init: subvectors of the k_cent lowest candidate ids (deterministic)
+    seed_ids = [r[0] for r in candidates.select(id_col)
+                .orderBy(id_col).limit(k_cent).collect()]
+    id_to_cid = F.create_map(*[F.lit(x) for pair in
+                               ((sid, i) for i, sid in enumerate(seed_ids))
+                               for x in pair])
+    cen = (cand_sub.where(F.col("cid_v").isin(seed_ids))
+           .select("sub_idx", id_to_cid[F.col("cid_v")].alias("cid"),
+                   F.col("sv").alias("cen")).localCheckpoint())
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda p, q: p + q)
+
+    def assign(rows, ident):
+        d = rows.join(F.broadcast(cen), "sub_idx")
+        return (d.groupBy(ident, "sub_idx")
+                .agg(F.min_by("cid", F.struct(l2(F.col("sv"),
+                                                 F.col("cen")).alias("d"),
+                                              F.col("cid"))).alias("code"),
+                     F.first("sv").alias("sv")))
+
+    for _ in range(iters):
+        assigned = assign(cand_sub, "cid_v")
+        new = (assigned.select("sub_idx", "code",
+                               F.posexplode("sv").alias("pos", "val"))
+               .groupBy("sub_idx", "code", "pos")
+               .agg(F.avg("val").alias("v"))
+               .groupBy("sub_idx", F.col("code").alias("cid"))
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "v")))
+                    .alias("_pv"))
+               .select("sub_idx", "cid",
+                       F.transform("_pv", lambda s: s.getField("v"))
+                       .alias("cen")))
+        # empty clusters keep their previous centroid
+        kept = cen.join(new.select("sub_idx", "cid"),
+                        ["sub_idx", "cid"], "left_anti")
+        cen = new.unionByName(kept).localCheckpoint()
+
+    codes = assign(cand_sub, "cid_v").select(
+        F.col("cid_v").alias("neighbor_id"), "sub_idx", "code")
+
+    lut = (subrows(queries, "query_id")
+           .join(F.broadcast(cen), "sub_idx")
+           .select("query_id", "sub_idx", F.col("cid"),
+                   F.aggregate(F.zip_with("sv", "cen",
+                                          lambda x, y: x * y),
+                               F.lit(0.0), lambda a, b: a + b).alias("p")))
+    scored = (codes.join(F.broadcast(lut),
+                         (codes["sub_idx"] == lut["sub_idx"])
+                         & (codes["code"] == lut["cid"]))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.round(F.sum("p"), 6).alias("sim")))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                          F.col("neighbor_id"))
+    return (scored.where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))

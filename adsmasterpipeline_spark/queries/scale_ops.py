@@ -249,3 +249,25 @@ def salted_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return salted_agg_count(d, "lang").select(
         "lang", F.col("count").cast("long").alias("n"))
+
+
+@query(
+    "ann_pq", None, "vectors", "scale",
+    doc="Product-quantization ANN (Jegou et al. 2011) with ADC: 16 "
+        "subspaces x 4 dims, 32 centroids each — vectors compress to "
+        "16 one-byte codes (16x vs float32) and scoring touches only "
+        "codes + a broadcast query LUT, never candidate vectors. "
+        "recall@3 ~0.49 on the random synthetic embeddings (tracked "
+        "in ANNRECALL_r{N}.json; random data is PQ's worst case — "
+        "real clustered embeddings quantize far better). Rows-only: "
+        "the 16 subspace k-means rounds are not reasonably "
+        "SQL-replayable (ann_ivf_kmeans covers the oracled-kmeans "
+        "shape).",
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 32)
+    return pq_topk(q, e, k=3, m_sub=16, d_sub=4, k_cent=32).select(
+        "query_id", "neighbor_id", "sim", "rnk")

@@ -498,3 +498,19 @@ def test_image_real_netpbm_decode(spark):
     assert not out[3]["decode_ok"]
     assert "truncated netpbm raster" in out[3]["error"]
     assert out[1]["feature"][:2] == [0.0, 64 / 255]
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    """PQ-ADC recall floor vs brute force on the real testdata, plus
+    run-to-run determinism (seeded init, no RNG anywhere)."""
+    from adsmasterpipeline_spark.operators.similarity import pq_topk
+    from adsmasterpipeline_spark.sources import load_table
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") < 16)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in brute_force_topk(q, e, k=3).collect()}
+    a = pq_topk(q, e, k=3, m_sub=16, d_sub=4, k_cent=32).collect()
+    pq = {(r["query_id"], r["neighbor_id"]) for r in a}
+    assert len(pq & bf) >= len(bf) * 0.2
+    b = pq_topk(q, e, k=3, m_sub=16, d_sub=4, k_cent=32).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 ANN_QUERIES = ("ann_sign_lsh", "ann_ivf", "ann_ivf_kmeans",
-               "ann_int8_quantized")
+               "ann_int8_quantized", "ann_pq")
 
 
 def pairs(df) -> set[tuple[int, int]]:
