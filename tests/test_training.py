@@ -176,3 +176,60 @@ def test_bpe_pair_argmax_is_distributed_topk(spark):
             .orderBy(F.col("c").desc(), "a", "b").limit(1))
     assert takeordered_count(top1) >= 1
     assert single_partition_exchanges(top1) == 0
+
+
+def _bpe_model(word_counts, n_merges):
+    """Independent pure-Python BPE: same spec as operators/bpe.py
+    (weighted pair counts, count-desc/(a,b)-lexicographic argmax,
+    greedy left-to-right merge, stop below weighted count 2)."""
+    types = {w: list(w) for w, _ in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for w, c in word_counts:
+            sym = types[w]
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        for w in types:
+            out = []
+            for x in types[w]:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            types[w] = out
+    return merges, types
+
+
+def test_learn_bpe_property_vs_model(spark):
+    """learn_bpe must agree with the independent dict-fold model on
+    merge ORDER and final symbol tables across adversarial tiny
+    corpora (overlapping merges, ties, repeated chars)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from adsmasterpipeline_spark.operators.bpe import learn_bpe
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    corpus = st.lists(
+        st.tuples(word, st.integers(min_value=1, max_value=3)),
+        min_size=1, max_size=4, unique_by=lambda t: t[0])
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(wc=corpus)
+    def check(wc):
+        df = spark.createDataFrame(wc, "word string, cnt long")
+        got_merges, got_types = learn_bpe(df, n_merges=4)
+        want_merges, want_types = _bpe_model(wc, 4)
+        assert got_merges == want_merges
+        got = {r["word"]: r["sym"] for r in got_types.collect()}
+        assert got == want_types
+
+    check()
