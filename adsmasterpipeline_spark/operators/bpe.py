@@ -38,9 +38,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: symbol separator inside the fold accumulator — below every
-#: character the whitespace-collapsed normalizer can emit, and shared
-#: with the SQL oracle's chr(31)
+#: symbol separator inside the fold accumulator, shared with the SQL
+#: oracle's chr(31). PRECONDITION: input words must not contain this
+#: character — a word containing it would alias the separator and
+#: corrupt the fold (['\\x1fb','\\x1fb'] folding wrong under merge
+#: ('\\x1f','b')). bpe_learn_encode strips it from tokens on BOTH
+#: engines before counting; callers feeding learn_bpe directly must
+#: do the same.
 SEP = "\x1f"
 
 

@@ -70,14 +70,18 @@ def sign_bucket_int(vec: Column, planes: int = 8) -> Column:
 
 
 def hamming_masks(planes: int, hamming: int) -> list[int]:
-    """All XOR masks flipping <= ``hamming`` of ``planes`` bits
-    (hamming <= 2 supported: 1 + p + p(p-1)/2 masks)."""
+    """All XOR masks flipping <= ``hamming`` of ``planes`` bits —
+    any distance (sum of C(planes, d) for d <= hamming masks), so a
+    caller asking for a wider ball gets it rather than a silent cap."""
+    from itertools import combinations
+
     masks = [0]
-    if hamming >= 1:
-        masks += [1 << i for i in range(planes)]
-    if hamming >= 2:
-        masks += [(1 << i) | (1 << j)
-                  for i in range(planes) for j in range(i + 1, planes)]
+    for d in range(1, min(hamming, planes) + 1):
+        for bits in combinations(range(planes), d):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
     return masks
 
 

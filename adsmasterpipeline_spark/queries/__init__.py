@@ -49,8 +49,8 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 #
 # Round-4 rotation (VERDICT.md r3 task 9): cumulative driver-green
 # across rounds is what counts — every oracled query has a green row
-# in r01-r03, so this window = the six NEW round-4 queries + the six
-# whose code CHANGED in round 4 (need fresh green rows) + the 38
+# in r01-r03, so this window = the nine NEW round-4 queries + the six
+# whose code CHANGED in round 4 (need fresh green rows) + the 35
 # oracled queries whose last driver-green is OLDEST (round 1),
 # refreshing the stalest evidence.  Everything else is covered by the
 # committed full-registry artifacts CHECKALL_r04_sf001/sf01.json plus

@@ -92,8 +92,10 @@ def _bucket(j: int, tok) -> F.Column:
 )
 def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # pin the token stream: it feeds both the exact count and the
+    # sketch cells, and Catalyst does not CSE the explode subtree
     toks = (d.select(F.explode(F.split(_norm_text(), " ")).alias("tok"))
-            .where(F.col("tok") != ""))
+            .where(F.col("tok") != "")).localCheckpoint()
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
     top = cnt.orderBy(F.col("c").desc(), "tok").limit(20)
     cells = toks.select(F.explode(F.array(*[
@@ -210,9 +212,10 @@ _HLL_ALPHA_SQL = "0.7213 / (1 + 1.079 / 64)"
 )
 def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # pinned: feeds both the register build and the exact twin
     toks = (d.select("lang",
                      F.explode(F.split(_norm_text(), " ")).alias("tok"))
-            .where(F.col("tok") != ""))
+            .where(F.col("tok") != "")).localCheckpoint()
     h5 = F.md5(F.col("tok"))
     idx = F.conv(F.substring(h5, 31, 2), 16, 10).cast("long") % _HLL_M
     v = F.conv(F.substring(h5, 1, 8), 16, 10).cast("long")
@@ -320,8 +323,11 @@ def bloom_shingle_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles
 
     d = load_table(spark, sf_dir, "documents")
+    # pinned: feeds the benchmark side (filter bits + truth join) and
+    # the training side — unpinned, the corpus re-shingles per branch
     sh = d.select("doc_id", "source",
-                  F.explode(shingles(F.col("text"), 3)).alias("shingle"))
+                  F.explode(shingles(F.col("text"), 3)).alias("shingle")
+                  ).localCheckpoint()
     bench = (sh.where(F.col("source") == "src0")
              .select("shingle").distinct())
 

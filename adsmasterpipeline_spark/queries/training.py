@@ -764,11 +764,13 @@ def _bpe_sql(n_merges: int = 12) -> str:
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
     ),
     wp AS (
-      SELECT doc_id, tok AS word, pos FROM (
+      -- chr(31) is the fold separator (operators/bpe.SEP); strip it
+      -- from words on BOTH engines so no symbol can alias it
+      SELECT doc_id, replace(tok, chr(31), '') AS word, pos FROM (
         SELECT doc_id, unnest(w) AS tok,
                unnest(range(1, len(w) + 1)) AS pos
         FROM base
-      ) WHERE tok <> ''
+      ) WHERE replace(tok, chr(31), '') <> ''
     ),
     wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
            FROM wp GROUP BY word),
@@ -809,12 +811,18 @@ def _bpe_sql(n_merges: int = 12) -> str:
 def bpe_learn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import learn_bpe
 
+    from ..operators.bpe import SEP
+
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.split(_norm_text(), " ").alias("w"))
+    # strip the fold separator from words (operators/bpe.SEP
+    # precondition), mirrored in the oracle's replace(tok, chr(31), '')
     wp = (base.select(
-        "doc_id", F.posexplode("w").alias("pos0", "word"))
-        .where(F.col("word") != "")
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word"))
+        "doc_id", F.posexplode("w").alias("pos0", "_w0"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                F.replace(F.col("_w0"), F.lit(SEP), F.lit(""))
+                .alias("word"))
+        .where(F.col("word") != ""))
     wc = wp.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     _, types = learn_bpe(wc, n_merges=12)
     return (wp.join(types.select("word", "sym"), "word")

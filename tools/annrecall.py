@@ -23,8 +23,12 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-ANN_QUERIES = ("ann_sign_lsh", "ann_ivf", "ann_ivf_kmeans",
-               "ann_int8_quantized", "ann_pq")
+#: each ANN query's DEFINED query set (vec_id < bound) — the recall
+#: denominator must come from the definition, not from which queries
+#: happened to return pairs (a query with zero ANN results must count
+#: its missed truth pairs against recall, not drop out)
+ANN_QUERIES = {"ann_sign_lsh": 32, "ann_ivf": 32, "ann_ivf_kmeans": 16,
+               "ann_int8_quantized": 8, "ann_pq": 32}
 
 
 def pairs(df) -> set[tuple[int, int]]:
@@ -51,20 +55,15 @@ def main() -> int:
         sf_key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
         exact = pairs(REGISTRY["ann_brute_force"].spark_fn(spark, sf_dir))
         row: dict[str, dict] = {}
-        for name in ANN_QUERIES:
+        for name, qbound in ANN_QUERIES.items():
             t0 = time.time()
             approx = pairs(REGISTRY[name].spark_fn(spark, sf_dir))
-            qset = {q for q, _ in approx} | {q for q, _ in exact
-                                            if any(a == q for a, _ in approx)}
-            # restrict ground truth to the queries this ANN variant
-            # actually answers (ann_ivf_kmeans uses vec_id < 16)
-            ann_queries = {q for q, _ in approx}
-            truth = {p for p in exact if p[0] in ann_queries}
+            truth = {p for p in exact if p[0] < qbound}
             hit = len(approx & truth)
             recall = round(hit / len(truth), 4) if truth else None
             row[name] = {
                 "recall_at_3": recall,
-                "n_queries": len(ann_queries),
+                "n_queries": qbound,
                 "truth_pairs": len(truth),
                 "hit_pairs": hit,
                 "secs": round(time.time() - t0, 2),
