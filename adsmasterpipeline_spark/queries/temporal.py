@@ -84,3 +84,84 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      FROM events
+    ),
+    s1 AS (
+      SELECT user_id, MIN(struct_pack(t := ts_us, i := event_id)) AS m
+      FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(struct_pack(t := e.ts_us, i := e.event_id)) AS m
+      FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND struct_pack(t := e.ts_us, i := e.event_id) > s1.m
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(struct_pack(t := e.ts_us, i := e.event_id)) AS m
+      FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND struct_pack(t := e.ts_us, i := e.event_id) > s2.m
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CAST(1 + CASE WHEN s2.m IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s3.m IS NULL THEN 0 ELSE 1 END AS INT)
+             AS stage,
+           CAST((s1.m).t AS BIGINT) AS view_ts_us,
+           CAST((s2.m).t AS BIGINT) AS click_ts_us,
+           CAST((s3.m).t AS BIGINT) AS purchase_ts_us
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    "temporal", "window",
+    doc="Ordered funnel analysis (view -> click -> purchase) per user: "
+        "stage k's event is the EARLIEST matching event strictly after "
+        "stage k-1's, with (ts, event_id) lexicographic order for "
+        "deterministic tie-breaks — the product-analytics conversion "
+        "funnel. Each stage is one filtered min-struct aggregate "
+        "(map-side combinable) plus a user-keyed join — no windows, no "
+        "per-user event sorting; users who never 'view' are outside "
+        "the funnel by definition. At 100 TB events shuffle once per "
+        "stage on user_id and AQE co-partitions the stage joins; the "
+        "chain generalizes to any fixed step list.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id")
+    key = F.struct(F.col("ts_us").alias("t"), F.col("event_id").alias("i"))
+
+    def stage(ev_type, prev):
+        e = ev.where(F.col("event_type") == ev_type)
+        if prev is not None:
+            e = (e.join(prev.select("user_id", F.col("m").alias("_pm")),
+                        "user_id")
+                 .where(key > F.col("_pm")))
+        return e.groupBy("user_id").agg(F.min(key).alias("m"))
+
+    s1 = stage("view", None)
+    s2 = stage("click", s1)
+    s3 = stage("purchase", s2)
+    return (s1
+            .join(s2.select("user_id", F.col("m").alias("m2")),
+                  "user_id", "left")
+            .join(s3.select("user_id", F.col("m").alias("m3")),
+                  "user_id", "left")
+            .select(
+                "user_id",
+                (1 + F.when(F.col("m2").isNull(), 0).otherwise(1)
+                 + F.when(F.col("m3").isNull(), 0).otherwise(1))
+                .cast("int").alias("stage"),
+                F.col("m.t").cast("long").alias("view_ts_us"),
+                F.col("m2.t").cast("long").alias("click_ts_us"),
+                F.col("m3.t").cast("long").alias("purchase_ts_us")))

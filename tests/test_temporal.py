@@ -66,3 +66,50 @@ def test_range_join_band_outside_domain(spark):
     bands = spark.createDataFrame(
         [("far", 1e6, 2e6)], "band string, lo double, hi double")
     assert range_join_bucketed(facts, bands, "v").count() == 0
+
+
+def test_funnel_conversion_hand_computed(spark, tmp_path):
+    """Planted event orderings: out-of-order events don't count,
+    same-timestamp ties resolve by event_id (strictly-after), users
+    without the entry event are outside the funnel."""
+    import datetime as dt
+
+    from adsmasterpipeline_spark.queries.temporal import funnel_conversion
+
+    def t(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, sec)
+
+    rows = [
+        # user 1: full funnel, with decoys before each stage
+        (1, t(5), 1, "click", 0.0, "{}"),       # click before view: no
+        (2, t(10), 1, "view", 0.0, "{}"),
+        (3, t(15), 1, "purchase", 0.0, "{}"),   # purchase before click: no
+        (4, t(20), 1, "click", 0.0, "{}"),
+        (5, t(30), 1, "purchase", 0.0, "{}"),
+        # user 2: view only
+        (6, t(10), 2, "view", 0.0, "{}"),
+        # user 3: no view -> outside the funnel
+        (7, t(10), 3, "click", 0.0, "{}"),
+        (8, t(20), 3, "purchase", 0.0, "{}"),
+        # user 4: all at the SAME ts — id order decides:
+        # view id 10, click id 12 (after), purchase id 9 (before click)
+        (10, t(40), 4, "view", 0.0, "{}"),
+        (12, t(40), 4, "click", 0.0, "{}"),
+        (9, t(40), 4, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    sf = str(tmp_path / "funnel")
+    df.coalesce(1).write.parquet(sf + "/events.parquet")
+    out = {r["user_id"]: r for r in funnel_conversion(spark, sf).collect()}
+    assert set(out) == {1, 2, 4}
+    u1 = out[1]
+    assert u1["stage"] == 3
+    us = lambda sec: int(dt.datetime(  # noqa: E731
+        2024, 1, 1, 0, 0, sec,
+        tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert (u1["view_ts_us"], u1["click_ts_us"], u1["purchase_ts_us"]) \
+        == (us(10), us(20), us(30))
+    assert out[2]["stage"] == 1 and out[2]["click_ts_us"] is None
+    assert out[4]["stage"] == 2 and out[4]["purchase_ts_us"] is None
