@@ -61,7 +61,7 @@ PRIORITY: tuple[str, ...] = (
     "countmin_heavy_hitters", "pagerank_supplier_customer",
     "ntile_rank_scalable", "ann_int8_quantized",
     "inverted_index_topdf", "hll_distinct_tokens",
-    "bloom_shingle_filter", "funnel_conversion",
+    "bloom_shingle_filter", "funnel_conversion", "cohort_retention",
     # -- changed in round 4 (distributed TopK / multiprobe / decimal
     #    rounding / tail-chunk + overflow fixes) --
     "ann_sign_lsh", "vocab_encode_docs", "bm25_topdf_terms",
@@ -80,7 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "date_buckets", "has_fields", "levenshtein_similarity",
     "json_payload_extract",
     # -- stalest (r01): grouping-set extras --
-    "rollup_revenue", "cube_order_stats", "pivot_status_by_segment",
+    "rollup_revenue", "cube_order_stats",
     # -- stalest (r01/r02): corpus + ANN pipeline family --
     "corpus_clean", "embedding_quantize", "corpus_dedup_pipeline",
     "corpus_train_split", "ann_ivf_kmeans",

@@ -165,3 +165,73 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("m.t").cast("long").alias("view_ts_us"),
                 F.col("m2.t").cast("long").alias("click_ts_us"),
                 F.col("m3.t").cast("long").alias("purchase_ts_us")))
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 604800000000)
+                  AS BIGINT) AS wk
+      FROM events
+    ),
+    su AS (
+      SELECT user_id, MIN(wk) AS cohort_wk
+      FROM ev WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    cohorts AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_cohort
+      FROM su GROUP BY cohort_wk
+    ),
+    act AS (
+      SELECT DISTINCT su.cohort_wk, e.wk - su.cohort_wk AS off, e.user_id
+      FROM ev e JOIN su ON e.user_id = su.user_id
+      WHERE e.wk >= su.cohort_wk
+    ),
+    ret AS (
+      SELECT cohort_wk, off, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM act GROUP BY cohort_wk, off
+    )
+    SELECT r.cohort_wk AS cohort_week, r.off AS week_offset,
+           r.n_active, c.n_cohort,
+           CAST(FLOOR(CAST(r.n_active AS DOUBLE) * 1000000.0
+                      / c.n_cohort) AS BIGINT) AS retention_ppm
+    FROM ret r JOIN cohorts c ON r.cohort_wk = c.cohort_wk
+    """,
+    "temporal", "window",
+    doc="Cohort retention (the product-analytics companion to "
+        "funnel_conversion): users cohorted by their first 'signup' "
+        "week (epoch-week = floor(epoch_us / 604800e6) — no calendar/"
+        "timezone ambiguity across engines), then the fraction of each "
+        "cohort active in week offset k, as floor-scaled ppm of exact "
+        "integer counts. Scale shape: one min-aggregate for cohort "
+        "assignment, a user-keyed join, and a distinct + count "
+        "aggregate on (cohort, offset, user) — all map-side "
+        "combinable, shuffles keyed on user_id / small composites; no "
+        "windows, no per-user ordering. Activity before signup is "
+        "excluded; users who never sign up are outside every cohort.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wk = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                 / 604800000000).cast("long")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", wk.alias("wk"))
+    su = (ev.where(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("wk").alias("cohort_wk")))
+    cohorts = su.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort"))
+    act = (ev.join(su, "user_id")
+           .where(F.col("wk") >= F.col("cohort_wk"))
+           .select("cohort_wk", (F.col("wk") - F.col("cohort_wk"))
+                   .alias("off"), "user_id")
+           .distinct())
+    ret = act.groupBy("cohort_wk", "off").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"))
+    return (ret.join(cohorts, "cohort_wk")
+            .select(F.col("cohort_wk").alias("cohort_week"),
+                    F.col("off").alias("week_offset"),
+                    "n_active", "n_cohort",
+                    F.floor(F.col("n_active").cast("double") * 1000000.0
+                            / F.col("n_cohort")).cast("long")
+                    .alias("retention_ppm")))

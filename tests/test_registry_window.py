@@ -16,7 +16,7 @@ MUST_PROVE = (
     "countmin_heavy_hitters", "pagerank_supplier_customer",
     "ntile_rank_scalable", "ann_int8_quantized",
     "inverted_index_topdf", "hll_distinct_tokens",
-    "bloom_shingle_filter", "funnel_conversion",
+    "bloom_shingle_filter", "funnel_conversion", "cohort_retention",
     # changed in round 4 — need fresh green rows
     "ann_sign_lsh", "vocab_encode_docs", "bm25_topdf_terms",
     "chunk_documents", "dsir_importance_weights",

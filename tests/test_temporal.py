@@ -113,3 +113,37 @@ def test_funnel_conversion_hand_computed(spark, tmp_path):
         == (us(10), us(20), us(30))
     assert out[2]["stage"] == 1 and out[2]["click_ts_us"] is None
     assert out[4]["stage"] == 2 and out[4]["purchase_ts_us"] is None
+
+
+def test_cohort_retention_hand_computed(spark, tmp_path):
+    """Planted cohorts: 2 users sign up week 0 (one active week 1),
+    1 user signs up week 1; pre-signup activity and never-signed-up
+    users are excluded."""
+    import datetime as dt
+
+    from adsmasterpipeline_spark.queries.temporal import cohort_retention
+
+    wk0 = dt.datetime(1970, 1, 1, 12)             # epoch week 0
+    wk = lambda k: wk0 + dt.timedelta(weeks=k)    # noqa: E731
+    rows = [
+        (1, wk(0), 1, "signup", 0.0, "{}"),
+        (2, wk(1), 1, "click", 0.0, "{}"),        # active offset 1
+        (3, wk(0), 2, "signup", 0.0, "{}"),
+        (4, wk(0) - dt.timedelta(days=3), 2, "view", 0.0, "{}"),  # pre-signup
+        (5, wk(1), 3, "signup", 0.0, "{}"),
+        (6, wk(3), 3, "purchase", 0.0, "{}"),     # offset 2
+        (7, wk(0), 9, "click", 0.0, "{}"),        # never signs up
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    sf = str(tmp_path / "cohort")
+    df.coalesce(1).write.parquet(sf + "/events.parquet")
+    out = {(r["cohort_week"], r["week_offset"]): r
+           for r in cohort_retention(spark, sf).collect()}
+    assert set(out) == {(0, 0), (0, 1), (1, 0), (1, 2)}
+    assert out[(0, 0)]["n_active"] == 2 and out[(0, 0)]["n_cohort"] == 2
+    assert out[(0, 0)]["retention_ppm"] == 1000000
+    assert out[(0, 1)]["n_active"] == 1
+    assert out[(0, 1)]["retention_ppm"] == 500000
+    assert out[(1, 0)]["n_cohort"] == 1 and out[(1, 2)]["n_active"] == 1
