@@ -49,8 +49,8 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 #
 # Round-4 rotation (VERDICT.md r3 task 9): cumulative driver-green
 # across rounds is what counts — every oracled query has a green row
-# in r01-r03, so this window = the nine NEW round-4 queries + the six
-# whose code CHANGED in round 4 (need fresh green rows) + the 35
+# in r01-r03, so this window = the twelve NEW round-4 queries + the six
+# whose code CHANGED in round 4 (need fresh green rows) + the 32
 # oracled queries whose last driver-green is OLDEST (round 1),
 # refreshing the stalest evidence.  Everything else is covered by the
 # committed full-registry artifacts CHECKALL_r04_sf001/sf01.json plus
@@ -62,6 +62,7 @@ PRIORITY: tuple[str, ...] = (
     "ntile_rank_scalable", "ann_int8_quantized",
     "inverted_index_topdf", "hll_distinct_tokens",
     "bloom_shingle_filter", "funnel_conversion", "cohort_retention",
+    "path_transitions",
     # -- changed in round 4 (distributed TopK / multiprobe / decimal
     #    rounding / tail-chunk + overflow fixes) --
     "ann_sign_lsh", "vocab_encode_docs", "bm25_topdf_terms",
@@ -80,7 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "date_buckets", "has_fields", "levenshtein_similarity",
     "json_payload_extract",
     # -- stalest (r01): grouping-set extras --
-    "rollup_revenue", "cube_order_stats",
+    "rollup_revenue",
     # -- stalest (r01/r02): corpus + ANN pipeline family --
     "corpus_clean", "embedding_quantize", "corpus_dedup_pipeline",
     "corpus_train_split", "ann_ivf_kmeans",

@@ -235,3 +235,56 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("n_active").cast("double") * 1000000.0
                             / F.col("n_cohort")).cast("long")
                     .alias("retention_ppm")))
+
+
+@query(
+    "path_transitions",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             ts_us - LAG(ts_us) OVER w AS gap_us
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq
+    WHERE prev_type IS NOT NULL AND gap_us <= 1800000000
+    GROUP BY prev_type, event_type
+    """,
+    "temporal", "window",
+    doc="User-journey path transitions: consecutive event-type pairs "
+        "per user (ordered by (ts, event_id) — deterministic ties) "
+        "within a 30-minute gap, aggregated to transition counts and "
+        "distinct-user counts — the Markov-chain edge table behind "
+        "'users who did X then did Y' product analytics and the input "
+        "to next-step prediction. Scale shape: ONE per-user window "
+        "(partitioned — parallel, no global funnel) + a "
+        "map-side-combinable aggregate on the tiny (from, to) key "
+        "space; the same shape extends to k-step paths via k lags.",
+)
+def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"))
+    return (seq.where(F.col("prev_type").isNotNull()
+                      & (F.col("gap_us") <= 1800000000))
+            .groupBy(F.col("prev_type").alias("from_type"),
+                     F.col("event_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"),
+                 F.countDistinct("user_id").cast("long").alias("n_users")))
