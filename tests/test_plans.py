@@ -231,3 +231,33 @@ def test_ntile_scalable_no_data_sized_funnel(spark):
     a = sorted(tuple(r) for r in df.collect())
     b = sorted(tuple(r) for r in _q(spark, "window_ntile_rank").collect())
     assert a == b
+
+
+def test_product_analytics_plans_are_scale_safe(spark):
+    """Funnel/cohort/path: no cartesian joins, no data-sized
+    single-partition exchanges (path's lag window partitions by user),
+    and the events scan never reads the props payload column."""
+    for name in ("funnel_conversion", "cohort_retention",
+                 "path_transitions"):
+        df = _q(spark, name)
+        assert "CartesianProduct" not in join_strategies(df), name
+        assert single_partition_exchanges(df) == 0, name
+        for rs in read_schemas(df):
+            assert "props" not in rs, name
+
+
+def test_sketch_plans_prune_and_bound(spark):
+    """CMS/HLL read only what they need from the documents scan; the
+    Bloom membership join stays an equi join on bit ids (broadcast),
+    never a nested-loop against an array."""
+    for name, banned in (("countmin_heavy_hitters", ("lang", "source")),
+                         ("hll_distinct_tokens", ("source", "n_chars"))):
+        df = _q(spark, name)
+        for rs in read_schemas(df):
+            for col in banned:
+                assert col not in rs, (name, col)
+        assert "CartesianProduct" not in join_strategies(df)
+    bloom = _q(spark, "bloom_shingle_filter")
+    s = join_strategies(bloom)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
