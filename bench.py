@@ -108,10 +108,13 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         # cross-round comparability: the round-1 16-query NAMES
-        # (r1: 27.1s, r2 advisory: 16.0s). The query set is fixed but
-        # implementations evolve — round 3 retuned minhash_lsh_neardup
-        # (16x8 -> 12x6 hashes, same verified output), so deltas mix
-        # engine and parameter improvements.
+        # (r1: 27.1s, r2 advisory: 16.0s, r3: 10.7s). The query set is
+        # fixed but implementations evolve — round 3 retuned
+        # minhash_lsh_neardup 16x8 -> 12x6 hashes and round 4 to 6x2
+        # three-row bands (measured-equal recall, see
+        # test_minhash_lsh_recall_vs_exact), and round 4 made
+        # ann_sign_lsh multiprobe (~2x slower, ~20x recall) — so
+        # deltas mix engine and parameter changes.
         "r1_subset_total": round(
             sum(times[n] for n in BENCH_QUERIES[:16]), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
