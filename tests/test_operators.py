@@ -514,3 +514,23 @@ def test_pq_topk_recall_and_determinism(spark):
     assert len(pq & bf) >= len(bf) * 0.2
     b = pq_topk(q, e, k=3, m_sub=16, d_sub=4, k_cent=32).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_netpbm_p6_16bit_and_mask_ball_sizes():
+    """Driver-less unit checks: 16-bit P6 RGB decodes via the
+    big-endian path, and hamming_masks generalizes beyond distance 2
+    (ball sizes = sum of C(planes, d))."""
+    from adsmasterpipeline_spark.operators.multimodal import decode_image
+    from adsmasterpipeline_spark.operators.similarity import hamming_masks
+
+    # one pixel, channels (65535, 0, 0) -> gray 1/3
+    p6w = b"P6 1 1 65535\n" + (65535).to_bytes(2, "big") + b"\x00" * 4
+    f = decode_image(p6w, dims=1)
+    assert abs(f[0] - 1 / 3) < 1e-12
+
+    assert len(hamming_masks(8, 0)) == 1
+    assert len(hamming_masks(8, 1)) == 9
+    assert len(hamming_masks(8, 2)) == 37
+    assert len(hamming_masks(8, 3)) == 37 + 56
+    assert len(hamming_masks(3, 99)) == 8        # full ball, capped
+    assert len(set(hamming_masks(8, 3))) == 93   # all distinct
