@@ -255,35 +255,41 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str,
            .select((F.col("l_suppkey") * 2).cast("long").alias("a"),
                    (F.col("o_custkey") * 2 + 1).cast("long").alias("b"))
            .distinct())
-    # pin the static tables once: every iteration references edges /
-    # nodes / deg, and without the checkpoint the lineage re-runs the
-    # lineitem-orders join + distinct per reference (measured 4.3 s ->
-    # 1.6 s at sf0.1); at cluster scale this is the lake-table
-    # materialization of the edge list
+    # Pregel/GraphX adjacency form: group the edge list ONCE into one
+    # row per node (out-neighbor array + degree) and checkpoint THAT —
+    # node-count rows instead of edge-count rows pinned, and each
+    # iteration's join is node-table x rank-table on the same key (a
+    # co-partitioned, AQE-broadcastable join) with the edge fan-out
+    # happening transiently inside the explode. Without the checkpoint
+    # the lineage re-runs the lineitem-orders join + distinct per
+    # reference (measured 4.3 s -> 1.6 s at sf0.1); at cluster scale
+    # this is the lake-table materialization of the adjacency table.
+    # Power-law caveat: a hub node's whole neighbor array rides one
+    # row; for web-graph degree distributions, segment hub adjacency
+    # into bounded-length chunk rows (same plan — deg stays the TRUE
+    # degree, contributions are unchanged).
     edges = (raw.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .unionAll(raw.select(F.col("b").alias("src"),
-                                  F.col("a").alias("dst")))
-             ).localCheckpoint()
-    nodes = edges.select(F.col("src").alias("node")).distinct() \
-        .localCheckpoint()
-    deg = (edges.groupBy(F.col("src").alias("node"))
-           .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+                                  F.col("a").alias("dst"))))
+    adj = (edges.groupBy(F.col("src").alias("node"))
+           .agg(F.collect_list("dst").alias("dsts"),
+                F.count(F.lit(1)).cast("long").alias("deg"))
            ).localCheckpoint()
-    ranks = nodes.select("node", F.lit(1000000).cast("long")
-                         .alias("rank_e6"))
+    # undirected doubling => every node has >= 1 in-edge, so the
+    # per-round contribution sum already covers ALL nodes and no
+    # nodes re-join is needed (the oracle's nodes JOIN is an identity)
+    ranks = adj.select("node", F.lit(1000000).cast("long")
+                       .alias("rank_e6"))
 
     def idiv(a, b):
         return ((a - a % b) / b).cast("long")
 
     for _ in range(iters):
-        contrib = (edges
-                   .join(ranks.withColumnRenamed("node", "src"), "src")
-                   .join(deg.withColumnRenamed("node", "src"), "src")
-                   .select("dst", idiv(F.col("rank_e6"),
-                                       F.col("deg")).alias("c")))
-        s = contrib.groupBy(F.col("dst").alias("node")) \
-            .agg(F.sum("c").cast("long").alias("s"))
-        ranks = (nodes.join(s, "node")
+        contrib = (adj.join(ranks, "node")
+                   .select(F.explode("dsts").alias("dst"),
+                           idiv(F.col("rank_e6"), F.col("deg")).alias("c")))
+        ranks = (contrib.groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("c").cast("long").alias("s"))
                  .select("node",
                          (F.lit(150000)
                           + idiv(85 * F.col("s"), F.lit(100)))
@@ -292,5 +298,72 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str,
                     F.concat(F.lit("s"), (F.col("node") / 2).cast("long")))
              .otherwise(F.concat(F.lit("c"),
                                  ((F.col("node") - 1) / 2).cast("long"))))
-    return ranks.join(deg, "node").select(
+    return ranks.join(adj.select("node", "deg"), "node").select(
         label.alias("node"), "deg", "rank_e6")
+
+
+@query(
+    "triangle_copurchase",
+    """
+    WITH pairs AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT a, b FROM pairs WHERE w >= 2),
+    tris AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    members AS (
+      SELECT a AS part FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    )
+    SELECT CAST(part AS BIGINT) AS part_key,
+           CAST(COUNT(*) AS BIGINT) AS tri_count
+    FROM members GROUP BY part
+    """,
+    "graph", "scale",
+    doc="Triangle counting (market-basket 'frequently bought together' "
+        "cliques): parts co-purchased in the same order at least twice "
+        "form an edge; triangles are closed wedges, counted per node. "
+        "The classic two-join dataflow form (Suri & Vassilvitskii's "
+        "MR-triangle shape): edges ordered a<b by construction, wedge "
+        "build = one self-join on the middle node, closure = one join "
+        "back to the edge list, then an explode+count. Scale shape: "
+        "pair generation self-joins lineitem on l_orderkey (per-order "
+        "fan-out bounded by order size, <= C(7,2) in TPC-H-like data); "
+        "the support-2 threshold prunes the edge list BEFORE the "
+        "quadratic wedge step — the same support-pruning a production "
+        "co-occurrence miner applies; a web-scale run would order "
+        "endpoints by degree instead of id (same plan, provably "
+        "O(m^1.5) wedges). All equi-joins, no cartesian (plan-"
+        "asserted); AQE broadcasts the pruned edge list when small.",
+)
+def triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("ea"),
+                      F.col("b.l_partkey").alias("eb"))
+             .agg(F.count(F.lit(1)).alias("w"))
+             .where(F.col("w") >= 2)
+             .select("ea", "eb"))
+    e1 = edges.select(F.col("ea").alias("a"), F.col("eb").alias("b"))
+    e2 = edges.select(F.col("ea").alias("b"), F.col("eb").alias("c"))
+    e3 = edges.select(F.col("ea").alias("a"), F.col("eb").alias("c"))
+    tris = (e1.join(e2, "b")
+            .join(e3, ["a", "c"])
+            .select("a", "b", "c"))
+    members = (tris.select(F.col("a").alias("part"))
+               .unionAll(tris.select(F.col("b").alias("part")))
+               .unionAll(tris.select(F.col("c").alias("part"))))
+    return members.groupBy(F.col("part").cast("long").alias("part_key")) \
+        .agg(F.count(F.lit(1)).cast("long").alias("tri_count"))

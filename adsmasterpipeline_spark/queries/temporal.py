@@ -288,3 +288,69 @@ def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("event_type").alias("to_type"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"),
                  F.countDistinct("user_id").cast("long").alias("n_users")))
+
+
+@query(
+    "gapfill_forward_fill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(
+             last_value(d.cents IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+             AS BIGINT) AS filled_cents
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    "temporal", "window",
+    doc="Time-series gap filling + forward fill (densify): per-user "
+        "daily activity rolled up in exact integer cents, a dense day "
+        "spine generated per user from that user's own [min, max] range "
+        "(sequence + explode — no driver-side calendar, no global "
+        "cross-join blowup), missing days left-joined in, and the last "
+        "observed daily total carried forward with last(ignorenulls) "
+        "over a USER-PARTITIONED window — thousands of independent "
+        "partitions, no global sort. The standard resample/ffill of "
+        "pandas or the GAPFILL/LOCF of time-series databases, stated "
+        "as a Spark plan that scales with users x days. Scale shape: "
+        "one shuffle for the rollup, one for the spine join (both on "
+        "user_id, co-partitioned), window per user; a sensor with a "
+        "year of data emits 365 spine rows, bounded by its own span.",
+)
+def gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select("user_id", F.to_date("ts").alias("day"), "value")
+             .groupBy("user_id", "day")
+             .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("cents"),
+                  F.count(F.lit(1)).alias("n")))
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"),
+                                          F.max("day").alias("d1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    w = (W.partitionBy("user_id").orderBy("day")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (spine.join(daily, ["user_id", "day"], "left")
+            .select("user_id", "day",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+                    F.coalesce(F.last("cents", ignorenulls=True).over(w),
+                               F.lit(0)).cast("long").alias("filled_cents")))

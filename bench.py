@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "pagerank_supplier_customer",
     "ntile_rank_scalable",
     "ann_int8_quantized",
+    # round-4 continuation: triangle counting over the co-purchase
+    # graph, per-user time-series gap fill + forward fill
+    "triangle_copurchase",
+    "gapfill_forward_fill",
 ]
 
 

@@ -78,3 +78,27 @@ def test_long_chain_converges_logarithmically(spark):
             connected_components(edges, rounds_out=rounds).collect()}
     assert all(v == 0 for v in comp.values())
     assert rounds[0] <= 9, f"took {rounds[0]} rounds for diameter 63"
+
+
+def test_triangle_copurchase_hand_computed(spark, tmp_path):
+    """Planted baskets: parts 1-2-3 pairwise co-occur in >= 2 orders
+    (one triangle); part 4's single co-occurrence with 1 is below the
+    support-2 threshold; part 5 has a supported edge to 2 but no
+    closing wedge. Only the triangle's members appear, each with
+    count 1."""
+    from adsmasterpipeline_spark.queries.graph import triangle_copurchase
+
+    orders = [
+        (10, [1, 2]), (11, [1, 2]),
+        (12, [1, 3]), (13, [1, 3]),
+        (14, [2, 3]), (15, [2, 3]),
+        (16, [1, 4]),               # w=1: pruned
+        (17, [2, 5]), (18, [2, 5]),  # supported edge, no triangle
+    ]
+    rows = [(ok, pk) for ok, parts in orders for pk in parts]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = str(tmp_path / "tri")
+    df.coalesce(1).write.parquet(sf + "/lineitem.parquet")
+    out = {r["part_key"]: r["tri_count"]
+           for r in triangle_copurchase(spark, sf).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}

@@ -261,3 +261,28 @@ def test_sketch_plans_prune_and_bound(spark):
     s = join_strategies(bloom)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_triangle_copurchase_all_equi_joins(spark):
+    """Triangle counting must stay equi-join shaped end-to-end: the
+    pair self-join keys on l_orderkey and the wedge/closure joins key
+    on node ids — never a cartesian or nested-loop — and only the two
+    needed lineitem columns reach the scan."""
+    df = _q(spark, "triangle_copurchase")
+    s = join_strategies(df)
+    assert "CartesianProduct" not in s
+    for rs in read_schemas(df):
+        assert "l_extendedprice" not in rs
+        assert "l_comment" not in rs
+
+
+def test_gapfill_window_is_user_partitioned(spark):
+    """Gap-fill's forward-fill window partitions by user_id, so the
+    plan must carry ZERO single-partition exchanges (a global-sort
+    ffill would be the classic scale bug) and the events scan must
+    skip the props payload column."""
+    df = _q(spark, "gapfill_forward_fill")
+    assert single_partition_exchanges(df) == 0
+    assert "CartesianProduct" not in join_strategies(df)
+    for rs in read_schemas(df):
+        assert "props" not in rs

@@ -11,13 +11,13 @@ from adsmasterpipeline_spark.queries import (
 _load()
 
 MUST_PROVE = (
-    # the twelve round-4 queries (never driver-checked)
+    # the fourteen round-4 queries (never driver-checked)
     "bpe_learn_encode", "duplicated_substring_runs",
     "countmin_heavy_hitters", "pagerank_supplier_customer",
     "ntile_rank_scalable", "ann_int8_quantized",
     "inverted_index_topdf", "hll_distinct_tokens",
     "bloom_shingle_filter", "funnel_conversion", "cohort_retention",
-    "path_transitions",
+    "path_transitions", "triangle_copurchase", "gapfill_forward_fill",
     # changed in round 4 — need fresh green rows
     "ann_sign_lsh", "vocab_encode_docs", "bm25_topdf_terms",
     "chunk_documents", "dsir_importance_weights",

@@ -147,3 +147,42 @@ def test_cohort_retention_hand_computed(spark, tmp_path):
     assert out[(0, 1)]["n_active"] == 1
     assert out[(0, 1)]["retention_ppm"] == 500000
     assert out[(1, 0)]["n_cohort"] == 1 and out[(1, 2)]["n_active"] == 1
+
+
+def test_gapfill_forward_fill_hand_computed(spark, tmp_path):
+    """Planted gaps: user 1 has days 1,4 -> spine 1..4 with days 2,3
+    filled from day 1; user 2 has a single day (no gap rows); a
+    null-value day carries the PREVIOUS day's total forward but still
+    counts its events."""
+    import datetime as dt
+
+    from adsmasterpipeline_spark.queries.temporal import gapfill_forward_fill
+
+    def t(day, h=6):
+        return dt.datetime(2024, 3, day, h)
+
+    rows = [
+        (1, t(1), 1, "view", 2.50, "{}"),
+        (2, t(1, 9), 1, "view", 1.25, "{}"),     # day 1 total 375 cents
+        (3, t(4), 1, "click", 10.00, "{}"),      # days 2-3 missing
+        (4, t(2), 2, "view", 7.00, "{}"),        # single-day user
+        (5, t(5), 3, "view", 1.00, "{}"),
+        (6, t(6), 3, "view", None, "{}"),        # null-value day
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    sf = str(tmp_path / "gapfill")
+    df.coalesce(1).write.parquet(sf + "/events.parquet")
+    out = {(r["user_id"], r["day"].isoformat()): (r["n_events"],
+                                                  r["filled_cents"])
+           for r in gapfill_forward_fill(spark, sf).collect()}
+    assert out == {
+        (1, "2024-03-01"): (2, 375),
+        (1, "2024-03-02"): (0, 375),
+        (1, "2024-03-03"): (0, 375),
+        (1, "2024-03-04"): (1, 1000),
+        (2, "2024-03-02"): (1, 700),
+        (3, "2024-03-05"): (1, 100),
+        (3, "2024-03-06"): (1, 100),   # null day: count 1, total carried
+    }
