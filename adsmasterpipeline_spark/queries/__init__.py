@@ -49,7 +49,7 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 #
 # Round-4 rotation (VERDICT.md r3 task 9): cumulative driver-green
 # across rounds is what counts — every oracled query has a green row
-# in r01-r03, so this window = the fourteen NEW round-4 queries + the six
+# in r01-r03, so this window = the fifteen NEW round-4 queries + the six
 # whose code CHANGED in round 4 (need fresh green rows) + the 32
 # oracled queries whose last driver-green is OLDEST (round 1),
 # refreshing the stalest evidence.  Everything else is covered by the
@@ -63,6 +63,7 @@ PRIORITY: tuple[str, ...] = (
     "inverted_index_topdf", "hll_distinct_tokens",
     "bloom_shingle_filter", "funnel_conversion", "cohort_retention",
     "path_transitions", "triangle_copurchase", "gapfill_forward_fill",
+    "sliding_window_counts",
     # -- changed in round 4 (distributed TopK / multiprobe / decimal
     #    rounding / tail-chunk + overflow fixes) --
     "ann_sign_lsh", "vocab_encode_docs", "bm25_topdf_terms",
@@ -73,7 +74,7 @@ PRIORITY: tuple[str, ...] = (
     "string_agg_ordered", "first_last_value", "window_bucket_assign",
     "window_flag_first", "window_running_total", "topk_per_group",
     # -- stalest (r01): joins / set ops / aggregates --
-    "join_left_outer", "join_semi", "join_anti", "union_distinct",
+    "join_left_outer", "join_semi", "join_anti",
     "agg_counts_per_group",
     "agg_nonnull_counts", "agg_argmax_per_group", "agg_collect_sorted",
     # -- stalest (r01/r02): scalar-function family --

@@ -354,3 +354,42 @@ def gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
                     F.coalesce(F.last("cents", ignorenulls=True).over(w),
                                F.lit(0)).cast("long").alias("filled_cents")))
+
+
+@query(
+    "sliding_window_counts",
+    """
+    WITH expanded AS (
+      SELECT event_type,
+             UNNEST([(epoch_us(ts) - epoch_us(ts) % 300000000)
+                       - 300000000,
+                     epoch_us(ts) - epoch_us(ts) % 300000000]) AS s_us
+      FROM events
+    )
+    SELECT make_timestamp(s_us) AS win_start,
+           make_timestamp(s_us + 600000000) AS win_end,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM expanded GROUP BY 1, 2, 3
+    """,
+    "temporal", "window",
+    doc="Event-time sliding-window aggregation in batch form: 10-minute "
+        "windows hopping every 5 minutes, counts per (window, "
+        "event_type). Spark states it declaratively with F.window "
+        "(each event expands to exactly window/slide = 2 rows inside "
+        "codegen, then one map-side-combinable aggregate — the same "
+        "plan Structured Streaming runs incrementally with a "
+        "watermark, cf. streaming/test coverage); the oracle replays "
+        "the window-assignment arithmetic in exact integer "
+        "microseconds (start = floor-to-slide, plus the preceding "
+        "hop). Scale shape: shuffle keyed on (window, type) — "
+        "time-bucketed keys are naturally balanced; no windows over "
+        "data-sized partitions, no sort.",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "10 minutes", "5 minutes"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.col("window.start").alias("win_start"),
+                    F.col("window.end").alias("win_end"),
+                    "event_type", "n"))

@@ -286,3 +286,14 @@ def test_gapfill_window_is_user_partitioned(spark):
     assert "CartesianProduct" not in join_strategies(df)
     for rs in read_schemas(df):
         assert "props" not in rs
+
+
+def test_sliding_window_counts_scale_safe(spark):
+    """Batch sliding-window agg: window assignment is a codegen-side
+    expansion + one keyed aggregate — no single-partition exchange,
+    and the events scan reads neither props nor value."""
+    df = _q(spark, "sliding_window_counts")
+    assert single_partition_exchanges(df) == 0
+    for rs in read_schemas(df):
+        assert "props" not in rs
+        assert "value" not in rs

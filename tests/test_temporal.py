@@ -186,3 +186,32 @@ def test_gapfill_forward_fill_hand_computed(spark, tmp_path):
         (3, "2024-03-05"): (1, 100),
         (3, "2024-03-06"): (1, 100),   # null day: count 1, total carried
     }
+
+
+def test_sliding_window_counts_hand_computed(spark, tmp_path):
+    """Planted boundary events: an event ON a hop boundary belongs to
+    exactly 2 windows ([t-5m, t+5m) and [t, t+10m)); one 2.5 minutes
+    later shares those same windows; counts add up per window."""
+    import datetime as dt
+
+    from adsmasterpipeline_spark.queries.temporal import (
+        sliding_window_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 10)          # on a 5-min boundary
+    rows = [
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=2, seconds=30), 1, "view",
+         0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    sf = str(tmp_path / "slide")
+    df.coalesce(1).write.parquet(sf + "/events.parquet")
+    out = {(r["win_start"].isoformat(), r["win_end"].isoformat()):
+           r["n"] for r in sliding_window_counts(spark, sf).collect()}
+    assert out == {
+        ("2024-01-01T00:05:00", "2024-01-01T00:15:00"): 2,
+        ("2024-01-01T00:10:00", "2024-01-01T00:20:00"): 2,
+    }
