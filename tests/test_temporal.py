@@ -215,3 +215,31 @@ def test_sliding_window_counts_hand_computed(spark, tmp_path):
         ("2024-01-01T00:05:00", "2024-01-01T00:15:00"): 2,
         ("2024-01-01T00:10:00", "2024-01-01T00:20:00"): 2,
     }
+
+
+def test_native_session_window_matches_sessionize(spark):
+    """Spark's built-in F.session_window (30-min gap) must carve the
+    SAME sessions as the oracled gaps-and-islands sessionize query:
+    same (user, first-event ts, event count) triples on the full
+    sf0.001 events table. (Boundary semantics differ only for a gap of
+    exactly 30:00.000000 — absent from the fixed dataset.)"""
+    from pyspark.sql import functions as F
+
+    from adsmasterpipeline_spark.queries.pipeline import sessionize
+    from adsmasterpipeline_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    native = (ev.groupBy("user_id",
+                         F.session_window("ts", "30 minutes"))
+              .agg(F.min("ts").alias("t0"),
+                   F.count(F.lit(1)).alias("n"))
+              .select("user_id", "t0", "n"))
+    mine = (sessionize(spark, SF_DIR)
+            .join(ev.select("event_id", "ts"), "event_id")
+            .groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("t0"), F.count(F.lit(1)).alias("n"))
+            .select("user_id", "t0", "n"))
+    a = sorted(map(tuple, native.collect()))
+    b = sorted(map(tuple, mine.collect()))
+    assert a == b and len(a) > 0
