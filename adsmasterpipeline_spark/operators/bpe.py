@@ -22,8 +22,10 @@ Scale shape (designed for the 100 TB posture, tested at small SF):
   [aa, a], matching the canonical BPE scan — expressed identically in
   the DuckDB oracle via ``list_reduce`` over a \\x1f-separated
   accumulator string, so the two engines agree symbol-for-symbol;
-- ``localCheckpoint`` after each round bounds lineage (without it
-  round k replays rounds 1..k-1's folds).
+- ``localCheckpoint`` every third round (plus a final flush) bounds
+  lineage/expression depth to <= 3 chained folds while halving the
+  loop's job count; the <= 2 pending folds a round may replay under
+  its argmax run over the vocabulary-sized type table only.
 
 Determinism: ties in pair frequency break on (a, b) lexicographically
 (binary UTF-8 order in both engines); merging stops early when the

@@ -49,12 +49,15 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 #
 # Round-4 rotation (VERDICT.md r3 task 9): cumulative driver-green
 # across rounds is what counts — every oracled query has a green row
-# in r01-r03, so this window = the fifteen NEW round-4 queries + the six
-# whose code CHANGED in round 4 (need fresh green rows) + the 32
+# in r01-r03, so this window = the fifteen NEW round-4 queries + the
+# six whose code CHANGED in round 4 (need fresh green rows) + the 29
 # oracled queries whose last driver-green is OLDEST (round 1),
-# refreshing the stalest evidence.  Everything else is covered by the
-# committed full-registry artifacts CHECKALL_r04_sf001/sf01.json plus
-# prior-round CORRECTNESS rows.
+# refreshing the stalest evidence. Three r01-green set ops
+# (union_distinct, except_keys, intersect_keys) were ceded from the
+# stalest section to make room for the late-round-4 queries — their
+# r01 driver rows plus the CHECKALL_r04 full-registry artifacts remain
+# their evidence. Everything else is covered by the committed
+# CHECKALL_r04_sf001/sf01.json plus prior-round CORRECTNESS rows.
 PRIORITY: tuple[str, ...] = (
     # -- new round-4 queries (never driver-checked) --
     "bpe_learn_encode", "duplicated_substring_runs",

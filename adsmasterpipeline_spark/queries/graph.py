@@ -335,8 +335,10 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str,
         "MR-triangle shape): edges ordered a<b by construction, wedge "
         "build = one self-join on the middle node, closure = one join "
         "back to the edge list, then an explode+count. Scale shape: "
-        "pair generation self-joins lineitem on l_orderkey (per-order "
-        "fan-out bounded by order size, <= C(7,2) in TPC-H-like data); "
+        "pair generation groups each order's basket into a sorted "
+        "array (ONE shuffle on l_orderkey) and expands i<j pairs "
+        "inside a higher-order transform — per-order fan-out bounded "
+        "by basket size, <= C(7,2) in TPC-H-like data, no self-join; "
         "the support-2 threshold prunes the edge list BEFORE the "
         "quadratic wedge step — the same support-pruning a production "
         "co-occurrence miner applies; a web-scale run would order "

@@ -337,11 +337,17 @@ def gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
+    # pin the rollup: it feeds BOTH the bounds aggregate and the spine
+    # join, and without materialization the corpus is scanned twice
+    # (static planning showed 2 FileScans; exchange reuse across the
+    # two different downstream keys is AQE-dependent). The pinned
+    # table is bounded by users x active days — tiny next to the raw
+    # event stream; at cluster scale this is a lake-table stage.
     daily = (ev.select("user_id", F.to_date("ts").alias("day"), "value")
              .groupBy("user_id", "day")
              .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
                   .alias("cents"),
-                  F.count(F.lit(1)).alias("n")))
+                  F.count(F.lit(1)).alias("n"))).localCheckpoint()
     bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"),
                                           F.max("day").alias("d1"))
     spine = bounds.select(
@@ -359,12 +365,18 @@ def gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sliding_window_counts",
     """
-    WITH expanded AS (
+    WITH floored AS (
+      -- floor-mod, not truncating %: pre-epoch (negative) timestamps
+      -- must floor toward -inf exactly like Spark's F.window
       SELECT event_type,
-             UNNEST([(epoch_us(ts) - epoch_us(ts) % 300000000)
-                       - 300000000,
-                     epoch_us(ts) - epoch_us(ts) % 300000000]) AS s_us
+             epoch_us(ts)
+               - ((epoch_us(ts) % 300000000) + 300000000) % 300000000
+               AS f_us
       FROM events
+    ),
+    expanded AS (
+      SELECT event_type, UNNEST([f_us - 300000000, f_us]) AS s_us
+      FROM floored
     )
     SELECT make_timestamp(s_us) AS win_start,
            make_timestamp(s_us + 600000000) AS win_end,

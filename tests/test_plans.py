@@ -264,10 +264,11 @@ def test_sketch_plans_prune_and_bound(spark):
 
 
 def test_triangle_copurchase_all_equi_joins(spark):
-    """Triangle counting must stay equi-join shaped end-to-end: the
-    pair self-join keys on l_orderkey and the wedge/closure joins key
-    on node ids — never a cartesian or nested-loop — and only the two
-    needed lineitem columns reach the scan."""
+    """Triangle counting must stay equi-join shaped end-to-end: pair
+    generation is a basket groupBy on l_orderkey (no join at all) and
+    the wedge/closure joins key on node ids — never a cartesian or
+    nested-loop — and only the two needed lineitem columns reach the
+    scan."""
     df = _q(spark, "triangle_copurchase")
     s = join_strategies(df)
     assert "CartesianProduct" not in s

@@ -243,3 +243,35 @@ def test_native_session_window_matches_sessionize(spark):
     a = sorted(map(tuple, native.collect()))
     b = sorted(map(tuple, mine.collect()))
     assert a == b and len(a) > 0
+
+
+def test_sliding_window_pre_epoch_oracle_parity(spark, tmp_path):
+    """A pre-epoch (negative epoch-us) event must land in the same two
+    floor-aligned windows in BOTH engines — the oracle's floor-mod
+    (not truncating %) is what keeps DuckDB on Spark's F.window
+    semantics left of 1970."""
+    import datetime as dt
+
+    import duckdb
+
+    from adsmasterpipeline_spark.queries import REGISTRY, _load
+    from adsmasterpipeline_spark.queries.temporal import (
+        sliding_window_counts,
+    )
+
+    _load()
+    rows = [(1, dt.datetime(1969, 12, 31, 23, 58), 1, "view", 0.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    sf = str(tmp_path / "preepoch")
+    df.coalesce(1).write.parquet(sf + "/events.parquet")
+    got = sorted(map(tuple, sliding_window_counts(spark, sf).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet/*.parquet')")
+    want = sorted(map(tuple, con.execute(
+        REGISTRY["sliding_window_counts"].oracle).fetchall()))
+    assert got == want
+    assert [r[0] for r in got] == [dt.datetime(1969, 12, 31, 23, 50),
+                                   dt.datetime(1969, 12, 31, 23, 55)]
