@@ -1,0 +1,66 @@
+"""Hive-partitioned parquet layout: directory-level partition pruning
+and dynamic partition overwrite.
+
+At 100 TB the events/records lake is laid out by a coarse partition
+column (ingest day, source) so that
+
+- an incremental query touching one day scans ONE directory, not the
+  table: the filter becomes a ``PartitionFilters`` entry on the scan
+  (pruned at planning time from directory names — zero data I/O for
+  excluded partitions), and
+- an incremental publish rewrites ONLY the partitions present in the
+  new batch: ``partitionOverwriteMode=dynamic`` replaces touched
+  day-directories atomically and leaves every other partition's files
+  untouched — the pattern behind the reference's nightly incremental
+  runs (full-table rewrite per batch is the classic lake anti-pattern
+  at scale).
+
+Reference analogue: the ``updated >= since`` incremental scan
+(`run.py:148-160`) — partition pruning is what makes that scan O(batch)
+instead of O(table). Both contracts are asserted on real plans/files in
+tests/test_partitioned.py, not just claimed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(df: DataFrame, path: str, *cols: str,
+                      mode: str = "overwrite") -> None:
+    """Write ``df`` as parquet partitioned by ``cols`` (Hive layout:
+    one ``col=value/`` directory level per partition column)."""
+    df.write.partitionBy(*cols).mode(mode).parquet(path)
+
+
+def overwrite_partitions_dynamic(df: DataFrame, path: str,
+                                 *cols: str) -> None:
+    """Overwrite ONLY the partitions present in ``df``.
+
+    Uses ``partitionOverwriteMode=dynamic`` scoped to this write (set
+    via the session conf around the call, restored after): partitions
+    absent from ``df`` keep their existing files byte-for-byte; the
+    touched ones are replaced wholesale. This is the idempotent
+    re-publish primitive for incremental batches — replaying a batch
+    rewrites the same directories to the same content.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.partitionBy(*cols).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def read_partition_pruned(spark: SparkSession, path: str,
+                          **eq_filters) -> DataFrame:
+    """Read a partitioned table with equality filters on partition
+    columns. Stated declaratively — Catalyst turns each filter into a
+    ``PartitionFilters`` entry so excluded directories are never
+    listed into the scan."""
+    df = spark.read.parquet(path)
+    for col, val in eq_filters.items():
+        df = df.where(df[col] == val)
+    return df
