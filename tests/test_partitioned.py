@@ -78,3 +78,26 @@ def test_static_overwrite_mode_is_restored(spark, tmp_path):
     spark.conf.set(key, "static")
     overwrite_partitions_dynamic(_events(spark, 8), path, "day")
     assert spark.conf.get(key) == "static"
+
+
+def test_schema_evolution_mergeschema_across_partitions(spark, tmp_path):
+    """Later batches may carry new columns: with mergeSchema the union
+    schema is read, old partitions' missing column surfaces as NULL,
+    and partition pruning still works on the evolved table."""
+    path = str(tmp_path / "ev3")
+    write_partitioned(_events(spark), path, "day")
+    batch = (spark.range(3)
+             .select((F.col("id") + 500).alias("event_id"),
+                     F.lit("9").alias("day"),
+                     F.col("id").alias("v"),
+                     F.lit("en").alias("lang")))       # NEW column
+    write_partitioned(batch, path, "day", mode="append")
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "lang" in df.columns
+    old = df.where(F.col("day") == "2")
+    assert old.count() == 25
+    assert old.where(F.col("lang").isNull()).count() == 25
+    new = df.where(F.col("day") == "9")
+    assert [r["lang"] for r in new.collect()] == ["en"] * 3
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
