@@ -70,9 +70,11 @@ BENCH_QUERIES = [
     "ntile_rank_scalable",
     "ann_int8_quantized",
     # round-4 continuation: triangle counting over the co-purchase
-    # graph, per-user time-series gap fill + forward fill
+    # graph, per-user time-series gap fill + forward fill, batch
+    # sliding event-time windows
     "triangle_copurchase",
     "gapfill_forward_fill",
+    "sliding_window_counts",
 ]
 
 

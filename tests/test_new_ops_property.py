@@ -1,0 +1,106 @@
+"""Model-based property tests for the round-4 continuation operators:
+triangle counting and gap-fill/LOCF must agree with INDEPENDENT pure-
+Python models (written from the documented semantics, not the Spark
+code) on randomized inputs — same scheme as test_transform_property.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+# -- independent models ------------------------------------------------------
+
+
+def tri_model(baskets: list[list[int]]) -> dict[int, int]:
+    """Per-node triangle counts over the support-2 co-occurrence
+    graph of the given baskets."""
+    w: Counter = Counter()
+    for b in baskets:
+        for x, y in itertools.combinations(sorted(b), 2):
+            if x < y:
+                w[(x, y)] += 1
+    edges = {p for p, c in w.items() if c >= 2}
+    nodes = sorted({n for e in edges for n in e})
+    out: Counter = Counter()
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            out[a] += 1
+            out[b] += 1
+            out[c] += 1
+    return dict(out)
+
+
+def gapfill_model(events: list[tuple[int, int, int | None]]
+                  ) -> dict[tuple[int, str], tuple[int, int]]:
+    """(user, day) -> (n_events, filled_cents) under per-user spines
+    + LOCF. ``events`` rows are (user, day_offset, cents_or_None)."""
+    base = dt.date(2024, 3, 1)
+    daily: dict = {}
+    for u, d, cents in events:
+        k = (u, d)
+        n, s, any_v = daily.get(k, (0, 0, False))
+        if cents is None:
+            daily[k] = (n + 1, s, any_v)
+        else:
+            daily[k] = (n + 1, s + cents, True)
+    out = {}
+    for u in {u for u, _, _ in events}:
+        days = [d for (uu, d) in daily if uu == u]
+        last = 0
+        for d in range(min(days), max(days) + 1):
+            n, s, any_v = daily.get((u, d), (0, 0, False))
+            if any_v:
+                last = s
+            out[(u, (base + dt.timedelta(days=d)).isoformat())] = (n, last)
+    return out
+
+
+# -- properties --------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.integers(1, 8), min_size=2, max_size=5),
+                min_size=1, max_size=12))
+def test_triangle_matches_model(spark, tmp_path_factory, baskets):
+    from pyspark.sql import functions as F
+
+    from adsmasterpipeline_spark.queries.graph import triangle_copurchase
+
+    rows = [(ok, pk) for ok, b in enumerate(baskets) for pk in b]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = str(tmp_path_factory.mktemp("tri"))
+    df.coalesce(1).write.mode("overwrite").parquet(sf + "/lineitem.parquet")
+    got = {r["part_key"]: r["tri_count"]
+           for r in triangle_copurchase(spark, sf).collect()}
+    assert got == tri_model(baskets)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 12),
+              st.one_of(st.none(), st.integers(-500, 500))),
+    min_size=1, max_size=25))
+def test_gapfill_matches_model(spark, tmp_path_factory, events):
+    from adsmasterpipeline_spark.queries.temporal import gapfill_forward_fill
+
+    base = dt.datetime(2024, 3, 1, 9)
+    rows = [(i, base + dt.timedelta(days=d), u, "view",
+             None if cents is None else cents / 100.0, "{}")
+            for i, (u, d, cents) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    sf = str(tmp_path_factory.mktemp("gf"))
+    df.coalesce(1).write.mode("overwrite").parquet(sf + "/events.parquet")
+    got = {(r["user_id"], r["day"].isoformat()):
+           (r["n_events"], r["filled_cents"])
+           for r in gapfill_forward_fill(spark, sf).collect()}
+    assert got == gapfill_model(events)
