@@ -64,3 +64,27 @@ def read_partition_pruned(spark: SparkSession, path: str,
     for col, val in eq_filters.items():
         df = df.where(df[col] == val)
     return df
+
+
+def compact_partition(spark: SparkSession, path: str, part_col: str,
+                      part_val, target_files: int = 1) -> int:
+    """Rewrite ONE partition's many small files into ``target_files``
+    — the small-files maintenance primitive (streaming/incremental
+    ingest leaves a file per micro-batch; scans pay per-file open
+    cost and the driver pays per-file listing).
+
+    Reads only the target partition (partition-pruned scan), coalesces
+    — a narrow, shuffle-free fan-in — and republishes through a
+    dynamic-partition overwrite so every other partition's files stay
+    byte-untouched. Returns the row count republished, so callers can
+    assert conservation. At cluster scale this is the same loop a
+    table service (OPTIMIZE / rewrite_data_files) runs per partition.
+    """
+    part = read_partition_pruned(spark, path, **{part_col: part_val})
+    # drop the partition column before write; partitionBy re-adds the
+    # directory level from the literal
+    rows = part.coalesce(target_files) \
+        .withColumn(part_col, part[part_col].cast("string"))
+    n = rows.count()
+    overwrite_partitions_dynamic(rows, path, part_col)
+    return n

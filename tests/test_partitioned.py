@@ -101,3 +101,32 @@ def test_schema_evolution_mergeschema_across_partitions(spark, tmp_path):
     assert [r["lang"] for r in new.collect()] == ["en"] * 3
     plan = new._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_compact_partition_reduces_files_conserves_rows(spark, tmp_path):
+    from adsmasterpipeline_spark.sources.partitioned import (
+        compact_partition,
+    )
+
+    path = str(tmp_path / "ev4")
+    # 16 small files in day=1 (one per input partition), 1 in day=0
+    many = (spark.range(64).repartition(16)
+            .select(F.col("id").alias("event_id"),
+                    F.lit("1").alias("day"), F.col("id").alias("v")))
+    one = (spark.range(5)
+           .select((F.col("id") + 100).alias("event_id"),
+                   F.lit("0").alias("day"), F.col("id").alias("v")))
+    write_partitioned(many, path, "day")
+    write_partitioned(one, path, "day", mode="append")
+    assert len(_part_files(path, "1")) == 16
+    other_before = _part_files(path, "0")
+
+    before = sorted(r["event_id"] for r in
+                    spark.read.parquet(path).collect())
+    n = compact_partition(spark, path, "day", "1", target_files=2)
+    assert n == 64
+    assert len(_part_files(path, "1")) == 2
+    assert _part_files(path, "0") == other_before
+    after = sorted(r["event_id"] for r in
+                   spark.read.parquet(path).collect())
+    assert after == before
