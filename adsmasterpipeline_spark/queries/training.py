@@ -822,7 +822,14 @@ def bpe_learn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("pos0") + 1).alias("pos"),
                 F.replace(F.col("_w0"), F.lit(SEP), F.lit(""))
                 .alias("word"))
-        .where(F.col("word") != ""))
+        .where(F.col("word") != "")
+        # pin the word-position table: it feeds BOTH the word-count
+        # aggregate and the encode join, and without materialization
+        # the corpus normalize+split+explode runs twice (the "touched
+        # exactly twice" in the doc means twice LOGICALLY — this keeps
+        # it once PHYSICALLY); at cluster scale this is a lake-stage
+        # materialization of the tokenized corpus
+        .localCheckpoint())
     wc = wp.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     _, types = learn_bpe(wc, n_merges=12)
     return (wp.join(types.select("word", "sym"), "word")
