@@ -87,3 +87,84 @@ def scan_count(df: DataFrame) -> int:
     """Distinct scan nodes (the formatted plan mentions each node twice:
     once in the tree, once in the detail section — count details)."""
     return len(re.findall(r"\(\d+\) Scan parquet", _formatted(df)))
+
+
+def plan_scale_issues(df: DataFrame) -> list[dict]:
+    """Walk the physical plan (pre-AQE) and classify every construct
+    that COULD be a scale problem, with a boundedness verdict:
+
+    - ``single_partition`` — a SinglePartition shuffle. Bounded when
+      its child is a grouping-free aggregate (the partials-merge every
+      global COUNT/SUM performs — input rows = task count) or a
+      limit/TopK node (input rows = k per partition).
+    - ``nested_loop`` / ``cartesian`` — non-equi or cross joins.
+      Bounded when either side's subtree provably produces O(1)/O(k)
+      rows (a grouping-free aggregate or a limit below it).
+
+    Returns [{kind, child, bounded}]; an unbounded entry is a genuine
+    100x scale-killer and the audit artifact flags it.
+    """
+    agg_nodes = ("HashAggregateExec", "SortAggregateExec",
+                 "ObjectHashAggregateExec")
+
+    def simple(n):
+        return n.getClass().getSimpleName()
+
+    def children(n):
+        cs = n.children()
+        return [cs.apply(i) for i in range(cs.length())]
+
+    def is_onerow_agg(n):
+        return (simple(n) in agg_nodes
+                and n.groupingExpressions().isEmpty())
+
+    def subtree_bounded(n):
+        nm = simple(n)
+        if is_onerow_agg(n) or "Limit" in nm \
+                or nm == "TakeOrderedAndProjectExec":
+            return True
+        cs = children(n)
+        # pass-through nodes: bounded if their input is bounded
+        if len(cs) == 1:
+            return subtree_bounded(cs[0])
+        return False
+
+    issues: list[dict] = []
+
+    def walk(n):
+        nm = simple(n)
+        if nm == "ShuffleExchangeExec" and \
+                "SinglePartition" in n.outputPartitioning().toString():
+            ch = children(n)[0]
+            bounded = is_onerow_agg(ch) or subtree_bounded(ch)
+            issues.append({"kind": "single_partition",
+                           "child": simple(ch), "bounded": bounded})
+        elif nm in ("BroadcastNestedLoopJoinExec",
+                    "CartesianProductExec"):
+            cs = children(n)
+            bounded = any(subtree_bounded(c) for c in cs)
+            via = "structural" if bounded else None
+            # a broadcast build side is runtime-capped by construction
+            # (collected to the driver under the broadcast limit, OOM
+            # rather than silent quadratic work) — the intentional
+            # pattern behind ANN brute force / centroid assignment
+            if not bounded and any(simple(c) == "BroadcastExchangeExec"
+                                   for c in cs):
+                bounded, via = True, "broadcast-build"
+            issues.append({
+                "kind": ("cartesian" if nm == "CartesianProductExec"
+                         else "nested_loop"),
+                "child": "/".join(simple(c) for c in cs),
+                "bounded": bounded, **({"via": via} if via else {})})
+        for c in children(n):
+            walk(c)
+
+    # exchanges are inserted by EnsureRequirements during executedPlan
+    # preparation — sparkPlan() predates them. Under AQE the root is
+    # AdaptiveSparkPlanExec; audit its initial plan (the final plan
+    # only exists after execution).
+    root = df._jdf.queryExecution().executedPlan()
+    if simple(root) == "AdaptiveSparkPlanExec":
+        root = root.initialPlan()
+    walk(root)
+    return issues

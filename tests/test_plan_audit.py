@@ -1,0 +1,40 @@
+"""Pin the structural plan classifier (plans/explain.plan_scale_issues):
+global-aggregate partials-merges and TopK funnels classify bounded, a
+global window classifies UNBOUNDED, broadcast-build nested loops are
+bounded via the broadcast cap."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from adsmasterpipeline_spark.plans.explain import plan_scale_issues
+
+
+def test_global_agg_partials_merge_is_bounded(spark):
+    df = spark.range(1000).agg(F.sum("id").alias("s"))
+    issues = plan_scale_issues(df)
+    assert all(i["bounded"] for i in issues), issues
+
+
+def test_orderby_limit_is_bounded_topk(spark):
+    df = spark.range(1000).orderBy(F.col("id").desc()).limit(5)
+    issues = plan_scale_issues(df)
+    assert all(i["bounded"] for i in issues), issues
+
+
+def test_global_window_is_unbounded_funnel(spark):
+    df = spark.range(1000).withColumn(
+        "rn", F.row_number().over(W.orderBy("id")))
+    issues = plan_scale_issues(df)
+    assert any(i["kind"] == "single_partition" and not i["bounded"]
+               for i in issues), issues
+
+
+def test_broadcast_nested_loop_is_bounded_via_broadcast(spark):
+    a = spark.range(100)
+    b = F.broadcast(spark.range(3).select(F.col("id").alias("j")))
+    df = a.join(b, a["id"] > b["j"])
+    issues = plan_scale_issues(df)
+    nl = [i for i in issues if i["kind"] == "nested_loop"]
+    assert nl and all(i["bounded"] for i in nl), issues
