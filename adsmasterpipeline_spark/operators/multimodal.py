@@ -377,3 +377,23 @@ def fake_assets(spark, n: int = 64) -> DataFrame:
         rows.append((i, kind, payload,
                      ("application/octet-stream", 4, 4, duration)))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def blockhash63(feature):
+    """63-bit Blockhash-style perceptual hash from a 64-strip feature
+    array (Yang/Oostveen block-mean hashing, public): bit i = strip i's
+    mean intensity above the array median. Pure higher-order column
+    expression over the decoded feature — per-row, no UDF beyond the
+    decode itself; bit 63 left clear to keep the value positive (same
+    convention as operators/dedup.simhash64, so the banding/verify
+    machinery is shared)."""
+    from pyspark.sql import functions as F
+
+    srt = F.array_sort(feature)
+    med = (F.element_at(srt, 32) + F.element_at(srt, 33)) / 2
+    out = F.lit(0).cast("long")
+    for i in range(63):
+        out = out.bitwiseOR(
+            F.when(F.element_at(feature, i + 1) > med,
+                   F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
+    return out

@@ -271,3 +271,64 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 32)
     return pq_topk(q, e, k=3, m_sub=16, d_sub=4, k_cent=32).select(
         "query_id", "neighbor_id", "sim", "rnk")
+
+
+@query(
+    "image_phash_neardup", None, "multimodal", "dedup",
+    doc="Multimodal near-duplicate detection end-to-end: deterministic "
+        "P5 netpbm images are rendered from each document's normalized "
+        "text (64x4 grayscale raster — REAL binary payloads), decoded "
+        "by the REAL netpbm parser inside Arrow-batched mapInPandas "
+        "into 64 block-mean strips, hashed to a 63-bit Blockhash-style "
+        "perceptual hash (strip mean vs median), then near-dup pairs "
+        "come from the SAME banded pigeonhole join as SimHash (4x16-bit "
+        "bands catch every pair at hamming <= 3; bit_count verify). "
+        "Near-identical documents render near-identical rasters, so "
+        "planted text near-dups surface as low-hamming image pairs — "
+        "the image analogue of the text dedup family. Scale shape: "
+        "media bytes cross Arrow once and are dropped executor-side; "
+        "only (id, 8-byte hash) rides the band shuffle; no SQL oracle "
+        "possible (binary decode), so rows-only + pytest parity.",
+)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import blockhash63, extract_features
+    from .text import _norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    ascii_txt = F.regexp_replace(_norm_text(), "[^a-z0-9 ]", "")
+    raster = F.encode(
+        F.rpad(F.substring(ascii_txt, 1, 256), 256, " "), "utf-8")
+    payload = F.concat(F.encode(F.lit("P5\n64 4\n255\n"), "utf-8"),
+                       raster)
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("media"),
+        F.struct(F.lit("image/x-portable-graymap").alias("mime"),
+                 F.lit(64).alias("width"), F.lit(4).alias("height"),
+                 F.lit(None).cast("int").alias("duration_ms"))
+        .alias("meta"))
+    feats = extract_features(assets, fake_decode=False, dims=64)
+    sig = feats.where(F.col("decode_ok")).select(
+        F.col("asset_id"), blockhash63(F.col("feature")).alias("ph"))
+    banded = sig.select(
+        "asset_id", "ph",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("ph", b * 16).bitwiseAND(F.lit(0xFFFF))
+                     .alias("bucket"))
+            for b in range(4)])).alias("_b"),
+    ).select("asset_id", "ph", "_b.band", "_b.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.asset_id") < F.col("b.asset_id")))
+            .select(F.col("a.asset_id").alias("id_a"),
+                    F.col("b.asset_id").alias("id_b"),
+                    F.col("a.ph").alias("ph_a"),
+                    F.col("b.ph").alias("ph_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (cand.select("id_a", "id_b",
+                        hamming.cast("long").alias("hamming"))
+            .where(F.col("hamming") <= 3))

@@ -534,3 +534,38 @@ def test_netpbm_p6_16bit_and_mask_ball_sizes():
     assert len(hamming_masks(8, 3)) == 37 + 56
     assert len(hamming_masks(3, 99)) == 8        # full ball, capped
     assert len(set(hamming_masks(8, 3))) == 93   # all distinct
+
+
+def test_image_phash_neardup_planted(spark, tmp_path):
+    """Planted image near-dups: an exact text duplicate renders an
+    identical raster (hamming 0); a one-word edit renders a
+    near-identical raster (low hamming); an unrelated doc pairs with
+    neither. All payloads must really decode (decode_ok True for every
+    asset — the netpbm path, not the fake)."""
+    from pyspark.sql import functions as F
+
+    from adsmasterpipeline_spark.queries.scale_ops import (
+        image_phash_neardup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again until the corpus fills with words " * 3)
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base, "en", "web", len(base)),                  # exact dup
+        (3, base.replace("lazy", "hazy", 1), "en", "web", len(base)),
+        (4, "completely different content about spark plans and "
+            "shuffles partitions exchanges joins aggregates windows "
+            "and broadcast thresholds in the optimizer " * 3,
+         "en", "web", 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sf = str(tmp_path / "phash")
+    df.coalesce(1).write.parquet(sf + "/documents.parquet")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_phash_neardup(spark, sf).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
