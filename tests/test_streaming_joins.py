@@ -82,3 +82,46 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     unmatched = {r["imp_id"] for r in rows if r["click_id"] is None}
     assert unmatched == {12, 13}
     assert len(rows) == 4  # 2 matched + 2 unmatched
+
+
+def test_sliding_window_stream_matches_batch_query(spark, tmp_path):
+    """Drive the 10-min/5-min sliding window through a REAL streaming
+    query (availableNow over the parquet source) and check it emits
+    exactly the oracled batch sliding_window_counts rows on the same
+    data."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from adsmasterpipeline_spark.queries.temporal import (
+        sliding_window_counts,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=3 * i), 1,
+         ["view", "click"][i % 2], 0.0, "{}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    sf = str(tmp_path / "swin")
+    df.coalesce(1).write.parquet(sf + "/events.parquet")
+
+    stream = (spark.readStream.schema(df.schema)
+              .parquet(sf + "/events.parquet")
+              .withWatermark("ts", "1 minute")
+              .groupBy(F.window("ts", "10 minutes", "5 minutes"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).cast("long").alias("n"))
+              .select(F.col("window.start").alias("win_start"),
+                      F.col("window.end").alias("win_end"),
+                      "event_type", "n"))
+    q = (stream.writeStream.format("memory")
+         .queryName("swin_out").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("swin_out").collect()))
+    want = sorted(map(tuple, sliding_window_counts(spark, sf).collect()))
+    assert got == want and len(want) > 0
