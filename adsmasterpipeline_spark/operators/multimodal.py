@@ -397,3 +397,75 @@ def blockhash63(feature):
             F.when(F.element_at(feature, i + 1) > med,
                    F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
     return out
+
+
+RESIZED_SCHEMA = ("asset_id long, media binary, width int, height int, "
+                  "resize_ok boolean, error string")
+
+
+def resize_gray(gray, out_w: int, out_h: int):
+    """Block-mean downscale of a [0,1] grayscale array to
+    (out_h, out_w) — numpy reshape-mean when dimensions divide evenly,
+    per-axis array_split means otherwise (area-average resampling, the
+    standard thumbnailing kernel)."""
+    import numpy as np
+
+    h, w = gray.shape
+    if h % out_h == 0 and w % out_w == 0:
+        return gray.reshape(out_h, h // out_h, out_w,
+                            w // out_w).mean(axis=(1, 3))
+    rows = [r.mean(axis=0) for r in np.array_split(gray, out_h, axis=0)]
+    return np.stack([
+        np.array([c.mean() for c in np.array_split(row, out_w)])
+        for row in rows])
+
+
+def encode_p5(gray) -> bytes:
+    """Re-encode a [0,1] grayscale array as binary netpbm P5 — the
+    inverse of _netpbm_gray, so resize output round-trips through the
+    same real decoder."""
+    import numpy as np
+
+    h, w = gray.shape
+    raster = np.clip(np.rint(gray * 255.0), 0, 255).astype(np.uint8)
+    return f"P5\n{w} {h}\n255\n".encode() + raster.tobytes()
+
+
+def resize_images(assets: DataFrame, out_w: int = 8,
+                  out_h: int = 8) -> DataFrame:
+    """Arrow-batched image resize: decode netpbm payloads, block-mean
+    downscale to (out_w, out_h), re-encode P5. Same executor-side
+    shape as extract_features — wide media bytes cross Arrow once per
+    direction and never ride a shuffle; malformed payloads record a
+    per-row error instead of failing the job."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, oks, errs = [], [], []
+            for payload in pdf["media"]:
+                try:
+                    gray = _netpbm_gray(payload)
+                    if gray is None:
+                        raise NotImplementedError(
+                            "only netpbm (P5/P6) resizes in-environment")
+                    outs.append(encode_p5(resize_gray(gray, out_w,
+                                                      out_h)))
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as e:
+                    outs.append(None)
+                    oks.append(False)
+                    errs.append(str(e)[:100])
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "media": outs,
+                "width": out_w, "height": out_h,
+                "resize_ok": oks, "error": errs,
+            })
+
+    return assets.where(F.col("kind") == "image") \
+        .select("asset_id", "kind", "media") \
+        .mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -569,3 +569,52 @@ def test_image_phash_neardup_planted(spark, tmp_path):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert not any(4 in p for p in pairs)
+
+
+def test_resize_images_roundtrip(spark):
+    """Real resize path: a planted 8x4 P5 gradient block-mean
+    downscales to 4x2, the output re-decodes through the SAME netpbm
+    parser with correct dims, and the overall mean intensity is
+    preserved (area-average invariant). A corrupt payload records a
+    per-row error instead of failing the job."""
+    import numpy as np
+
+    from adsmasterpipeline_spark.operators.multimodal import (
+        _netpbm_gray, encode_p5, resize_images,
+    )
+
+    grad = np.arange(32, dtype=np.float64).reshape(4, 8) / 31.0
+    payload = encode_p5(grad)
+    rows = [(1, "image", payload, ("image/x-portable-graymap", 8, 4,
+                                   None)),
+            (2, "image", b"JUNK", ("image/x-portable-graymap", 0, 0,
+                                   None))]
+    from adsmasterpipeline_spark.operators.multimodal import ASSET_SCHEMA
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = {r["asset_id"]: r
+           for r in resize_images(assets, out_w=4, out_h=2).collect()}
+    assert out[1]["resize_ok"] and out[2]["error"] is not None
+    small = _netpbm_gray(bytes(out[1]["media"]))
+    assert small.shape == (2, 4)
+    # area-average preserves mean up to uint8 quantization
+    assert abs(float(small.mean()) - float(grad.mean())) < 2 / 255
+    # downscale is deterministic: second run byte-identical
+    again = {r["asset_id"]: bytes(r["media"]) for r in
+             resize_images(assets, out_w=4, out_h=2).collect()
+             if r["resize_ok"]}
+    assert again[1] == bytes(out[1]["media"])
+
+
+def test_resize_gray_uneven_split():
+    import numpy as np
+
+    from adsmasterpipeline_spark.operators.multimodal import resize_gray
+
+    g = np.arange(35, dtype=np.float64).reshape(5, 7) / 34.0
+    small = resize_gray(g, 3, 2)
+    assert small.shape == (2, 3)
+    # uneven splits weight blocks unequally, so the mean is only
+    # approximately preserved (exact preservation needs divisible dims
+    # — pinned in test_resize_images_roundtrip)
+    assert abs(float(small.mean()) - float(g.mean())) < 0.1
+    assert 0.0 <= float(small.min()) and float(small.max()) <= 1.0
