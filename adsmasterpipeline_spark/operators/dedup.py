@@ -200,20 +200,21 @@ def simhash64(text: Column) -> Column:
     return out
 
 
-def simhash_pairs(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates: docs whose simhash agrees on at least one of
-    4 16-bit bands (pigeonhole: hamming ≤ 3 over 64 bits ⇒ some band
-    equal), verified by exact hamming distance."""
-    sig = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+def banded_hamming_pairs(sig: DataFrame, id_col: str, hash_col: str,
+                         max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs from any (id, 64-bit hash) table via the 4x16-bit
+    band pigeonhole join (hamming <= 3 over 64 bits => some band
+    equal), verified by exact bit_count hamming. Shared by the text
+    SimHash and image Blockhash paths — one place for the banding
+    math."""
     banded = sig.select(
-        id_col, "sim",
+        id_col, hash_col,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftright("sim", b * 16).bitwiseAND(F.lit(0xFFFF))
-                     .alias("bucket"))
+                     F.shiftright(hash_col, b * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("bucket"))
             for b in range(4)])).alias("_b"),
-    ).select(id_col, "sim", "_b.band", "_b.bucket")
+    ).select(id_col, hash_col, "_b.band", "_b.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -221,12 +222,23 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.sim").alias("sim_a"), F.col("b.sim").alias("sim_b"))
+                F.col(f"a.{hash_col}").alias("h_a"),
+                F.col(f"b.{hash_col}").alias("h_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (cand.select("id_a", "id_b", hamming.alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates: docs whose simhash agrees on at least one of
+    4 16-bit bands (pigeonhole: hamming ≤ 3 over 64 bits ⇒ some band
+    equal), verified by exact hamming distance."""
+    sig = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    return banded_hamming_pairs(sig, id_col, "sim",
+                                max_hamming=max_hamming)
 
 
 def incremental_dedup(new_docs: DataFrame, corpus_fps: DataFrame,

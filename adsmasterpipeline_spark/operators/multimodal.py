@@ -380,17 +380,18 @@ def fake_assets(spark, n: int = 64) -> DataFrame:
 
 
 def blockhash63(feature):
-    """63-bit Blockhash-style perceptual hash from a 64-strip feature
-    array (Yang/Oostveen block-mean hashing, public): bit i = strip i's
-    mean intensity above the array median. Pure higher-order column
-    expression over the decoded feature — per-row, no UDF beyond the
-    decode itself; bit 63 left clear to keep the value positive (same
-    convention as operators/dedup.simhash64, so the banding/verify
-    machinery is shared)."""
+    """63-bit Blockhash-style perceptual hash from a 63-strip feature
+    array (Yang/Oostveen block-mean hashing, public): bit i = strip
+    i's mean intensity above the array median (exact middle of 63
+    values — every strip contributes a bit, no blind-spot strip).
+    Pure higher-order column expression over the decoded feature —
+    per-row, no UDF beyond the decode itself; bit 63 stays clear so
+    the value is positive (same convention as
+    operators/dedup.simhash64, so the banding/verify machinery is
+    shared)."""
     from pyspark.sql import functions as F
 
-    srt = F.array_sort(feature)
-    med = (F.element_at(srt, 32) + F.element_at(srt, 33)) / 2
+    med = F.element_at(F.array_sort(feature), 32)
     out = F.lit(0).cast("long")
     for i in range(63):
         out = out.bitwiseOR(
@@ -411,6 +412,12 @@ def resize_gray(gray, out_w: int, out_h: int):
     import numpy as np
 
     h, w = gray.shape
+    if out_h > h or out_w > w:
+        # upscale would feed empty splits (NaN means); this is a
+        # downscale kernel — record the error per-row instead of
+        # emitting garbage pixels with resize_ok=True
+        raise ValueError(
+            f"resize_gray is downscale-only: {h}x{w} -> {out_h}x{out_w}")
     if h % out_h == 0 and w % out_w == 0:
         return gray.reshape(out_h, h // out_h, out_w,
                             w // out_w).mean(axis=(1, 3))

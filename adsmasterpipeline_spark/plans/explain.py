@@ -118,11 +118,18 @@ def plan_scale_issues(df: DataFrame) -> list[dict]:
         return (simple(n) in agg_nodes
                 and n.groupingExpressions().isEmpty())
 
+    # single-child nodes that MULTIPLY rows — a bounded input does NOT
+    # make their output bounded (explode fan-out above a limit is
+    # still unbounded)
+    row_multiplying = ("GenerateExec", "ExpandExec")
+
     def subtree_bounded(n):
         nm = simple(n)
         if is_onerow_agg(n) or "Limit" in nm \
                 or nm == "TakeOrderedAndProjectExec":
             return True
+        if nm in row_multiplying:
+            return False
         cs = children(n)
         # pass-through nodes: bounded if their input is bounded
         if len(cs) == 1:

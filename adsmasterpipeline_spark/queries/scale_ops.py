@@ -279,8 +279,9 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "P5 netpbm images are rendered from each document's normalized "
         "text (64x4 grayscale raster — REAL binary payloads), decoded "
         "by the REAL netpbm parser inside Arrow-batched mapInPandas "
-        "into 64 block-mean strips, hashed to a 63-bit Blockhash-style "
-        "perceptual hash (strip mean vs median), then near-dup pairs "
+        "into 63 block-mean strips, hashed to a 63-bit Blockhash-style "
+        "perceptual hash (strip mean vs exact median — every strip "
+        "contributes a bit), then near-dup pairs "
         "come from the SAME banded pigeonhole join as SimHash (4x16-bit "
         "bands catch every pair at hamming <= 3; bit_count verify). "
         "Near-identical documents render near-identical rasters, so "
@@ -308,27 +309,10 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(64).alias("width"), F.lit(4).alias("height"),
                  F.lit(None).cast("int").alias("duration_ms"))
         .alias("meta"))
-    feats = extract_features(assets, fake_decode=False, dims=64)
+    feats = extract_features(assets, fake_decode=False, dims=63)
     sig = feats.where(F.col("decode_ok")).select(
         F.col("asset_id"), blockhash63(F.col("feature")).alias("ph"))
-    banded = sig.select(
-        "asset_id", "ph",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.shiftright("ph", b * 16).bitwiseAND(F.lit(0xFFFF))
-                     .alias("bucket"))
-            for b in range(4)])).alias("_b"),
-    ).select("asset_id", "ph", "_b.band", "_b.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.asset_id") < F.col("b.asset_id")))
-            .select(F.col("a.asset_id").alias("id_a"),
-                    F.col("b.asset_id").alias("id_b"),
-                    F.col("a.ph").alias("ph_a"),
-                    F.col("b.ph").alias("ph_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (cand.select("id_a", "id_b",
-                        hamming.cast("long").alias("hamming"))
-            .where(F.col("hamming") <= 3))
+    from ..operators.dedup import banded_hamming_pairs
+    pairs = banded_hamming_pairs(sig, "asset_id", "ph", max_hamming=3)
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("long").alias("hamming"))

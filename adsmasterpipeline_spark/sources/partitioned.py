@@ -67,24 +67,37 @@ def read_partition_pruned(spark: SparkSession, path: str,
 
 
 def compact_partition(spark: SparkSession, path: str, part_col: str,
-                      part_val, target_files: int = 1) -> int:
+                      part_val: str, target_files: int = 1) -> int:
     """Rewrite ONE partition's many small files into ``target_files``
     — the small-files maintenance primitive (streaming/incremental
     ingest leaves a file per micro-batch; scans pay per-file open
     cost and the driver pays per-file listing).
 
-    Reads only the target partition (partition-pruned scan), coalesces
-    — a narrow, shuffle-free fan-in — and republishes through a
-    dynamic-partition overwrite so every other partition's files stay
-    byte-untouched. Returns the row count republished, so callers can
-    assert conservation. At cluster scale this is the same loop a
-    table service (OPTIMIZE / rewrite_data_files) runs per partition.
+    Reads only the target partition (partition-pruned scan, partition
+    TYPE INFERENCE OFF so ``day=01`` keeps its exact directory name
+    instead of round-tripping through int 1 and republishing under
+    ``day=1``), coalesces — a narrow, shuffle-free fan-in — pins the
+    result with ``localCheckpoint`` (one scan serves both the returned
+    count and the write, AND the write no longer reads the very files
+    it replaces), then republishes through a dynamic-partition
+    overwrite so every other partition's files stay byte-untouched.
+
+    Durability caveat (stated, not hand-waved): parquet-on-filesystem
+    dynamic overwrite is atomic only at the commit-protocol level — a
+    crash mid-commit can leave the partition partial. The checkpoint
+    removes the read-own-input hazard within a healthy run; CRASH
+    safety across runs needs a table format with a log (the
+    Delta/Iceberg boundary in sinks/lake.py).
     """
-    part = read_partition_pruned(spark, path, **{part_col: part_val})
-    # drop the partition column before write; partitionBy re-adds the
-    # directory level from the literal
-    rows = part.coalesce(target_files) \
-        .withColumn(part_col, part[part_col].cast("string"))
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        part = read_partition_pruned(spark, path,
+                                     **{part_col: str(part_val)})
+    finally:
+        spark.conf.set(key, prev)
+    rows = part.coalesce(target_files).localCheckpoint()
     n = rows.count()
     overwrite_partitions_dynamic(rows, path, part_col)
     return n

@@ -38,3 +38,16 @@ def test_broadcast_nested_loop_is_bounded_via_broadcast(spark):
     issues = plan_scale_issues(df)
     nl = [i for i in issues if i["kind"] == "nested_loop"]
     assert nl and all(i["bounded"] for i in nl), issues
+
+
+def test_explode_above_limit_is_unbounded(spark):
+    """A row-multiplying Generate above a limit breaks boundedness:
+    the funnel below it must NOT be certified bounded."""
+    df = (spark.range(100).limit(5)
+          .select(F.explode(F.sequence(F.lit(0), F.col("id") * 1000))
+                  .alias("x"))
+          .repartition(8)
+          .withColumn("rn", F.row_number().over(W.orderBy("x"))))
+    issues = plan_scale_issues(df)
+    assert any(i["kind"] == "single_partition" and not i["bounded"]
+               for i in issues), issues

@@ -121,7 +121,11 @@ def test_sliding_window_stream_matches_batch_query(spark, tmp_path):
     q = (stream.writeStream.format("memory")
          .queryName("swin_out").outputMode("complete")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
-    got = sorted(map(tuple, spark.table("swin_out").collect()))
+    try:
+        finished = q.awaitTermination(300)
+        assert finished, "availableNow run did not finish in 300s"
+        got = sorted(map(tuple, spark.table("swin_out").collect()))
+    finally:
+        q.stop()
     want = sorted(map(tuple, sliding_window_counts(spark, sf).collect()))
     assert got == want and len(want) > 0

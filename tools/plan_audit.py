@@ -20,11 +20,12 @@ new funnel or cartesian turns the artifact red.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import traceback
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # query -> (max unbounded issues allowed, reason)
 KNOWN_UNBOUNDED: dict[str, tuple[int, str]] = {
