@@ -10,8 +10,10 @@ column (ingest day, source) so that
   excluded partitions), and
 - an incremental publish rewrites ONLY the partitions present in the
   new batch: ``partitionOverwriteMode=dynamic`` replaces touched
-  day-directories atomically and leaves every other partition's files
-  untouched — the pattern behind the reference's nightly incremental
+  day-directories at commit time and leaves every other partition's
+  files untouched (commit-protocol atomicity only — crash-safe
+  multi-file commits need a table format with a log, the
+  Delta/Iceberg boundary in sinks/lake.py) — the pattern behind the reference's nightly incremental
   runs (full-table rewrite per batch is the classic lake anti-pattern
   at scale).
 
