@@ -476,3 +476,70 @@ def resize_images(assets: DataFrame, out_w: int = 8,
     return assets.where(F.col("kind") == "image") \
         .select("asset_id", "kind", "media") \
         .mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def synth_wav_assets(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_samples: int = 8192) -> DataFrame:
+    """Render each document's text as a REAL 8-bit PCM WAV payload
+    (stdlib ``wave`` writer; samples = the text's own bytes, capped at
+    ``max_samples``, NO padding or cycling — the signal's duration is
+    the text's length, so feature windows computed relative to
+    duration stay content-aligned; padding would hand every short doc
+    an identical constant tail and cycling would phase-shift the
+    whole signal under a one-word edit). The ingest-side twin of
+    decode_audio's stdlib parser: downstream audio operators exercise
+    a genuine encode->decode round trip instead of fake bytes.
+    Deterministic: same text, same payload. Runs in mapInPandas; text
+    never rides a shuffle as audio."""
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias, durs = [], []
+            for text in pdf["_t"]:
+                raw = (text or " ").encode("utf-8", "replace")
+                samples = raw[:max_samples]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(8000)
+                    w.writeframes(samples)
+                medias.append(buf.getvalue())
+                durs.append(len(samples) * 1000 // 8000)
+            yield pd.DataFrame({
+                "asset_id": pdf["_id"], "kind": "audio",
+                "media": medias,
+                "meta": [{"mime": "audio/wav", "width": None,
+                          "height": None, "duration_ms": dur}
+                         for dur in durs],
+            })
+
+    src = docs.select(F.col(id_col).alias("_id"),
+                      F.col(text_col).alias("_t"))
+    return src.mapInPandas(run, schema=ASSET_SCHEMA)
+
+
+def diffhash63(feature):
+    """63-bit sign-of-difference audio fingerprint from a 64-window
+    loudness envelope: bit i = window i+1 louder than window i — the
+    Haitsma-Kalker (2002) robust-hash shape (energy DIFFERENCES, not
+    absolute levels, so the hash is invariant to overall gain and far
+    more discriminative than a median threshold on near-constant
+    envelopes). Pure higher-order column expression; bit 63 stays
+    clear so the value is positive and the shared 4x16 banding
+    applies."""
+    from pyspark.sql import functions as F
+
+    out = F.lit(0).cast("long")
+    for i in range(63):
+        out = out.bitwiseOR(
+            F.when(F.element_at(feature, i + 2)
+                   > F.element_at(feature, i + 1),
+                   F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
+    return out

@@ -316,3 +316,39 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = banded_hamming_pairs(sig, "asset_id", "ph", max_hamming=3)
     return pairs.select("id_a", "id_b",
                         F.col("hamming").cast("long").alias("hamming"))
+
+
+@query(
+    "audio_fingerprint_neardup", None, "multimodal", "dedup",
+    doc="Audio near-duplicate detection end-to-end: each document's "
+        "normalized text renders to a REAL 8-bit PCM WAV payload of "
+        "its own duration (stdlib wave writer, executor-side; no "
+        "padding/cycling so edits stay window-local), the REAL stdlib "
+        "wave parser decodes it back into a 64-window loudness "
+        "envelope (operators/multimodal.decode_audio — no fake path "
+        "anywhere), consecutive-window loudness DIFFERENCES sign into "
+        "a 63-bit Haitsma-Kalker-shape fingerprint (diffhash63 — "
+        "gain-invariant, discriminative where a median threshold on "
+        "near-constant envelopes is not), and pairs come from the "
+        "SHARED 4x16-band pigeonhole join (exact at hamming <= 3). "
+        "Completes the modality set: text (SimHash), image "
+        "(Blockhash), audio (envelope hash) all feed one banding/"
+        "verify implementation (operators/dedup.banded_hamming_pairs)."
+        " Scale shape identical to the image path: media bytes cross "
+        "Arrow once per direction, only 8-byte hashes ride the "
+        "shuffle. Rows-only (binary decode has no SQL oracle).",
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import banded_hamming_pairs
+    from ..operators.multimodal import diffhash63, synth_wav_assets
+    from .text import _norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _norm_text().alias("norm"))
+    assets = synth_wav_assets(docs, text_col="norm")
+    feats = extract_features(assets, fake_decode=False, dims=64)
+    sig = feats.where(F.col("decode_ok")).select(
+        F.col("asset_id"), diffhash63(F.col("feature")).alias("fp"))
+    pairs = banded_hamming_pairs(sig, "asset_id", "fp", max_hamming=3)
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("long").alias("hamming"))

@@ -618,3 +618,43 @@ def test_resize_gray_uneven_split():
     # — pinned in test_resize_images_roundtrip)
     assert abs(float(small.mean()) - float(g.mean())) < 0.1
     assert 0.0 <= float(small.min()) and float(small.max()) <= 1.0
+
+
+def test_audio_fingerprint_neardup_planted(spark, tmp_path):
+    """Planted audio near-dups through the REAL WAV round trip: an
+    exact text duplicate is hamming 0; a small suffix edit stays
+    within the hamming<=3 gate; an unrelated doc pairs with
+    neither."""
+    from adsmasterpipeline_spark.queries.scale_ops import (
+        audio_fingerprint_neardup,
+    )
+
+    # build the near-dup from the NORMALIZED form (the query trims /
+    # collapses whitespace before synthesis — a length change there
+    # shifts every envelope-window boundary)
+    base = ("table small sort order small hash stream data big key "
+            "group fast join merge filter window batch row value " * 4
+            ).strip()
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base, "en", "web", len(base)),            # exact dup
+        # same normalized length, last-window-local substitution (a
+        # longer or shifted edit moves every window boundary and
+        # exceeds the hamming gate — that selectivity is what keeps
+        # doc 4 out below)
+        (3, base[:-8] + "qqqqqqqq", "en", "web", len(base)),
+        (4, "completely different text about optimizers exchanges "
+            "partitions shuffles joins aggregates codegen stages "
+            "broadcast thresholds and adaptive execution " * 4,
+         "en", "web", 400),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sf = str(tmp_path / "audiofp")
+    df.coalesce(1).write.parquet(sf + "/documents.parquet")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in audio_fingerprint_neardup(spark, sf).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
