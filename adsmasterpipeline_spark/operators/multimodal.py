@@ -543,3 +543,45 @@ def diffhash63(feature):
                    > F.element_at(feature, i + 1),
                    F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
     return out
+
+
+def synth_rawv_assets(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", frame_w: int = 8,
+                      frame_h: int = 8, max_frames: int = 8,
+                      frame_ms: int = 1000) -> DataFrame:
+    """Render each document's text as a REAL RAWV video payload: the
+    normalized text splits into width*height-byte frames (last frame
+    space-padded, count capped at ``max_frames``), so a text edit is a
+    FRAME-LOCAL pixel change and document length is the video's
+    duration. The ingest twin of decode_video_frame — downstream video
+    operators exercise the genuine container round trip. Deterministic;
+    text never rides a shuffle as video."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    fsize = frame_w * frame_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias, metas = [], []
+            for text in pdf["_t"]:
+                raw = (text or " ").encode("utf-8", "replace")
+                n = min(max(1, -(-len(raw) // fsize)), max_frames)
+                frames = [raw[i * fsize:(i + 1) * fsize]
+                          .ljust(fsize, b" ") for i in range(n)]
+                medias.append(encode_rawv(frames, frame_w, frame_h,
+                                          frame_ms))
+                # ticks run 0..duration inclusive; (n-1)*frame_ms
+                # samples exactly the n real frames
+                metas.append({"mime": "video/x-rawv", "width": frame_w,
+                              "height": frame_h,
+                              "duration_ms": (n - 1) * frame_ms})
+            yield pd.DataFrame({
+                "asset_id": pdf["_id"], "kind": "video",
+                "media": medias, "meta": metas,
+            })
+
+    src = docs.select(F.col(id_col).alias("_id"),
+                      F.col(text_col).alias("_t"))
+    return src.mapInPandas(run, schema=ASSET_SCHEMA)

@@ -658,3 +658,41 @@ def test_audio_fingerprint_neardup_planted(spark, tmp_path):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert not any(4 in p for p in pairs)
+
+
+def test_video_phash_neardup_planted(spark, tmp_path):
+    """Planted video near-dups through the REAL RAWV round trip: an
+    exact text duplicate is hamming 0; a one-block edit inside one
+    frame stays within the hamming<=3 gate; an unrelated doc pairs
+    with neither; a short doc (< 4 frames) is excluded by the
+    duration gate entirely."""
+    from adsmasterpipeline_spark.queries.scale_ops import (
+        video_phash_neardup,
+    )
+
+    base = ("table small sort order small hash stream data big key "
+            "group fast join merge filter window batch row value " * 6
+            ).strip()
+    assert len(base) >= 256
+    # flip 8 chars inside the third frame (byte offsets 128..192)
+    edited = base[:150] + "qqqqqqqq" + base[158:]
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base, "en", "web", len(base)),            # exact dup
+        (3, edited, "en", "web", len(edited)),        # frame-local edit
+        (4, "completely different text about optimizers exchanges "
+            "partitions shuffles joins aggregates codegen stages "
+            "broadcast thresholds and adaptive execution plans " * 6,
+         "en", "web", 600),
+        (5, "short clip", "en", "web", 10),           # below the gate
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sf = str(tmp_path / "videofp")
+    df.coalesce(1).write.parquet(sf + "/documents.parquet")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in video_phash_neardup(spark, sf).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p or 5 in p for p in pairs)
