@@ -27,14 +27,25 @@ from pyspark.sql import functions as F
 
 
 def _order_proxy(key: Column) -> Column:
-    """Order-preserving numeric proxy for a string key: the first three
-    code points packed into 21-bit fields (k1 < k2 ⇒ proxy(k1) <=
-    proxy(k2); equal proxies stay in one bucket, so range bucketing on
-    the proxy never splits the true ordering). Granularity only affects
-    bucket balance, never correctness."""
+    """Order-preserving numeric proxy for a string key: the first NINE
+    code points packed into 7-bit fields of a 63-bit long (k1 < k2 ⇒
+    proxy(k1) <= proxy(k2); equal proxies stay in one bucket, so range
+    bucketing on the proxy never splits the true ordering). Nine chars
+    matter for skew: bibcode-like keys ("2019ApJ...") share long year
+    prefixes, and a 3-char proxy collapsed them onto a handful of
+    distinct values — range buckets degenerated to a few hot ones.
+    With 9 chars the proxy distinguishes keys through the journal
+    field. Code points above 127 clamp to 127 — clamping is monotonic,
+    so ordering is preserved (non-ASCII keys just share buckets).
+    Granularity only affects bucket balance, never correctness."""
     def cp(i):
-        return F.coalesce(F.ascii(F.substring(key, i, 1)), F.lit(0)).cast("long")
-    return (cp(1) * F.lit(1 << 42) + cp(2) * F.lit(1 << 21) + cp(3))
+        return F.least(
+            F.coalesce(F.ascii(F.substring(key, i, 1)), F.lit(0)),
+            F.lit(127)).cast("long")
+    out = F.lit(0).cast("long")
+    for i in range(1, 10):
+        out = out * F.lit(128) + cp(i)
+    return out
 
 
 def assign_sequential(df: DataFrame, order_col: str,

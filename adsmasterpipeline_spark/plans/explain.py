@@ -57,6 +57,18 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in _formatted(df)
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of FORCED broadcast hints (``F.broadcast(...)``) in the
+    analyzed logical plan. Distinct from ``has_broadcast_join``: the
+    optimizer may legitimately pick a broadcast for a provably-small
+    side at runtime (size estimate / AQE) — a *hint* overrides that
+    judgment unconditionally, which is the dangerous case when the
+    hinted side grows with the corpus."""
+    analyzed = str(df._jdf.queryExecution().analyzed())
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)",
+                          analyzed))
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen subtrees (codegen explain mode —
     the formatted plan hides them under AQE)."""

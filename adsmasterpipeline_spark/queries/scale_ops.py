@@ -289,7 +289,15 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the image analogue of the text dedup family. Scale shape: "
         "media bytes cross Arrow once and are dropped executor-side; "
         "only (id, 8-byte hash) rides the band shuffle; no SQL oracle "
-        "possible (binary decode), so rows-only + pytest parity.",
+        "possible (binary decode), so rows-only + pytest parity. "
+        "Docs under 128 normalized chars are gated OUT (like the "
+        "video path's 256-char gate): below that, rows 2-4 of the "
+        "64x4 raster are all space padding and each 63-strip mean "
+        "degenerates to a space/non-space indicator, so the hash "
+        "would depend only on word-length layout — short unrelated "
+        "docs would collide (hamming-0 false near-dups) and the "
+        "equal-hash band buckets would blow up quadratically. Short "
+        "docs belong to the text SimHash path (simhash_neardup).",
 )
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import blockhash63, extract_features
@@ -297,6 +305,10 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     ascii_txt = F.regexp_replace(_norm_text(), "[^a-z0-9 ]", "")
+    # degenerate-raster gate: require at least two 64-char raster rows
+    # of real content (see docstring) — shorter docs are the text
+    # SimHash path's job, not the image path's
+    d = d.where(F.length(ascii_txt) >= 128)
     raster = F.encode(
         F.rpad(F.substring(ascii_txt, 1, 256), 256, " "), "utf-8")
     payload = F.concat(F.encode(F.lit("P5\n64 4\n255\n"), "utf-8"),

@@ -332,8 +332,14 @@ def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int,
     # of each doc is its rarest tokens under a deterministic total order
     dfc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
     w_doc = W.partitionBy("doc_id").orderBy("dfc", "tok")
+    # NO broadcast hint on the token-DF dictionary: its cardinality is
+    # the corpus-wide distinct-token count (billions at 100 TB — typos,
+    # numbers, URLs), which would OOM every executor as a broadcast
+    # build side. The join key is the same ``tok`` the groupBy above
+    # already shuffled on, so the shuffled-hash/sort-merge join reuses
+    # that partitioning; the prefix-filter math needs no hint.
     ranked = (
-        tok.join(F.broadcast(dfc), "tok")
+        tok.join(dfc, "tok")
         .withColumn("rnk", F.row_number().over(w_doc))
         .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
     )

@@ -39,21 +39,21 @@ def overwrite_partitions_dynamic(df: DataFrame, path: str,
                                  *cols: str) -> None:
     """Overwrite ONLY the partitions present in ``df``.
 
-    Uses ``partitionOverwriteMode=dynamic`` scoped to this write (set
-    via the session conf around the call, restored after): partitions
-    absent from ``df`` keep their existing files byte-for-byte; the
-    touched ones are replaced wholesale. This is the idempotent
-    re-publish primitive for incremental batches — replaying a batch
-    rewrites the same directories to the same content.
+    Uses the per-write ``partitionOverwriteMode=dynamic`` option (a
+    DataFrameWriter option takes precedence over the session conf
+    since Spark 3.0): partitions absent from ``df`` keep their
+    existing files byte-for-byte; the touched ones are replaced
+    wholesale. Scoping the mode to the single write (instead of
+    mutating the session conf around it) keeps concurrent jobs on the
+    same SparkSession safe — a concurrent plain ``mode("overwrite")``
+    during a set/restore window would silently have become dynamic
+    (keeping partitions it should drop), or vice versa. This is the
+    idempotent re-publish primitive for incremental batches —
+    replaying a batch rewrites the same directories to the same
+    content.
     """
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try:
-        df.write.partitionBy(*cols).mode("overwrite").parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    (df.write.partitionBy(*cols).mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic").parquet(path))
 
 
 def read_partition_pruned(spark: SparkSession, path: str,
@@ -75,10 +75,15 @@ def compact_partition(spark: SparkSession, path: str, part_col: str,
     ingest leaves a file per micro-batch; scans pay per-file open
     cost and the driver pays per-file listing).
 
-    Reads only the target partition (partition-pruned scan, partition
-    TYPE INFERENCE OFF so ``day=01`` keeps its exact directory name
-    instead of round-tripping through int 1 and republishing under
-    ``day=1``), coalesces — a narrow, shuffle-free fan-in — pins the
+    Reads the target partition's directory DIRECTLY (a path-level
+    prune — Spark never lists the other partitions at all) and
+    restores the partition column as a string literal, so ``day=01``
+    keeps its exact directory name instead of round-tripping through
+    type inference to int 1 and republishing under ``day=1``. The
+    direct path also avoids mutating the session-global
+    ``partitionColumnTypeInference`` conf, which would race with
+    concurrent reads on the same SparkSession.
+    Then coalesces — a narrow, shuffle-free fan-in — pins the
     result with ``localCheckpoint`` (one scan serves both the returned
     count and the write, AND the write no longer reads the very files
     it replaces), then republishes through a dynamic-partition
@@ -91,14 +96,9 @@ def compact_partition(spark: SparkSession, path: str, part_col: str,
     safety across runs needs a table format with a log (the
     Delta/Iceberg boundary in sinks/lake.py).
     """
-    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
-        part = read_partition_pruned(spark, path,
-                                     **{part_col: str(part_val)})
-    finally:
-        spark.conf.set(key, prev)
+    from pyspark.sql import functions as F
+    part = (spark.read.parquet(f"{path}/{part_col}={part_val}")
+            .withColumn(part_col, F.lit(str(part_val))))
     rows = part.coalesce(target_files).localCheckpoint()
     n = rows.count()
     overwrite_partitions_dynamic(rows, path, part_col)

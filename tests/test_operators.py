@@ -37,6 +37,33 @@ def test_assign_sequential_matches_global_window(spark):
     assert mismatches == 0
 
 
+def test_assign_sequential_shared_prefix_keys_no_bucket_collapse(spark):
+    """Bibcode-like string keys share a long year prefix; the 9-char
+    order proxy must still spread them over range buckets (a 3-char
+    proxy collapsed '2019ApJ...' keys onto ONE proxy value — all rows
+    in one hot bucket). Numbering must also stay bit-identical to the
+    global window on strings."""
+    from adsmasterpipeline_spark.operators.assignment import _order_proxy
+
+    n_req = 8
+    # bibcode shape YYYYJJJJJVVVV…: all share the year prefix "2019";
+    # the journal field (chars 5-9) carries the variety — exactly what
+    # a 3-char proxy ("201") could not see and a 9-char proxy can
+    keys = [(f"2019J{i % 500:04d}{i:05d}A",) for i in range(4000)]
+    df = spark.createDataFrame(keys, "key string")
+    two_phase = assign_sequential(df, "key", num_partitions=n_req)
+    # ≥ min(n_rows, requested) non-empty buckets despite the shared
+    # "2019ApJ..." prefix (chars beyond position 9 still distinguish)
+    n_buckets = (df.select(_order_proxy(F.col("key")).alias("p"))
+                 .agg(F.approx_count_distinct("p")).first()[0])
+    assert n_buckets >= n_req  # proxy granularity supports the split
+    reference = df.withColumn(
+        "seq", F.row_number().over(W.orderBy("key")) - 1)
+    mismatches = two_phase.alias("a").join(
+        reference.alias("b"), "key").where("a.seq != b.seq").count()
+    assert mismatches == 0
+
+
 def _docs_with_dups(spark):
     base = ("spark merges sorted runs while the shuffle service streams "
             "blocks across executors during wide transformations")
@@ -558,6 +585,13 @@ def test_image_phash_neardup_planted(spark, tmp_path):
             "shuffles partitions exchanges joins aggregates windows "
             "and broadcast thresholds in the optimizer " * 3,
          "en", "web", 100),
+        # short unrelated docs with identical word-length layout: below
+        # the 128-char gate the raster rows 2-4 are all padding and the
+        # hash would collapse to a space/non-space layout indicator —
+        # these two would falsely collide at hamming 0. The gate must
+        # exclude them from the image path entirely.
+        (5, "cat dog ran far", "en", "web", 15),
+        (6, "pig fox sat too", "en", "web", 15),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, "
@@ -569,6 +603,8 @@ def test_image_phash_neardup_planted(spark, tmp_path):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert not any(4 in p for p in pairs)
+    # the length gate keeps degenerate short docs out of the image path
+    assert not any(5 in p or 6 in p for p in pairs)
 
 
 def test_resize_images_roundtrip(spark):

@@ -117,12 +117,20 @@ def test_scan_counts_bounded(spark):
     assert scan_count(_q(spark, "q1_pricing_summary")) == 1
 
 
-def test_prefix_jaccard_no_cartesian(spark):
+def test_prefix_jaccard_no_cartesian_no_forced_broadcast(spark):
     """The PPJoin candidate join must stay an equi hash/sort-merge join
-    on the prefix token; the df-count side joins broadcast."""
-    s = join_strategies(_q(spark, "ngram_jaccard_pairs"))
+    on the prefix token, and NO side may carry a forced broadcast
+    hint: the token-DF dictionary is the corpus-wide distinct-token
+    table (billions of rows at 100 TB — a hinted broadcast would OOM
+    every executor). The optimizer choosing broadcast at tiny SF from
+    its own size estimate is fine — the hint overriding it is not."""
+    from adsmasterpipeline_spark.plans.explain import broadcast_hint_count
+
+    df = _q(spark, "ngram_jaccard_pairs")
+    s = join_strategies(df)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+    assert broadcast_hint_count(df) == 0
 
 
 def test_ivf_kmeans_broadcasts_centroids(spark):

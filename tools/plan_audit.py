@@ -51,6 +51,33 @@ KNOWN_UNBOUNDED: dict[str, tuple[int, str]] = {
                                "test_plans)"),
 }
 
+# A broadcast build side caps one input of a nested-loop join, but the
+# PROBE side is unbounded — output is probe x build rows. That is the
+# intentional pattern behind ANN scoring / centroid assignment (every
+# probe row scores against a small broadcast set), but an ACCIDENTAL
+# non-equi join whose small side slips under autoBroadcastJoinThreshold
+# has the same plan shape. So broadcast-build nested loops are NOT
+# auto-certified: each query carrying one must be allowlisted here with
+# the reason its build side is structurally small; anything else FLAGs.
+# query -> (max broadcast-build nested loops allowed, reason)
+KNOWN_BROADCAST_NESTED: dict[str, tuple[int, str]] = {
+    "ann_brute_force": (1, "query set (vec_id<32) broadcast; exact "
+                           "baseline by design"),
+    "ann_int8_quantized": (1, "int8 query set broadcast"),
+    "ann_ivf": (2, "tiny centroid table broadcast (assign + probe)"),
+    "ann_ivf_kmeans": (4, "k-means centroid table broadcast per "
+                          "Lloyd step (k rows)"),
+    "ann_pq": (8, "PQ codebooks + IVF centroids broadcast (k_cent "
+                  "rows per subspace; re-rank over IVF lists)"),
+    "cosine_topk": (1, "query set broadcast"),
+    "dsir_importance_weights": (1, "hashed feature-weight table "
+                                   "broadcast (2^12 buckets fixed)"),
+    "embedding_cosine_neardup": (1, "LSH-bucketed small side"),
+    "embedding_cosine_neardup_gemm": (1, "tile-aggregated side "
+                                         "broadcast (exact kernel)"),
+    "semantic_dedup": (3, "k-means centroids broadcast (k rows)"),
+}
+
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
@@ -78,22 +105,37 @@ def main() -> None:
             df = qd.spark_fn(spark, sf_dir)
             issues = plan_scale_issues(df)
             unbounded = [i for i in issues if not i["bounded"]]
+            bnl = [i for i in issues
+                   if i.get("via") == "broadcast-build"]
             allowed, reason = KNOWN_UNBOUNDED.get(name, (0, ""))
+            bnl_allowed, bnl_reason = KNOWN_BROADCAST_NESTED.get(
+                name, (0, ""))
             row = {
                 "issues": issues,
                 "unbounded": len(unbounded),
+                "broadcast_nested": len(bnl),
                 "joins": sorted(set(join_strategies(df))),
                 "takeordered": takeordered_count(df),
                 "parquet_scans": scan_count(df),
                 "secs": round(time.time() - t0, 2),
             }
-            if len(unbounded) <= allowed:
+            if len(unbounded) > allowed:
+                row["status"] = "FLAG"
+                bad.append(name)
+            elif len(bnl) > bnl_allowed:
+                # plan-shape of an accidental non-equi join — a small
+                # build side must not auto-certify a probe x build
+                # fan-out; allowlist it with a reason or fix the join
+                row["status"] = "FLAG"
+                row["detail"] = ("broadcast-build nested loop not "
+                                 "allowlisted (probe side unbounded)")
+                bad.append(name)
+            else:
                 row["status"] = "OK"
                 if unbounded:
                     row["allowed_reason"] = reason
-            else:
-                row["status"] = "FLAG"
-                bad.append(name)
+                if bnl:
+                    row["broadcast_nested_reason"] = bnl_reason
         except Exception:
             row = {"status": "ERROR",
                    "detail": traceback.format_exc(limit=2),
