@@ -273,105 +273,204 @@ def blocked_gemm_pairs(vectors: DataFrame, threshold: float,
     return tiles.mapInPandas(run, schema="vec_a long, vec_b long, sim double")
 
 
-def pq_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
-            m_sub: int = 8, d_sub: int = 8, k_cent: int = 16,
-            iters: int = 2, id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
-    """Product-quantization ANN (Jegou, Douze & Schmid 2011, "Product
-    quantization for nearest neighbor search") with asymmetric
-    distance computation (ADC).
+def _train_pq_codebooks(sample, m_sub: int, d_sub: int, k_cent: int,
+                        k_coarse: int, iters: int = 4):
+    """Driver-side codebook training on a BOUNDED sample (numpy
+    Lloyd iterations, deterministic farthest-first-free init: the
+    first k distinct sample rows in id order). Returns
+    (coarse [k_coarse, dim], books [m_sub, k_cent, d_sub]).
 
-    Vectors are L2-normalized (so ADC dot products approximate
-    cosine), split into ``m_sub`` subvectors of ``d_sub`` dims; each
-    subspace learns ``k_cent`` centroids by L2 k-means — ALL subspaces
-    train in ONE dataflow (rows are (vec_id, sub_idx, subvec); the
-    centroid table keys on (sub_idx, cid) and broadcasts) — and every
-    candidate compresses to ``m_sub`` one-byte codes. Queries build a
-    LUT of per-subspace partial dot products against the centroids
-    (|Q| * m_sub * k_cent rows, broadcast), and scoring is
-    codes ⋈ LUT + a sum — the candidate VECTORS never participate in
-    scoring, which is the PQ contract: a 64-float vector becomes 8
-    bytes (32x compression, vs int8's 4x) and search touches only
-    codes. Approximation quality is tracked in ANNRECALL_r{N}.json.
-
-    Scale shape: training touches (n * m_sub) slim rows per iteration
-    with a broadcast centroid table (m_sub * k_cent rows) and
-    localCheckpoint per round (the k-means pattern); scoring fans
-    codes out by |Q| — bounded query sets, the ADC regime. Rows-only
-    registry entry (8 subspace k-means rounds are not reasonably
-    SQL-replayable; ann_ivf_kmeans covers the oracled-kmeans shape).
+    Training on a fixed-size sample is the textbook PQ deployment
+    (codebooks are a tiny model fitted offline on ~thousands of
+    vectors; quality saturates far below corpus size), and it is what
+    keeps the operator scale-safe: the distributed part of the job
+    never iterates — one TopK sampling pass, then one narrow encode
+    pass — instead of running Lloyd rounds over all n*m_sub subvector
+    rows as a Spark dataflow.
     """
-    def unit(vec):
-        n = F.sqrt(F.aggregate(
-            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda a, b: a + b))
-        return F.when(n == 0, F.transform(vec, lambda x: F.lit(0.0))) \
-            .otherwise(F.transform(vec, lambda x: x.cast("double") / n))
+    import numpy as np
 
-    def subrows(df, ident):
-        subs = F.array(*[F.slice(unit(F.col(vec_col)), i * d_sub + 1, d_sub)
-                         for i in range(m_sub)])
-        return df.select(F.col(id_col).alias(ident),
-                         F.posexplode(subs).alias("sub_idx", "sv"))
+    x = np.asarray(sample, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
 
-    cand_sub = subrows(candidates, "cid_v").localCheckpoint()
+    def lloyd(pts, k):
+        k = min(k, len(pts))
+        cen = pts[:k].copy()
+        for _ in range(iters):
+            # [n, k] squared L2 via the expanded form (one GEMM)
+            d2 = ((pts * pts).sum(1)[:, None]
+                  - 2.0 * pts @ cen.T + (cen * cen).sum(1)[None, :])
+            a = d2.argmin(1)
+            for c in range(k):
+                m = a == c
+                if m.any():
+                    cen[c] = pts[m].mean(0)
+        return cen
 
-    # init: subvectors of the k_cent lowest candidate ids (deterministic)
-    seed_ids = [r[0] for r in candidates.select(id_col)
-                .orderBy(id_col).limit(k_cent).collect()]
-    id_to_cid = F.create_map(*[F.lit(x) for pair in
-                               ((sid, i) for i, sid in enumerate(seed_ids))
-                               for x in pair])
-    cen = (cand_sub.where(F.col("cid_v").isin(seed_ids))
-           .select("sub_idx", id_to_cid[F.col("cid_v")].alias("cid"),
-                   F.col("sv").alias("cen")).localCheckpoint())
+    coarse = lloyd(x, k_coarse)
+    books = [lloyd(np.ascontiguousarray(x[:, i * d_sub:(i + 1) * d_sub]),
+                   k_cent) for i in range(m_sub)]
+    return coarse, books
 
-    def l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda p, q: p + q)
 
-    def assign(rows, ident):
-        d = rows.join(F.broadcast(cen), "sub_idx")
-        return (d.groupBy(ident, "sub_idx")
-                .agg(F.min_by("cid", F.struct(l2(F.col("sv"),
-                                                 F.col("cen")).alias("d"),
-                                              F.col("cid"))).alias("code"),
-                     F.first("sv").alias("sv")))
+def pq_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
+            m_sub: int = 8, d_sub: int = 8, k_cent: int = 64,
+            k_coarse: int = 16, nprobe: int = 10, rerank: int = 16,
+            train_cap: int = 2048, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """IVF + product-quantization ANN (Jegou, Douze & Schmid 2011)
+    in the RE-RANKING configuration (IVFADC+R, Jegou et al. 2011
+    "Searching in one billion vectors"): PQ is a candidate-generation
+    code, not a standalone index.
 
-    for _ in range(iters):
-        assigned = assign(cand_sub, "cid_v")
-        new = (assigned.select("sub_idx", "code",
-                               F.posexplode("sv").alias("pos", "val"))
-               .groupBy("sub_idx", "code", "pos")
-               .agg(F.avg("val").alias("v"))
-               .groupBy("sub_idx", F.col("code").alias("cid"))
-               .agg(F.array_sort(F.collect_list(F.struct("pos", "v")))
-                    .alias("_pv"))
-               .select("sub_idx", "cid",
-                       F.transform("_pv", lambda s: s.getField("v"))
-                       .alias("cen")))
-        # empty clusters keep their previous centroid
-        kept = cen.join(new.select("sub_idx", "cid"),
-                        ["sub_idx", "cid"], "left_anti")
-        cen = new.unionByName(kept).localCheckpoint()
+    1. **Train** (driver, bounded): a deterministic hash-ordered
+       sample of ≤ ``train_cap`` candidates trains the coarse
+       quantizer (``k_coarse`` IVF lists) and ``m_sub`` subspace
+       codebooks of ``k_cent`` centroids each — numpy Lloyd on
+       thousands of rows, milliseconds, no Spark iteration.
+    2. **Encode** (one Arrow pass, NO shuffle): every candidate maps
+       to (coarse list id, ``m_sub`` one-byte codes) via a vectorized
+       mapInPandas GEMM — a 64-float vector becomes ~9 bytes; the
+       full vectors never ride a shuffle.
+    3. **Probe + ADC score** (same Arrow pipeline, zero shuffle):
+       each query probes its ``nprobe`` nearest lists; per candidate
+       batch, only rows whose list a query probed are gathered
+       against that query's LUT of per-subspace partial dot products
+       (a [|Q|, m_sub, k_cent] closure array) — candidates outside
+       the probed lists are never touched (the fix for the full-scan
+       ADC of earlier rounds), and scoring pipelines in the SAME
+       stage as encoding (no explode, no LUT join, no groupBy).
+    4. **Exact re-rank**: the top ``k * rerank`` ADC candidates per
+       query (a bounded, broadcastable pair set) are re-scored with
+       exact cosine against the raw vectors; output is the exact-sim
+       top ``k``. ADC error therefore only costs recall when the true
+       neighbor falls outside the re-rank pool, not when its code
+       collides — the recall cliff ANNRECALL_r04 measured at sf0.1.
 
-    codes = assign(cand_sub, "cid_v").select(
-        F.col("cid_v").alias("neighbor_id"), "sub_idx", "code")
+    The query set is collected to the driver: ADC is inherently a
+    bounded-query-batch regime (each query carries an m_sub * k_cent
+    LUT), so |Q| smallness is a contract of the operator, not an
+    accident of the test data — same boundedness class as the
+    broadcast query set in ``brute_force_topk``.
 
-    lut = (subrows(queries, "query_id")
-           .join(F.broadcast(cen), "sub_idx")
-           .select("query_id", "sub_idx", F.col("cid"),
-                   F.aggregate(F.zip_with("sv", "cen",
-                                          lambda x, y: x * y),
-                               F.lit(0.0), lambda a, b: a + b).alias("p")))
-    scored = (codes.join(F.broadcast(lut),
-                         (codes["sub_idx"] == lut["sub_idx"])
-                         & (codes["code"] == lut["cid"]))
-              .groupBy("query_id", "neighbor_id")
-              .agg(F.round(F.sum("p"), 6).alias("sim")))
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(),
-                                          F.col("neighbor_id"))
-    return (scored.where(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= k))
+    Scale shape: ONE driver job (the training sample's distributed
+    TopK unioned with the bounded query set), then ONE narrow Arrow
+    pass over the candidates (encode + probed-ADC score + per-batch
+    exact re-rank of the batch-local pool — any global-pool member is
+    also a batch-pool member, so pre-ranking per batch loses
+    nothing), then one small shuffle ranking |Q| * pool * n_batches
+    slim rows. Candidate vectors never ride a shuffle; no second
+    candidate scan. Rows-only registry entry (codebook training is
+    not SQL-replayable; ann_ivf_kmeans covers the oracled-kmeans
+    shape). Approximation quality tracked per-round in
+    ANNRECALL_r{N}.json.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    # --- 1. ONE job: distributed-TopK training sample + query set
+    samp_branch = (candidates.select(F.col(id_col), F.col(vec_col))
+                   .orderBy(F.hash(F.col(id_col)), F.col(id_col))
+                   .limit(train_cap)
+                   .select(F.lit(0).alias("_t"),
+                           F.col(id_col).cast("long").alias("_id"),
+                           F.col(vec_col).alias("_v")))
+    q_branch = queries.select(F.lit(1).alias("_t"),
+                              F.col(id_col).cast("long").alias("_id"),
+                              F.col(vec_col).alias("_v"))
+    both = samp_branch.unionByName(q_branch).collect()
+    sample = [r["_v"] for r in both if r["_t"] == 0]
+    qrows = [(r["_id"], r["_v"]) for r in both if r["_t"] == 1]
+    coarse, books = _train_pq_codebooks(sample, m_sub, d_sub, k_cent,
+                                        k_coarse)
+
+    def unit_rows(mat):
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return mat / n
+
+    # --- 2. query-side model (bounded by the ADC contract): probed
+    # lists + LUT[q, sub, code] = <q_sub, codeword>, driver-side
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = unit_rows(np.array([r[1] for r in qrows], dtype=np.float64))
+    n_lists = len(coarse)
+    q_probes = np.argsort(-(q_mat @ coarse.T), axis=1)[:, :min(nprobe,
+                                                               n_lists)]
+    probe_mask = np.zeros((len(q_ids), n_lists), dtype=bool)
+    for j in range(len(q_ids)):
+        probe_mask[j, q_probes[j]] = True
+    lut = np.stack([q_mat[:, i * d_sub:(i + 1) * d_sub] @ bk.T
+                    for i, bk in enumerate(books)], axis=1)
+    sub_ix = np.arange(m_sub)
+    pool_n = k * rerank
+
+    # --- 3. fused encode + probed-ADC score + batch-local exact
+    # re-rank: one narrow Arrow pass. Only the per-batch ADC-top
+    # ``pool_n`` rows per query get an exact cosine (a tiny GEMM on
+    # vectors already in memory) and leave the pass — so the shuffle
+    # carries |Q| * pool_n slim rows per batch, never vectors, and
+    # the downstream global pool (a subset of the union of batch
+    # pools) already has exact sims attached.
+    def encode_score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = unit_rows(np.stack(pdf[vec_col].to_numpy())
+                            .astype(np.float64))
+            lists = (mat @ coarse.T).argmax(1)
+            codes = np.empty((len(mat), m_sub), dtype=np.int64)
+            for i, bk in enumerate(books):
+                sub = mat[:, i * d_sub:(i + 1) * d_sub]
+                d2 = ((sub * sub).sum(1)[:, None]
+                      - 2.0 * sub @ bk.T + (bk * bk).sum(1)[None, :])
+                codes[:, i] = d2.argmin(1)
+            out_q, out_n, out_a, out_s = [], [], [], []
+            for j, qid in enumerate(q_ids):
+                m = probe_mask[j, lists] & (ids != qid)
+                if not m.any():
+                    continue
+                adc = lut[j, sub_ix[None, :], codes[m]].sum(1)
+                mids = ids[m]
+                if len(mids) > pool_n:
+                    top = np.lexsort((mids, -adc))[:pool_n]
+                    mids, adc = mids[top], adc[top]
+                    sel = np.flatnonzero(m)[top]
+                else:
+                    sel = np.flatnonzero(m)
+                exact = mat[sel] @ q_mat[j]  # unit vecs -> cosine
+                out_q.append(np.full(len(mids), qid, dtype=np.int64))
+                out_n.append(mids)
+                out_a.append(adc)
+                out_s.append(exact)
+            if not out_q:
+                continue
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "adc": np.concatenate(out_a),
+                "sim": np.concatenate(out_s),
+            })
+
+    scored = candidates.select(id_col, vec_col).mapInPandas(
+        encode_score,
+        schema="query_id long, neighbor_id long, adc double, "
+               "sim double")
+
+    # --- 4. global ADC pool, then exact-sim top-k inside it (two
+    # windows over the SAME partitioning -> one exchange)
+    w_adc = W.partitionBy("query_id").orderBy(F.col("adc").desc(),
+                                              F.col("neighbor_id"))
+    sim6 = F.round(F.col("sim"), 6)
+    w_sim = W.partitionBy("query_id").orderBy(sim6.desc(),
+                                              F.col("neighbor_id"))
+    return (scored.withColumn("_r", F.row_number().over(w_adc))
+            .where(F.col("_r") <= pool_n)
+            .withColumn("rnk", F.row_number().over(w_sim))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", sim6.alias("sim"),
+                    "rnk"))

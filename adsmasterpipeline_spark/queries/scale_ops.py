@@ -253,14 +253,17 @@ def salted_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_pq", None, "vectors", "scale",
-    doc="Product-quantization ANN (Jegou et al. 2011) with ADC: 16 "
-        "subspaces x 4 dims, 32 centroids each — vectors compress to "
-        "16 one-byte codes (16x vs float32) and scoring touches only "
-        "codes + a broadcast query LUT, never candidate vectors. "
-        "recall@3 ~0.49 on the random synthetic embeddings (tracked "
-        "in ANNRECALL_r{N}.json; random data is PQ's worst case — "
-        "real clustered embeddings quantize far better). Rows-only: "
-        "the 16 subspace k-means rounds are not reasonably "
+    doc="IVF+PQ ANN in the re-ranking configuration (IVFADC+R, Jegou "
+        "et al. 2011): driver-trained codebooks on a bounded sample "
+        "(8 subspaces x 8 dims, 64 centroids each + a 16-list coarse "
+        "quantizer), one shuffle-free Arrow encode pass (a 64-float "
+        "vector becomes ~9 bytes), ADC scoring restricted to each "
+        "query's 8 probed IVF lists, then EXACT cosine re-rank of the "
+        "top-24 ADC pool — PQ generates candidates, the output sims "
+        "are exact. Fixes r04's recall cliff (0.33 at sf0.1): ADC "
+        "quantization error now only costs recall when the true "
+        "neighbor leaves the re-rank pool entirely. Quality tracked "
+        "in ANNRECALL_r{N}.json. Rows-only: codebook training is not "
         "SQL-replayable (ann_ivf_kmeans covers the oracled-kmeans "
         "shape).",
 )
@@ -269,7 +272,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 32)
-    return pq_topk(q, e, k=3, m_sub=16, d_sub=4, k_cent=32).select(
+    return pq_topk(q, e, k=3).select(
         "query_id", "neighbor_id", "sim", "rnk")
 
 

@@ -528,18 +528,27 @@ def test_image_real_netpbm_decode(spark):
 
 
 def test_pq_topk_recall_and_determinism(spark):
-    """PQ-ADC recall floor vs brute force on the real testdata, plus
-    run-to-run determinism (seeded init, no RNG anywhere)."""
+    """IVF+PQ+re-rank recall floor vs brute force on the real
+    testdata, run-to-run determinism (deterministic sample + Lloyd
+    init, no RNG anywhere), and the re-rank contract: every returned
+    sim equals the EXACT cosine (rounded 6) — the ADC approximation
+    never leaks into output values, only into pool membership."""
     from adsmasterpipeline_spark.operators.similarity import pq_topk
     from adsmasterpipeline_spark.sources import load_table
     e = load_table(spark, SF_DIR, "embeddings")
     q = e.where(F.col("vec_id") < 16)
-    bf = {(r["query_id"], r["neighbor_id"])
-          for r in brute_force_topk(q, e, k=3).collect()}
-    a = pq_topk(q, e, k=3, m_sub=16, d_sub=4, k_cent=32).collect()
+    bf_rows = brute_force_topk(q, e, k=3).collect()
+    bf = {(r["query_id"], r["neighbor_id"]) for r in bf_rows}
+    exact_sim = {(r["query_id"], r["neighbor_id"]): r["sim"]
+                 for r in brute_force_topk(q, e, k=200).collect()}
+    a = pq_topk(q, e, k=3).collect()
     pq = {(r["query_id"], r["neighbor_id"]) for r in a}
-    assert len(pq & bf) >= len(bf) * 0.2
-    b = pq_topk(q, e, k=3, m_sub=16, d_sub=4, k_cent=32).collect()
+    assert len(pq & bf) >= len(bf) * 0.5
+    for r in a:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sim:
+            assert abs(r["sim"] - exact_sim[key]) < 1e-9
+    b = pq_topk(q, e, k=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
