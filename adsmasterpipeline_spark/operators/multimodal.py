@@ -8,8 +8,9 @@ the executor and batches amortize Python crossing costs.
 Decode reality in this container: audio PCM WAV decodes for REAL via
 the stdlib ``wave`` fallback, video decodes for REAL for the RAWV
 raw-frame container (pure Python), and image decodes for REAL for
-binary netpbm (P5 grayscale / P6 RGB — the standard netpbm formats,
-parsed stdlib+numpy). PNG/JPEG need PIL (import-gated) and compressed
+binary netpbm (P5 grayscale / P6 RGB) AND non-interlaced PNG (stdlib
+zlib inflate + per-scanline unfilter, 8/16-bit gray/RGB/alpha — no
+third-party codec). JPEG needs PIL (import-gated) and compressed
 audio/video need soundfile/ffmpeg deployments — those paths record
 per-row NotImplementedError. The Spark-side plumbing (schema,
 partitioning, batch shape, UDF signatures) is identical for every
@@ -87,16 +88,123 @@ def _netpbm_gray(payload: bytes):
     return px
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_gray(payload: bytes):
+    """Parse a non-interlaced PNG (a REAL public format, RFC 2083)
+    into a normalized [0,1] grayscale (h, w) array using ONLY the
+    stdlib (zlib inflate + per-scanline unfilter) + numpy. Supports
+    bit depth 8/16 and color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA). Returns None when the signature doesn't match (caller
+    falls through); raises ValueError on corrupt/unsupported data
+    (interlaced, palette) — recorded per-row by callers."""
+    import zlib
+
+    import numpy as np
+
+    if payload is None or payload[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("corrupt PNG (missing IHDR/IDAT)")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if w <= 0 or h <= 0:
+        raise ValueError("corrupt PNG header (bad dimensions)")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"PNG color type {ctype} unsupported "
+                         "(palette needs PLTE handling)")
+    if depth not in (8, 16):
+        raise ValueError(f"PNG bit depth {depth} unsupported")
+    bps = depth // 8
+    bpp = nch * bps                      # filter byte distance
+    stride = w * bpp
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}")
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        rofs = y * (stride + 1)
+        ftype = raw[rofs]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=rofs + 1).copy()
+        if ftype == 0:                    # None
+            pass
+        elif ftype == 2:                  # Up
+            line += prev
+        elif ftype in (1, 3, 4):          # Sub / Average / Paeth
+            # sequential in x (recon[x] needs recon[x-bpp]); ints
+            # wrap mod 256 per the spec
+            up = prev.astype(np.int32)
+            ln = line.astype(np.int32)
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = int(up[x])
+                if ftype == 1:
+                    rec[x] = (ln[x] + a) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (ln[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(up[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    rec[x] = (ln[x] + pred) & 0xFF
+            line = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"corrupt PNG (filter type {ftype})")
+        out[y] = line
+        prev = out[y]
+
+    maxval = (1 << depth) - 1
+    px = np.frombuffer(out.tobytes(),
+                       dtype=np.dtype(">u2" if depth == 16 else "u1"))
+    px = px.reshape(h, w, nch).astype(np.float64) / maxval
+    if ctype == 2:
+        return px.mean(axis=2)
+    if ctype == 6:
+        return px[:, :, :3].mean(axis=2)
+    return px[:, :, 0]                   # gray / gray+alpha
+
+
 def decode_image(payload: bytes, dims: int = 8) -> list[float]:
-    """Real image decode: binary netpbm (P5/P6) parses with the stdlib
-    + numpy — no third-party codec — into a ``dims``-strip of
+    """Real image decode: binary netpbm (P5/P6) AND non-interlaced
+    PNG (stdlib zlib + unfilter — the most common real-world lossless
+    format, no third-party codec) parse into a ``dims``-strip of
     block-mean normalized intensities (the decode_video_frame feature
-    shape). Other formats (PNG/JPEG) go through PIL when installed;
-    without it they raise NotImplementedError — callers record the
-    error per-row instead of failing the job."""
+    shape). JPEG goes through PIL when installed; without it it
+    raises NotImplementedError — callers record the error per-row
+    instead of failing the job."""
     import numpy as np
 
     gray = _netpbm_gray(payload)
+    if gray is None:
+        gray = _png_gray(payload)
     if gray is not None:
         return [float(c.mean()) if c.size else 0.0 for c in
                 np.array_split(gray, dims, axis=1)]
@@ -104,8 +212,9 @@ def decode_image(payload: bytes, dims: int = 8) -> list[float]:
         from PIL import Image
     except ImportError:
         raise NotImplementedError(
-            "only netpbm (P5/P6) decodes in-environment; PNG/JPEG need "
-            "PIL; use fake_decode=True for deterministic plumbing tests")
+            "netpbm (P5/P6) and non-interlaced PNG decode "
+            "in-environment; JPEG needs PIL; use fake_decode=True for "
+            "deterministic plumbing tests")
     import io
     img = Image.open(io.BytesIO(payload)).convert("L").resize((dims, 1))
     return [p / 255.0 for p in img.getdata()]

@@ -741,3 +741,148 @@ def test_video_phash_neardup_planted(spark, tmp_path):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def _png_encode(gray_rows, depth=8, ctype=0, filters=None,
+                interlace=0):
+    """Forward PNG encoder (test-side inverse of the production
+    decoder): per-row filter types from ``filters`` (default all 0),
+    zlib-compressed, real chunk CRCs. ``gray_rows`` is [h][w] ints for
+    ctype 0, [h][w][ch] for 2/4/6."""
+    import zlib
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    bps = depth // 8
+    h = len(gray_rows)
+    w = len(gray_rows[0])
+    bpp = nch * bps
+
+    def sample_bytes(v):
+        return v.to_bytes(bps, "big")
+
+    raw_rows = []
+    for row in gray_rows:
+        b = bytearray()
+        for px in row:
+            for c in (px if nch > 1 else [px]):
+                b += sample_bytes(c)
+        raw_rows.append(bytes(b))
+
+    filters = filters or [0] * h
+    out = bytearray()
+    prev = bytes(len(raw_rows[0]))
+    for row, ft in zip(raw_rows, filters):
+        out.append(ft)
+        if ft == 0:
+            out += row
+        else:
+            for x in range(len(row)):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:  # paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                out.append((row[x] - pred) & 0xFF)
+        prev = row
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, ctype, 0, 0, interlace]))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filters_and_depths(spark):
+    """Stdlib PNG decode: every filter type (None/Sub/Up/Average/
+    Paeth) round-trips through the forward encoder, 8-bit gray / RGB /
+    RGBA and 16-bit gray all decode to the right intensities, and the
+    full mapInPandas path records per-row errors for corrupt /
+    interlaced payloads instead of failing the job."""
+    import pytest as _pytest
+
+    from adsmasterpipeline_spark.operators.multimodal import (
+        decode_image, extract_features)
+
+    # 8-bit gray 4x5, one row per filter type; decode as 4 col-strips
+    rows = [[0, 64, 128, 255], [10, 20, 30, 40], [200, 100, 50, 25],
+            [5, 250, 5, 250], [17, 34, 51, 68]]
+    png = _png_encode(rows, filters=[0, 1, 2, 3, 4])
+    f = decode_image(png, dims=4)
+    expect = [sum(r[c] for r in rows) / 5 / 255 for c in range(4)]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(f, expect))
+
+    # RGB: pixel red + white (gray 1/3, 1.0), Paeth-filtered row
+    rgb = _png_encode([[[255, 0, 0], [255, 255, 255]]], ctype=2,
+                      filters=[4])
+    f3 = decode_image(rgb, dims=2)
+    assert abs(f3[0] - 1 / 3) < 1e-12 and f3[1] == 1.0
+
+    # RGBA: alpha ignored for intensity
+    rgba = _png_encode([[[0, 0, 0, 7], [255, 255, 255, 9]]], ctype=6)
+    f4 = decode_image(rgba, dims=2)
+    assert f4 == [0.0, 1.0]
+
+    # 16-bit gray big-endian
+    p16 = _png_encode([[32768]], depth=16)
+    assert abs(decode_image(p16, dims=1)[0] - 32768 / 65535) < 1e-12
+
+    # interlaced -> per-row error through the real Arrow path
+    adam7 = _png_encode(rows, interlace=1)
+    truncated = png[:40]
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(adam7)),
+         (3, "image", bytearray(truncated))],
+        "asset_id long, kind string, media binary")
+    out = {r["asset_id"]: r for r in
+           extract_features(df, fake_decode=False, dims=4).collect()}
+    assert out[1]["decode_ok"]
+    assert out[1]["feature"] == _pytest.approx(expect)
+    assert not out[2]["decode_ok"] and "interlaced" in out[2]["error"]
+    assert not out[3]["decode_ok"]
+
+
+def test_image_phash_png_planted_pair(spark):
+    """PNG planted near-dup through the FULL perceptual-hash path:
+    text rasters encoded as real PNGs (not netpbm), decoded by the
+    stdlib PNG parser inside mapInPandas, blockhashed, and banded —
+    an exact dup collides at hamming 0, an unrelated doc pairs with
+    neither."""
+    from adsmasterpipeline_spark.operators.dedup import (
+        banded_hamming_pairs)
+    from adsmasterpipeline_spark.operators.multimodal import (
+        blockhash63, extract_features)
+
+    def raster(text):
+        txt = (text * 8)[:256].ljust(256)
+        data = [[ord(ch) for ch in txt[r * 64:(r + 1) * 64]]
+                for r in range(4)]
+        return _png_encode(data, filters=[0, 1, 2, 4])
+
+    base = ("the quick brown fox jumps over the lazy dog while spark "
+            "shuffles blocks across executors ")
+    other = ("completely different content about adaptive query "
+             "execution and partition coalescing in the optimizer ")
+    rows = [(1, bytearray(raster(base))), (2, bytearray(raster(base))),
+            (3, bytearray(raster(other)))]
+    df = spark.createDataFrame(rows, "asset_id long, media binary") \
+        .selectExpr("asset_id", "'image' as kind", "media")
+    feats = extract_features(df, fake_decode=False, dims=63)
+    sig = feats.where(F.col("decode_ok")).select(
+        "asset_id", blockhash63(F.col("feature")).alias("ph"))
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in banded_hamming_pairs(sig, "asset_id", "ph",
+                                           max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+    assert not any(3 in p for p in pairs)
