@@ -4,10 +4,19 @@ ONE JSON line with per-query wall-clock seconds.
 
 Each query is forced through a full materialization (count of the
 result) — no collect of wide payloads, so the measured time is plan
-execution, not driver transfer. Each query runs twice with the Spark
-cache cleared in between and reports the better run: the second run
-recomputes everything but reuses compiled codegen, so the number is
-steady-state execution rather than one-off Janino compile time.
+execution, not driver transfer.
+
+MEASUREMENT PROTOCOL (fixed in round 5 — round 4's committed artifact
+was contended and misled by up to 40% per query): the bench MUST run
+in a fresh, otherwise-idle session (no CHECKALL/pytest in the same
+JVM or on the same cores). Per query: 2 warm-up executions
+(discarded — they absorb Janino codegen compile, Python-worker
+spin-up, and shuffle-file warming) then best-of-3 timed executions
+with the Spark cache cleared before every run (operators may cache
+internally; the clear keeps each run a full recompute). Best-of is
+the right statistic for a dedicated-cluster posture: it estimates the
+code's cost, not co-tenant noise. The one-line JSON records the
+protocol so cross-round deltas are comparable.
 """
 
 from __future__ import annotations
@@ -75,6 +84,9 @@ BENCH_QUERIES = [
     "triangle_copurchase",
     "gapfill_forward_fill",
     "sliding_window_counts",
+    # round-5 addition: IVF+PQ re-ranking ANN (rewritten this round —
+    # recall@3 0.33 -> 0.81 at sf0.1 at sign-LSH cost)
+    "ann_pq",
 ]
 
 
@@ -95,16 +107,17 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     times: dict[str, float] = {}
+    warm_times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         qd = REGISTRY[name]
-        best = None
-        for _ in range(2):
+        runs: list[float] = []
+        for i in range(5):  # 2 warm-up + best-of-3 (see module doc)
             spark.catalog.clearCache()  # operators may cache internally
             t0 = time.time()
             qd.spark_fn(spark, sf_dir).count()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        times[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        warm_times[name] = round(min(runs[:2]), 3)
+        times[name] = round(min(runs[2:]), 3)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -123,6 +136,9 @@ def main() -> None:
         # deltas mix engine and parameter changes.
         "r1_subset_total": round(
             sum(times[n] for n in BENCH_QUERIES[:16]), 3),
+        "protocol": "fresh idle session; per query 2 warm-up then "
+                    "best-of-3, cache cleared each run",
+        "warmup_best": warm_times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
