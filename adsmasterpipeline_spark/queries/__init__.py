@@ -47,48 +47,43 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 # named here follow in registration order; rows-only entries always
 # sort last.
 #
-# Round-4 rotation (VERDICT.md r3 task 9): cumulative driver-green
-# across rounds is what counts — every oracled query has a green row
-# in r01-r03, so this window = the fifteen NEW round-4 queries + the
-# six whose code CHANGED in round 4 (need fresh green rows) + the 29
-# oracled queries whose last driver-green is OLDEST (round 1),
-# refreshing the stalest evidence. Three r01-green set ops
-# (union_distinct, except_keys, intersect_keys) were ceded from the
-# stalest section to make room for the late-round-4 queries — their
-# r01 driver rows plus the CHECKALL_r04 full-registry artifacts remain
-# their evidence. Everything else is covered by the committed
-# CHECKALL_r04_sf001/sf01.json plus prior-round CORRECTNESS rows.
+# Round-5 rotation (VERDICT.md r4 task 9): cumulative driver-green
+# across rounds is what counts — after r04, EVERY oracled query has a
+# green driver row in some round (125/125). This window = the one
+# oracled query whose CODE changed in round 5 (ngram_jaccard_pairs:
+# the PPJoin token dictionary lost its broadcast hint — needs a fresh
+# green row) + all 30 oracled queries whose last driver-green is r01
+# or r02 (computed from the committed CORRECTNESS_r0{1..4}.json) + the
+# 19 registration-order-first r03-green queries, refreshing the
+# stalest evidence end to end. Round-5's other changes are rows-only
+# entries (ann_pq, image_phash_neardup — covered by CHECKALL +
+# ANNRECALL) or operator paths with no oracled surface change
+# (assign_sequential's string proxy: both oracled users key on
+# numerics). Everything else is covered by CHECKALL_r05_* plus
+# prior-round CORRECTNESS rows.
 PRIORITY: tuple[str, ...] = (
-    # -- new round-4 queries (never driver-checked) --
-    "bpe_learn_encode", "duplicated_substring_runs",
-    "countmin_heavy_hitters", "pagerank_supplier_customer",
-    "ntile_rank_scalable", "ann_int8_quantized",
-    "inverted_index_topdf", "hll_distinct_tokens",
-    "bloom_shingle_filter", "funnel_conversion", "cohort_retention",
-    "path_transitions", "triangle_copurchase", "gapfill_forward_fill",
-    "sliding_window_counts",
-    # -- changed in round 4 (distributed TopK / multiprobe / decimal
-    #    rounding / tail-chunk + overflow fixes) --
-    "ann_sign_lsh", "vocab_encode_docs", "bm25_topdf_terms",
-    "chunk_documents", "dsir_importance_weights",
-    "embedding_cosine_neardup_gemm",
-    # -- stalest driver evidence (r01): window analytics --
-    "window_lag_lead", "window_ntile_rank", "window_range_frame",
-    "string_agg_ordered", "first_last_value", "window_bucket_assign",
-    "window_flag_first", "window_running_total", "topk_per_group",
-    # -- stalest (r01): joins / set ops / aggregates --
-    "join_left_outer", "join_semi", "join_anti",
-    "agg_counts_per_group",
-    "agg_nonnull_counts", "agg_argmax_per_group", "agg_collect_sorted",
-    # -- stalest (r01/r02): scalar-function family --
-    "string_hier_facet", "regexp_rewrite", "case_when_mapping",
-    "date_buckets", "has_fields", "levenshtein_similarity",
-    "json_payload_extract",
-    # -- stalest (r01): grouping-set extras --
-    "rollup_revenue",
-    # -- stalest (r01/r02): corpus + ANN pipeline family --
-    "corpus_clean", "embedding_quantize", "corpus_dedup_pipeline",
-    "corpus_train_split", "ann_ivf_kmeans",
+    # -- changed in round 5 --
+    "ngram_jaccard_pairs",
+    # -- stalest driver evidence (last green r01/r02) --
+    "union_distinct", "except_keys", "q5_regional_revenue",
+    "cube_order_stats", "pivot_status_by_segment", "stats_per_brand",
+    "correlated_small_quantity", "min_cost_supplier",
+    "distinct_counts_exact_vs_approx", "intersect_keys",
+    "union_all_counts", "histogram_prices", "explode_tokens_top",
+    "posexplode_components", "token_count", "langid_heuristic",
+    "doc_fingerprint", "simhash", "incremental_dedup",
+    "q4_order_priority", "q7_volume_shipping", "q12_shipmode_priority",
+    "q14_promo_revenue", "q19_disjunctive", "vector_norms",
+    "embedding_cosine_neardup", "label_centroid_distance",
+    "stratified_sample", "sequence_pack", "corpus_token_stats",
+    # -- next-stalest (last green r03), registration order --
+    "semantic_dedup", "q1_pricing_summary", "full_outer_diff",
+    "native_max_by", "merge_last_writer_wins", "checksum_dispatch",
+    "sessionize", "incremental_watermark_scan", "text_quality",
+    "dedup_exact", "minhash_signatures", "tfidf_top_terms",
+    "winnow_fingerprints", "q3_shipping_priority",
+    "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock",
 )
 
 

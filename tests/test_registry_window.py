@@ -11,18 +11,10 @@ from adsmasterpipeline_spark.queries import (
 _load()
 
 MUST_PROVE = (
-    # the fifteen round-4 queries (never driver-checked)
-    "bpe_learn_encode", "duplicated_substring_runs",
-    "countmin_heavy_hitters", "pagerank_supplier_customer",
-    "ntile_rank_scalable", "ann_int8_quantized",
-    "inverted_index_topdf", "hll_distinct_tokens",
-    "bloom_shingle_filter", "funnel_conversion", "cohort_retention",
-    "path_transitions", "triangle_copurchase", "gapfill_forward_fill",
-    "sliding_window_counts",
-    # changed in round 4 — need fresh green rows
-    "ann_sign_lsh", "vocab_encode_docs", "bm25_topdf_terms",
-    "chunk_documents", "dsir_importance_weights",
-    "embedding_cosine_neardup_gemm",
+    # changed in round 5 — needs a fresh green driver row (the round-4
+    # must-prove set all went green in CORRECTNESS_r04; the window now
+    # refreshes the stalest r01-r03 evidence instead)
+    "ngram_jaccard_pairs",
 )
 
 
