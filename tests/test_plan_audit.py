@@ -51,3 +51,33 @@ def test_explode_above_limit_is_unbounded(spark):
     issues = plan_scale_issues(df)
     assert any(i["kind"] == "single_partition" and not i["bounded"]
                for i in issues), issues
+
+
+def test_broadcast_nested_loop_is_flagged_distinctly(spark):
+    """The broadcast-build allowance must stay VISIBLE: every BNLJ
+    whose boundedness came only from the broadcast cap carries
+    via='broadcast-build', and tools/plan_audit FLAGs any query with
+    more of them than its explicit allowlist entry — an accidental
+    non-equi join with a small build side must not auto-certify
+    (the probe side is unbounded; output is probe x build)."""
+    a = spark.range(100)
+    b = F.broadcast(spark.range(3).select(F.col("id").alias("j")))
+    df = a.join(b, a["id"] > b["j"])
+    issues = plan_scale_issues(df)
+    nl = [i for i in issues if i["kind"] == "nested_loop"]
+    assert nl and all(i.get("via") == "broadcast-build" for i in nl)
+
+    # the audit's gate logic: 1 broadcast-build BNLJ vs allowance 0
+    import tools.plan_audit as pa
+    bnl = [i for i in issues if i.get("via") == "broadcast-build"]
+    allowed, _ = pa.KNOWN_BROADCAST_NESTED.get("not_allowlisted", (0, ""))
+    assert len(bnl) > allowed  # would FLAG, not auto-certify
+
+    # a STRUCTURALLY bounded build side (one-row aggregate) does not
+    # need the allowance and must not carry the marker
+    one = F.broadcast(spark.range(50).agg(F.max("id").alias("m")))
+    df2 = spark.range(100).join(one, F.col("id") > F.col("m"))
+    nl2 = [i for i in plan_scale_issues(df2)
+           if i["kind"] == "nested_loop"]
+    assert nl2 and all(i["bounded"] for i in nl2)
+    assert all(i.get("via") != "broadcast-build" for i in nl2), nl2
