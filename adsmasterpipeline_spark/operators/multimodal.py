@@ -8,11 +8,13 @@ the executor and batches amortize Python crossing costs.
 Decode reality in this container: audio PCM WAV decodes for REAL via
 the stdlib ``wave`` fallback, video decodes for REAL for the RAWV
 raw-frame container (pure Python), and image decodes for REAL for
-binary netpbm (P5 grayscale / P6 RGB) AND non-interlaced PNG (stdlib
-zlib inflate + per-scanline unfilter, 8/16-bit gray/RGB/alpha — no
-third-party codec). JPEG needs PIL (import-gated) and compressed
-audio/video need soundfile/ffmpeg deployments — those paths record
-per-row NotImplementedError. The Spark-side plumbing (schema,
+binary netpbm (P5 grayscale / P6 RGB), non-interlaced PNG (stdlib
+zlib inflate + per-scanline unfilter, 8/16-bit gray/RGB/alpha) AND
+baseline-sequential JPEG (Huffman entropy decode, dequant, IDCT,
+chroma upsampling, YCbCr->gray) — all with no third-party codec.
+Progressive JPEG needs PIL (import-gated) and compressed audio/video
+need soundfile/ffmpeg deployments — those paths record per-row
+NotImplementedError. The Spark-side plumbing (schema,
 partitioning, batch shape, UDF signatures) is identical for every
 path and tested with the deterministic fake as well.
 """
@@ -192,19 +194,252 @@ def _png_gray(payload: bytes):
     return px[:, :, 0]                   # gray / gray+alpha
 
 
+class _BitReader:
+    """JPEG entropy-segment bit reader: handles 0xFF00 byte stuffing
+    and stops at (without consuming past) restart/terminating
+    markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt != 0x00:
+                raise ValueError("truncated JPEG entropy data "
+                                 "(marker inside scan)")
+        b = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+            if byte == 0xFF:     # skip the stuffed 0x00
+                self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _receive_extend(r: _BitReader, s: int) -> int:
+    """JPEG RECEIVE+EXTEND: an s-bit magnitude where a leading 0 bit
+    means negative (value - (2^s - 1))."""
+    if s == 0:
+        return 0
+    v = r.read_bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+
+def _jpeg_gray(payload: bytes):
+    """Baseline-sequential JPEG decode (ITU T.81, a REAL public
+    format) with ONLY the stdlib + numpy: segment parse, Huffman
+    entropy decode (DC prediction + AC run-length), dequantize,
+    un-zigzag, 8x8 IDCT via one basis-matrix GEMM, 4:2:0/4:2:2 chroma
+    upsampling, YCbCr->RGB->mean-gray (mean matches the P6/PNG
+    convention). Returns None when the SOI signature doesn't match;
+    raises ValueError for corrupt or unsupported (progressive,
+    arithmetic, 12-bit) streams — recorded per-row by callers."""
+    import numpy as np
+
+    if payload is None or payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG (lost marker sync)")
+        marker = payload[pos + 1]
+        if marker == 0xD9:               # EOI
+            break
+        ln = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        seg = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:               # DQT
+            i = 0
+            while i < len(seg):
+                pq_, tq = seg[i] >> 4, seg[i] & 0xF
+                n = 64 * (2 if pq_ else 1)
+                raw = seg[i + 1:i + 1 + n]
+                tbl = (np.frombuffer(raw, dtype=">u2") if pq_
+                       else np.frombuffer(raw, dtype=np.uint8))
+                qt[tq] = tbl.astype(np.int32)
+                i += 1 + n
+        elif marker == 0xC4:             # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = seg[i + 1:i + 17]
+                syms = seg[i + 17:i + 17 + sum(counts)]
+                table, code, k = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                i += 17 + sum(counts)
+        elif marker in (0xC0, 0xC1):     # SOF0/1 baseline+extended
+            prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), \
+                int.from_bytes(seg[3:5], "big"), seg[5]
+            if prec != 8:
+                raise ValueError(f"JPEG precision {prec} unsupported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], \
+                    seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("progressive/arithmetic JPEG unsupported "
+                             "(baseline sequential only)")
+        elif marker == 0xDD:             # DRI
+            restart = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:             # SOS
+            if frame is None:
+                raise ValueError("corrupt JPEG (SOS before SOF)")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            return _jpeg_scan(payload, pos + 2 + ln, frame, sel, qt,
+                              huff, restart)
+        pos += 2 + ln
+    raise ValueError("corrupt JPEG (no scan)")
+
+
+def _jpeg_scan(payload, pos, frame, sel, qt, huff, restart):
+    import numpy as np
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # orthonormal 8x8 DCT basis: spatial = A.T @ coeff @ A
+    k_ = np.arange(8)
+    a = np.cos((2 * k_[None, :] + 1) * k_[:, None] * np.pi / 16) / 2
+    a[0, :] *= 1 / np.sqrt(2)
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+              for c in comps]
+    zz = np.array(_ZIGZAG)
+
+    def decode_huff(r, table):
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | r.read_bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("corrupt JPEG Huffman code")
+
+    r = _BitReader(payload, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                r.align_to_marker()
+                mk = payload[r.pos:r.pos + 2]
+                if len(mk) == 2 and mk[0] == 0xFF and \
+                        0xD0 <= mk[1] <= 0xD7:
+                    r.pos += 2
+                    pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t = huff[(0, sel[c["id"]][0])]
+                ac_t = huff[(1, sel[c["id"]][1])]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int64)
+                        s = decode_huff(r, dc_t)
+                        pred[ci] += _receive_extend(r, s)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = decode_huff(r, ac_t)
+                            rr, ss = rs >> 4, rs & 0xF
+                            if ss == 0:
+                                if rr == 15:
+                                    k += 16      # ZRL
+                                    continue
+                                break            # EOB
+                            k += rr
+                            if k > 63:
+                                raise ValueError("corrupt JPEG AC run")
+                            coef[k] = _receive_extend(r, ss)
+                            k += 1
+                        blk = np.zeros(64)
+                        blk[zz] = coef * q       # dequant + unzigzag
+                        px = a.T @ blk.reshape(8, 8) @ a + 128
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+            mcu_count += 1
+
+    # upsample subsampled planes to full MCU grid, crop, color-convert
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        gray = full[0]
+    elif len(full) == 3:
+        y, cb, cr = full[0], full[1] - 128, full[2] - 128
+        rch = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        gray = (rch + g + b) / 3
+    else:
+        raise ValueError(f"JPEG with {len(full)} components unsupported")
+    return np.clip(gray, 0, 255) / 255.0
+
+
 def decode_image(payload: bytes, dims: int = 8) -> list[float]:
-    """Real image decode: binary netpbm (P5/P6) AND non-interlaced
-    PNG (stdlib zlib + unfilter — the most common real-world lossless
-    format, no third-party codec) parse into a ``dims``-strip of
+    """Real image decode — THREE formats parse with only the stdlib +
+    numpy: binary netpbm (P5/P6), non-interlaced PNG (zlib inflate +
+    per-scanline unfilter), and baseline-sequential JPEG (Huffman +
+    dequant + IDCT + chroma upsampling) — into a ``dims``-strip of
     block-mean normalized intensities (the decode_video_frame feature
-    shape). JPEG goes through PIL when installed; without it it
-    raises NotImplementedError — callers record the error per-row
-    instead of failing the job."""
+    shape). Unrecognized formats go through PIL when installed;
+    without it they raise NotImplementedError — callers record the
+    error per-row instead of failing the job."""
     import numpy as np
 
     gray = _netpbm_gray(payload)
     if gray is None:
         gray = _png_gray(payload)
+    if gray is None:
+        gray = _jpeg_gray(payload)
     if gray is not None:
         return [float(c.mean()) if c.size else 0.0 for c in
                 np.array_split(gray, dims, axis=1)]
@@ -212,9 +447,9 @@ def decode_image(payload: bytes, dims: int = 8) -> list[float]:
         from PIL import Image
     except ImportError:
         raise NotImplementedError(
-            "netpbm (P5/P6) and non-interlaced PNG decode "
-            "in-environment; JPEG needs PIL; use fake_decode=True for "
-            "deterministic plumbing tests")
+            "netpbm (P5/P6), non-interlaced PNG, and baseline JPEG "
+            "decode in-environment; other formats need PIL; use "
+            "fake_decode=True for deterministic plumbing tests")
     import io
     img = Image.open(io.BytesIO(payload)).convert("L").resize((dims, 1))
     return [p / 255.0 for p in img.getdata()]

@@ -886,3 +886,153 @@ def test_image_phash_png_planted_pair(spark):
                                            max_hamming=3).collect()}
     assert pairs[(1, 2)] == 0
     assert not any(3 in p for p in pairs)
+
+
+def _jpeg_encode_gray(img, comps_420=None):
+    """Test-side baseline JPEG encoder (forward twin of the production
+    decoder): full 8x8 orthonormal DCT, all-ones quant tables, custom
+    single-length Huffman tables (DC: 12 cats at 4 bits; AC: 176
+    run/size symbols at 8 bits), byte stuffing, optional flat-chroma
+    4:2:0 color (``comps_420=(cb, cr)``)."""
+    import numpy as np
+
+    k = np.arange(8)
+    A = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2
+    A[0, :] *= 1 / np.sqrt(2)
+    ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    bits = []
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def cat(v):
+        a, c = abs(v), 0
+        while a:
+            a >>= 1
+            c += 1
+        return c
+
+    ac_syms = [r << 4 | s for r in range(16) for s in range(11)]
+    ac_code = {sym: i for i, sym in enumerate(ac_syms)}
+
+    def encode_block(block, pred):
+        f = A @ (block.astype(np.float64) - 128) @ A.T
+        q = np.round(f).astype(int)
+        zz = [q.flat[i] for i in ZZ]
+        diff = zz[0] - pred
+        s = cat(diff)
+        put(s, 4)
+        if s:
+            put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for v in zz[1:]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(ac_code[0xF0], 8)
+                run -= 16
+            s = cat(v)
+            put(ac_code[run << 4 | s], 8)
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            put(ac_code[0x00], 8)
+        return zz[0]
+
+    h, w = img.shape
+    ncomp = 3 if comps_420 else 1
+    if comps_420:
+        cb, cr = comps_420
+        preds = [0, 0, 0]
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                for by in range(2):
+                    for bx in range(2):
+                        blk = img[my * 16 + by * 8:my * 16 + by * 8 + 8,
+                                  mx * 16 + bx * 8:mx * 16 + bx * 8 + 8]
+                        preds[0] = encode_block(blk, preds[0])
+                preds[1] = encode_block(np.full((8, 8), cb), preds[1])
+                preds[2] = encode_block(np.full((8, 8), cr), preds[2])
+    else:
+        pred = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                pred = encode_block(
+                    img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], pred)
+    while len(bits) % 8:
+        bits.append(1)
+    raw = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i:i + 8])), 2)
+        raw.append(byte)
+        if byte == 0xFF:
+            raw.append(0x00)          # byte stuffing
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    dc_dht = seg(0xC4, bytes([0x00]) + bytes(
+        [0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
+    ac_dht = seg(0xC4, bytes([0x10]) + bytes(
+        [0] * 7 + [176] + [0] * 8) + bytes(ac_syms))
+    if ncomp == 1:
+        sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big")
+                  + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    else:
+        sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big")
+                  + w.to_bytes(2, "big")
+                  + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + dc_dht + ac_dht + sof + sos
+            + bytes(raw) + b"\xff\xd9")
+
+
+def test_jpeg_decode_baseline(spark):
+    """Stdlib baseline JPEG: a gradient grayscale image round-trips
+    through the forward DCT encoder within quantization error; flat
+    4:2:0 YCbCr color converts through YCbCr->RGB->mean-gray;
+    progressive and truncated payloads record per-row errors through
+    the real Arrow path."""
+    import numpy as np
+    import pytest as _pytest
+
+    from adsmasterpipeline_spark.operators.multimodal import (
+        _jpeg_gray, decode_image, extract_features)
+
+    # 16x8 horizontal gradient: strip means must track the gradient
+    img = np.tile(np.linspace(40, 215, 16).astype(np.uint8), (8, 1))
+    jp = _jpeg_encode_gray(img)
+    gray = _jpeg_gray(jp)
+    assert gray.shape == (8, 16)
+    assert np.abs(gray * 255 - img).max() < 3.0  # quant + IDCT error
+    f = decode_image(jp, dims=4)
+    want = [img[:, c * 4:(c + 1) * 4].mean() / 255 for c in range(4)]
+    assert f == _pytest.approx(want, abs=0.02)
+
+    # flat 4:2:0 color: Y=120, Cb=100, Cr=160 -> exact YCbCr->RGB mean
+    cimg = np.full((16, 16), 120, dtype=np.uint8)
+    jc = _jpeg_encode_gray(cimg, comps_420=(100, 160))
+    g = _jpeg_gray(jc)
+    y, cb, cr = 120.0, 100 - 128.0, 160 - 128.0
+    want_gray = ((y + 1.402 * cr) + (y - 0.344136 * cb - 0.714136 * cr)
+                 + (y + 1.772 * cb)) / 3 / 255
+    assert np.abs(g - want_gray).max() < 0.02
+
+    # progressive flag (SOF2) and truncation -> per-row errors
+    progressive = jp.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(jp)), (2, "image", bytearray(progressive)),
+         (3, "image", bytearray(jp[:40]))],
+        "asset_id long, kind string, media binary")
+    out = {r["asset_id"]: r for r in
+           extract_features(df, fake_decode=False, dims=4).collect()}
+    assert out[1]["decode_ok"]
+    assert not out[2]["decode_ok"] and "progressive" in out[2]["error"]
+    assert not out[3]["decode_ok"]
