@@ -310,12 +310,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int,
-                         materialize: str = "cache") -> DataFrame:
+                         materialize: str = "cache",
+                         block: bool = True,
+                         norm_col: str | None = None) -> DataFrame:
     """Exact token-set Jaccard pairs at threshold ``t_num/t_den`` via
-    PPJoin prefix filtering, with same-source + |Δn_chars| ≤ 30
-    candidate blocking. Output (doc_a, doc_b, n_common, sz_a, sz_b,
-    jaccard) is bit-identical to the naive inverted-index join at the
-    same threshold — only the candidate space shrinks.
+    PPJoin prefix filtering; with ``block`` (default), candidates are
+    additionally restricted to same-source + |Δn_chars| ≤ 30. Output
+    (doc_a, doc_b, n_common, sz_a, sz_b, jaccard) is bit-identical to
+    the naive inverted-index join at the same threshold (and same
+    blocking) — only the candidate space shrinks. ``norm_col`` names
+    an already-normalized text column (skips ``_norm_text``) so
+    pipeline stages that normalized upstream can reuse this join —
+    the 10x-stress run measured the naive join at 300s vs 13s here,
+    so every exact-Jaccard stage must come through this path.
 
     ``materialize`` pins the prefix table before the self-join (same
     knob as ``minhash_lsh_pairs``): "cache" keeps deserialized batches
@@ -324,9 +331,11 @@ def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int,
     "checkpoint" severs lineage and frees blocks on GC — the cluster
     option and the right choice for one-shot callers."""
     from pyspark.sql import Window as W
+    norm = F.col(norm_col) if norm_col else _norm_text()
+    meta = ["source", "n_chars"] if block else []
     tok = d.select(
-        "doc_id", "source", "n_chars",
-        F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("tok"),
+        "doc_id", *meta,
+        F.explode(F.array_distinct(F.split(norm, " "))).alias("tok"),
     )
     # global token rarity + per-doc rank by (df asc, tok) — the prefix
     # of each doc is its rarest tokens under a deterministic total order
@@ -348,7 +357,7 @@ def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int,
     plen = (F.col("sz")
             - F.floor((t_num * F.col("sz") + t_den - 1) / t_den) + 1)
     prefix = ranked.where(F.col("rnk") <= plen) \
-        .select("doc_id", "source", "n_chars", "tok", "rnk", "sz")
+        .select("doc_id", *meta, "tok", "rnk", "sz")
     # both self-join branches reference the prefix subtree (explode +
     # df join + two windows) — materialize it once; at cluster scale
     # this pin is a real checkpoint of ~40% of the token rows
@@ -370,14 +379,17 @@ def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int,
                      + t_num + t_den - 1) / (t_num + t_den))
     best_overlap = 1 + F.least(F.col("a.sz") - F.col("a.rnk"),
                                F.col("b.sz") - F.col("b.rnk"))
+    cond = ((F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (t_num * F.col("a.sz") <= t_den * F.col("b.sz"))
+            & (t_num * F.col("b.sz") <= t_den * F.col("a.sz"))
+            & (best_overlap >= alpha))
+    if block:
+        cond = (cond
+                & (F.col("a.source") == F.col("b.source"))
+                & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30))
     cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok"))
-               & (F.col("a.source") == F.col("b.source"))
-               & (F.col("a.doc_id") < F.col("b.doc_id"))
-               & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30)
-               & (t_num * F.col("a.sz") <= t_den * F.col("b.sz"))
-               & (t_num * F.col("b.sz") <= t_den * F.col("a.sz"))
-               & (best_overlap >= alpha))
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
@@ -386,7 +398,7 @@ def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int,
     # per-row array_intersect on the two (narrowly joined) token arrays,
     # no second explode join; the candidate set is already small
     arrs = d.select("doc_id",
-                    F.array_distinct(F.split(_norm_text(), " ")).alias("_arr"))
+                    F.array_distinct(F.split(norm, " ")).alias("_arr"))
     verified = (
         cand.join(arrs.select(F.col("doc_id").alias("doc_a"),
                               F.col("_arr").alias("arr_a")), "doc_a")

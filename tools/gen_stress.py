@@ -189,8 +189,19 @@ def gen_events(out: str, n: int, n_users: int,
 
 def gen_documents(out: str, n: int, rng: np.random.Generator) -> None:
     """~8% planted near-dup pairs (copy with 1-2 word edits), ~2%
-    exact dups — the dedup family's prey — plus Zipf word draws so
-    token DF distributions are realistically skewed."""
+    exact dups — the dedup family's prey. Two measured calibrations
+    from the first sf1 attempts (this is what stress data is FOR):
+
+    - draws are UNIFORM, not Zipf: a Zipf draw over a small vocab
+      makes random short docs near-identical — every pair query's
+      candidate space went quadratic and the run wedged;
+    - the vocab SCALES with the corpus (10k types at sf1 — Heaps'
+      law: real corpora grow their vocabulary with size). Keeping the
+      driver's ~40-type vocab at 50k docs puts ~every doc in ~every
+      token's inverted-list bucket (~10^10 candidate pairs in the
+      exact-Jaccard joins, on BOTH engines) — a degenerate language,
+      not a bigger workload. Token DF at this setting is ~250-800
+      docs/type, the regime the prefix-filtered joins are built for."""
     langs = np.array(["en", "en", "en", "de", "fr", "zh", "es"])
     n_src = 20
     schema = pa.schema([
@@ -198,29 +209,32 @@ def gen_documents(out: str, n: int, rng: np.random.Generator) -> None:
         ("lang", pa.string()), ("source", pa.string()),
         ("n_chars", pa.int64())])
     w = _writer(f"{out}/documents.parquet", schema)
-    vocab = np.array(WORDS)
+    vocab = np.array([f"{wd}{i}" for wd in WORDS for i in range(250)])
     chunk = 10_000
     prev_texts: list[str] = []
     for start in range(0, n, chunk):
         m = min(chunk, n - start)
         texts = []
         for i in range(m):
-            doc_id = start + i
             r = rng.random()
-            if prev_texts and r < 0.02:
-                texts.append(prev_texts[-1])            # exact dup
-            elif prev_texts and r < 0.10:
-                words = prev_texts[-1].split()
+            # dups copy the doc 20 ids back -> SAME source bucket
+            # (source = doc_id % 20), so source-blocked pair queries
+            # (ngram_jaccard_pairs) see the planted pairs too
+            donor = prev_texts[0] if len(prev_texts) == 20 else None
+            if donor and r < 0.02:
+                texts.append(donor)                     # exact dup
+            elif donor and r < 0.10:
+                words = donor.split()
                 for _ in range(rng.integers(1, 3)):
                     words[int(rng.integers(0, len(words)))] = \
                         str(vocab[int(rng.integers(0, len(vocab)))])
                 texts.append(" ".join(words))           # near dup
             else:
                 ln = int(rng.integers(8, 100))
-                idx = np.minimum(rng.zipf(1.5, ln) - 1, len(vocab) - 1)
+                idx = rng.integers(0, len(vocab), ln)
                 texts.append(" ".join(vocab[idx]))
             prev_texts.append(texts[-1])
-            if len(prev_texts) > 4:
+            if len(prev_texts) > 20:
                 prev_texts.pop(0)
         w.write_table(pa.table({
             "doc_id": np.arange(start, start + m, dtype=np.int64),
