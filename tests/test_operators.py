@@ -206,7 +206,7 @@ def test_multimodal_real_decode_stubbed(spark):
     except ImportError:
         has_pil = False
     if not has_pil:
-        assert "only netpbm" in errs["image"]
+        assert "need PIL" in errs["image"]
     assert "no codec for kind=video" in errs["video"]
 
 
