@@ -54,6 +54,15 @@ def main() -> int:
     if argv and argv[0] == "--json":
         json_out = argv[1]
         argv = argv[2:]
+    if argv and argv[0] == "--spark-timeout":
+        # watchdog on the SPARK side: cancels all running jobs after
+        # the cap so one wedged/thrashing query can't stall the whole
+        # registry sweep; recorded as spark_timeout (a real failure —
+        # unlike oracle_timeout, OUR side must always finish)
+        spark_timeout = float(argv[1])
+        argv = argv[2:]
+    else:
+        spark_timeout = None
     if argv and argv[0] == "--oracle-timeout":
         # wall cap on the DUCKDB side only (the single-node oracle's
         # deliberately-naive all-pairs/recursive formulations go
@@ -84,17 +93,39 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        watchdog = None
         try:
+            if spark_timeout:
+                import threading
+                watchdog = threading.Timer(
+                    spark_timeout, spark.sparkContext.cancelAllJobs)
+                watchdog.start()
             sdf = qd.spark_fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception:
-            print(f"FAIL  {name}: spark error")
+            timed_out = (spark_timeout
+                         and time.time() - t0 >= spark_timeout)
+            status = "spark_timeout" if timed_out else "spark_error"
+            print(f"FAIL  {name}: {status}")
             traceback.print_exc(limit=3)
-            record(name, "spark_error",
+            record(name, status,
                    detail=traceback.format_exc(limit=1).splitlines()[-1])
             n_fail += 1
             continue
+        finally:
+            if watchdog:
+                watchdog.cancel()
+            # keep the long sweep memory-flat: operators cache /
+            # localCheckpoint internally; dropping the blocks (and
+            # nudging the JVM GC so the ContextCleaner releases
+            # unreferenced checkpoint RDDs) prevents the session from
+            # thrashing 100+ queries in
+            spark.catalog.clearCache()
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
         # The driver's value-hash dies on array/map-typed output columns
         # (TypeError: unhashable type) — flag them here before it does.
         from pyspark.sql import types as _T
