@@ -104,3 +104,35 @@ def test_gapfill_matches_model(spark, tmp_path_factory, events):
            (r["n_events"], r["filled_cents"])
            for r in gapfill_forward_fill(spark, sf).collect()}
     assert got == gapfill_model(events)
+
+
+def test_quantiles_approx_tracks_exact(spark):
+    """The documented scale path (percentile_approx with accuracy
+    10k) must track the exact grouped quantiles within sketch rank
+    error: at accuracy a, eps ~ 1/a, so value-rank displacement on n
+    rows is <= n/a + 1 positions. Asserted by rank, not value."""
+    from pyspark.sql import functions as F
+
+    from adsmasterpipeline_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    c = load_table(spark, SF_DIR, "customer")
+    probs = [0.25, 0.5, 0.75, 0.95]
+    rows = (c.groupBy("c_mktsegment")
+            .agg(F.percentile(F.col("c_acctbal"),
+                              F.array(*[F.lit(p) for p in probs]))
+                 .alias("exact"),
+                 F.percentile_approx(F.col("c_acctbal"),
+                                     F.array(*[F.lit(p) for p in probs]),
+                                     10_000).alias("approx"),
+                 F.sort_array(F.collect_list("c_acctbal")).alias("all"))
+            .collect())
+    for r in rows:
+        vals = r["all"]
+        n = len(vals)
+        tol = n / 10_000 + 1
+        import bisect
+        for p, ex, ap in zip(probs, r["exact"], r["approx"]):
+            rank_ex = bisect.bisect_left(vals, ex)
+            rank_ap = bisect.bisect_left(vals, ap)
+            assert abs(rank_ex - rank_ap) <= tol, (p, ex, ap)
