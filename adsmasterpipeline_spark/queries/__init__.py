@@ -49,21 +49,29 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 #
 # Round-5 rotation (VERDICT.md r4 task 9): cumulative driver-green
 # across rounds is what counts — after r04, EVERY oracled query has a
-# green driver row in some round (125/125). This window = the one
-# oracled query whose CODE changed in round 5 (ngram_jaccard_pairs:
-# the PPJoin token dictionary lost its broadcast hint — needs a fresh
-# green row) + all 30 oracled queries whose last driver-green is r01
+# green driver row in some round (125/125). This window = the three
+# oracled queries changed/new in round 5 (ngram_jaccard_pairs lost
+# the PPJoin dictionary broadcast; levenshtein_similarity was
+# scale-rewritten to bounded-output aggregates; quantiles_per_segment
+# is new) + all 30 oracled queries whose last driver-green is r01
 # or r02 (computed from the committed CORRECTNESS_r0{1..4}.json) + the
-# 19 registration-order-first r03-green queries, refreshing the
+# 17 registration-order-first r03-green queries, refreshing the
 # stalest evidence end to end. Round-5's other changes are rows-only
 # entries (ann_pq, image_phash_neardup — covered by CHECKALL +
-# ANNRECALL) or operator paths with no oracled surface change
+# ANNRECALL), operator paths with no oracled surface change
 # (assign_sequential's string proxy: both oracled users key on
-# numerics). Everything else is covered by CHECKALL_r05_* plus
-# prior-round CORRECTNESS rows.
+# numerics), or physical-only strategy switches with unchanged
+# semantics (embedding_cosine_neardup -> GEMM above 4k rows,
+# corpus_dedup_pipeline -> prefix-filtered join; both still
+# hash-match their unchanged oracles, re-verified at sf0.01 AND the
+# 10x stress SF this round). Everything else is covered by
+# CHECKALL_r05_* plus prior-round CORRECTNESS rows.
 PRIORITY: tuple[str, ...] = (
-    # -- changed in round 5 --
-    "ngram_jaccard_pairs",
+    # -- changed in round 5 (PPJoin un-broadcast; levenshtein scale
+    #    rewrite to distinct-name multiplicity-weighted aggregates;
+    #    quantiles_per_segment is NEW) --
+    "ngram_jaccard_pairs", "levenshtein_similarity",
+    "quantiles_per_segment",
     # -- stalest driver evidence (last green r01/r02) --
     "union_distinct", "except_keys", "q5_regional_revenue",
     "cube_order_stats", "pivot_status_by_segment", "stats_per_brand",
@@ -83,7 +91,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact", "minhash_signatures", "tfidf_top_terms",
     "winnow_fingerprints", "q3_shipping_priority",
     "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_stock",
 )
 
 

@@ -147,28 +147,60 @@ def native_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "levenshtein_similarity",
     """
-    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           levenshtein(a.p_name, b.p_name) AS edit_dist
-    FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    WITH names AS (
+      SELECT p_brand, p_name, COUNT(*) AS cnt
+      FROM part GROUP BY p_brand, p_name
+    ),
+    cross_pairs AS (
+      SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS d,
+             a.cnt * b.cnt AS pairs
+      FROM names a JOIN names b
+        ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    same_pairs AS (
+      SELECT p_brand, 0 AS d, cnt * (cnt - 1) / 2 AS pairs
+      FROM names WHERE cnt > 1
+    ),
+    allp AS (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs)
+    SELECT p_brand, CAST(SUM(pairs) AS BIGINT) AS near_pairs,
+           CAST(SUM(pairs * d) AS BIGINT) AS total_dist
+    FROM allp GROUP BY p_brand
     """,
     "functions", "validate",
-    doc="F18 similarity analogue: edit-distance pairs within brand blocks "
-        "(the validator's SequenceMatcher maps to levenshtein thresholds).",
+    doc="F18 similarity analogue: edit-distance similarity join within "
+        "brand blocks (the validator's SequenceMatcher maps to "
+        "levenshtein thresholds), multiplicity-weighted. Round-5 scale "
+        "rewrite: the levenshtein join runs on DISTINCT (brand, name) "
+        "rows — |names|^2 per brand instead of |parts|^2 (the naive "
+        "per-part enumeration was 800M string comparisons AND a ~50M-"
+        "row output at the 10x stress SF: quadratic output is a query-"
+        "DESIGN bug no engine fixes) — then expands by count products "
+        "in exact integer arithmetic. Same-name pairs contribute "
+        "C(cnt,2) at distance 0.",
 )
 def levenshtein_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
-    a, b = p.alias("a"), p.alias("b")
+    names = p.groupBy("p_brand", "p_name").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    a, b = names.alias("a"), names.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
+    cross = (
         a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
-               & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+               & (F.col("a.p_name") < F.col("b.p_name")))
         .where(dist <= 3)
-        .select(F.col("a.p_partkey").alias("key_a"),
-                F.col("b.p_partkey").alias("key_b"),
-                dist.alias("edit_dist"))
+        .select(F.col("a.p_brand").alias("p_brand"), dist.alias("d"),
+                (F.col("a.cnt") * F.col("b.cnt")).alias("pairs"))
     )
+    same = names.where(F.col("cnt") > 1).select(
+        "p_brand", F.lit(0).alias("d"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long")
+        .alias("pairs"))
+    return (cross.unionByName(same)
+            .groupBy("p_brand")
+            .agg(F.sum("pairs").cast("long").alias("near_pairs"),
+                 F.sum(F.col("pairs") * F.col("d")).cast("long")
+                 .alias("total_dist")))
 
 
 @query(

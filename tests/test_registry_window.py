@@ -11,10 +11,11 @@ from adsmasterpipeline_spark.queries import (
 _load()
 
 MUST_PROVE = (
-    # changed in round 5 — needs a fresh green driver row (the round-4
-    # must-prove set all went green in CORRECTNESS_r04; the window now
-    # refreshes the stalest r01-r03 evidence instead)
-    "ngram_jaccard_pairs",
+    # changed/new in round 5 — need fresh green driver rows (the
+    # round-4 must-prove set all went green in CORRECTNESS_r04; the
+    # rest of the window refreshes the stalest r01-r03 evidence)
+    "ngram_jaccard_pairs", "levenshtein_similarity",
+    "quantiles_per_segment",
 )
 
 
