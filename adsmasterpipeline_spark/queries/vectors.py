@@ -185,23 +185,36 @@ def embedding_cosine_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "embedding_cosine_neardup_lsh", None, "vectors", "dedup", "scale",
     doc="Scale path for embedding near-dup: candidate pairs restricted "
-        "to a shared hyperplane-sign bucket (first 8 components), exact "
-        "cosine verification inside buckets — the pair space shrinks "
-        "~2^planes, hot buckets are true clusters. Rows-only "
-        "(approximate recall by construction; the exact twin above is "
-        "oracled).",
+        "to a shared hyperplane-sign bucket, exact cosine verification "
+        "inside buckets. The plane count SCALES with n (target ~32 "
+        "vectors/bucket, floor 8 planes): with planes fixed, "
+        "within-bucket pairs grow n^2/2^planes — the 10x stress run "
+        "measured 32x the sf0.1 time before this; bucket count must "
+        "track corpus size exactly like IVF's k. Per-row norms are "
+        "computed once and carried (three interpreted O(dim) folds "
+        "per pair -> one; higher-order array functions do not "
+        "participate in whole-stage codegen, so per-pair folds are "
+        "the real constant factor). Rows-only (approximate recall by "
+        "construction; the exact twin above is oracled).",
 )
 def embedding_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from ..operators.similarity import sign_bucket
     e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    planes = min(20, max(8, math.ceil(math.log2(max(1, n / 32)))))
     bkt = e.select(F.col("vec_id"), F.col("embedding"),
-                   sign_bucket(F.col("embedding"), 8).alias("_bkt"))
+                   _norm(F.col("embedding")).alias("_nv"),
+                   sign_bucket(F.col("embedding"), planes).alias("_bkt"))
     a = bkt.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("_a"), "_bkt")
+                   F.col("embedding").alias("_a"),
+                   F.col("_nv").alias("_na"), "_bkt")
     b = bkt.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("_b"), "_bkt")
+                   F.col("embedding").alias("_b"),
+                   F.col("_nv").alias("_nb"), "_bkt")
     sim = F.round(_dot(F.col("_a"), F.col("_b"))
-                  / (_norm(F.col("_a")) * _norm(F.col("_b"))), 6)
+                  / (F.col("_na") * F.col("_nb")), 6)
     return (
         a.join(b, "_bkt")
         .where(F.col("vec_a") < F.col("vec_b"))

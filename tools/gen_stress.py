@@ -247,14 +247,21 @@ def gen_documents(out: str, n: int, rng: np.random.Generator) -> None:
 
 
 def gen_embeddings(out: str, n: int, rng: np.random.Generator) -> None:
-    """10 labeled clusters on the 64-dim unit sphere (centroid +
-    noise), like the driver data — ANN/kmeans queries need cluster
-    structure, not uniform noise."""
+    """10 labeled clusters on the 64-dim sphere with DRIVER-CALIBRATED
+    tightness: the driver data measures ~0.07 mean cosine to the
+    own-label centroid (nearly uniform — labels are weak), so the
+    centroid weight here is 0.14 over sigma=0.25 noise (cos ~
+    0.14/sqrt(0.14^2+64*0.25^2) ~ 0.07). The first sf1 attempt used
+    0.6/0.25 (cos ~ 0.29): the resulting tight clusters collapsed
+    sign-LSH buckets and k-means cells into a few hot groups and the
+    within-cell pair scans went quadratic — a data-distribution
+    artifact, not an engine property, so the stress twin matches the
+    driver's geometry."""
     dim, k = 64, 10
     cent = rng.normal(size=(k, dim))
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
     labels = rng.integers(0, k, n)
-    vecs = (cent[labels] * 0.6
+    vecs = (cent[labels] * 0.14
             + rng.normal(scale=0.25, size=(n, dim))).astype(np.float32)
     pq.write_table(pa.table({
         "vec_id": np.arange(n, dtype=np.int64),
