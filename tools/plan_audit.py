@@ -67,8 +67,9 @@ KNOWN_BROADCAST_NESTED: dict[str, tuple[int, str]] = {
     "ann_ivf": (2, "tiny centroid table broadcast (assign + probe)"),
     "ann_ivf_kmeans": (4, "k-means centroid table broadcast per "
                           "Lloyd step (k rows)"),
-    "ann_pq": (8, "PQ codebooks + IVF centroids broadcast (k_cent "
-                  "rows per subspace; re-rank over IVF lists)"),
+    # ann_pq needs no entry since the round-5 IVFADC+R rewrite: the
+    # whole search is one Arrow pass + a per-query TopK window — no
+    # joins at all
     "cosine_topk": (1, "query set broadcast"),
     "dsir_importance_weights": (1, "hashed feature-weight table "
                                    "broadcast (2^12 buckets fixed)"),
