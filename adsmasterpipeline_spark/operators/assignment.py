@@ -27,25 +27,36 @@ from pyspark.sql import functions as F
 
 
 def _order_proxy(key: Column) -> Column:
-    """Order-preserving numeric proxy for a string key: the first NINE
-    code points packed into 7-bit fields of a 63-bit long (k1 < k2 ⇒
-    proxy(k1) <= proxy(k2); equal proxies stay in one bucket, so range
-    bucketing on the proxy never splits the true ordering). Nine chars
-    matter for skew: bibcode-like keys ("2019ApJ...") share long year
-    prefixes, and a 3-char proxy collapsed them onto a handful of
-    distinct values — range buckets degenerated to a few hot ones.
-    With 9 chars the proxy distinguishes keys through the journal
-    field. Code points above 127 clamp to 127 — clamping is monotonic,
-    so ordering is preserved (non-ASCII keys just share buckets).
-    Granularity only affects bucket balance, never correctness."""
-    def cp(i):
-        return F.least(
-            F.coalesce(F.ascii(F.substring(key, i, 1)), F.lit(0)),
-            F.lit(127)).cast("long")
-    out = F.lit(0).cast("long")
-    for i in range(1, 10):
-        out = out * F.lit(128) + cp(i)
-    return out
+    """Order-preserving numeric proxy for a string key: the first
+    SEVEN UTF-8 BYTES, zero-right-padded and read big-endian into a
+    56-bit long (k1 < k2 ⇒ proxy(k1) <= proxy(k2); equal proxies stay
+    in one bucket, so range bucketing on the proxy never splits the
+    true ordering). Two properties matter:
+
+    - BYTES, not clamped code points: UTF-8 byte order IS the string
+      sort order, so the proxy is exact on any input — a round-5
+      hypothesis test caught the earlier clamp-to-127 scheme
+      inverting '\\x7f0' vs '\\x80' (clamping ties 0x7f with 0x80 and
+      lets the NEXT character decide, splitting the true ordering);
+    - FOURTEEN bytes of granularity (earlier: three chars) for skew:
+      bibcode-like keys ("2019ApJ...") share long year prefixes, and
+      a 3-char proxy collapsed them onto a handful of distinct values
+      — range buckets degenerated to a few hot ones. Zero-padded
+      numeral fields ("2019J0004700123A") are even worse — variety
+      hides deep in the string — so the proxy spans 14 bytes as two
+      7-byte big-endian longs combined into a decimal(38,0)
+      (max 2^112 ~ 5.2e33: 34 digits, no decimal overflow; conv()
+      itself is 64-bit-bounded, hence the two-limb split).
+
+    Granularity beyond 14 bytes only affects bucket balance, never
+    correctness (ties share a bucket; the in-bucket window orders by
+    the real column)."""
+    b = F.rpad(F.encode(key, "UTF-8"), 14, bytes([0]))
+    hi = F.conv(F.hex(F.substring(b, 1, 7)), 16, 10).cast("long")
+    lo = F.conv(F.hex(F.substring(b, 8, 7)), 16, 10).cast("long")
+    return (hi.cast("decimal(20,0)")
+            * F.lit(1 << 56).cast("decimal(18,0)")
+            + lo.cast("decimal(20,0)"))
 
 
 def assign_sequential(df: DataFrame, order_col: str,

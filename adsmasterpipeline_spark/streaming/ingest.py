@@ -25,25 +25,58 @@ from ..storage import empty_records, merge_updates
 
 
 class StreamingIngest:
-    """File-source streaming ingestion into a parquet records table."""
+    """File-source streaming ingestion into a records table.
+
+    ``fmt="parquet"`` (default) publishes each micro-batch as a full
+    copy-on-write snapshot swap; ``fmt="txn"`` publishes through the
+    log-structured TxnTable (sinks/txnlake.py): a FILE-GRANULAR MERGE
+    of just the batch's keys, committed atomically with the epoch id
+    as the application transaction id — so a micro-batch REPLAYED
+    after a crash-and-restart (Structured Streaming's at-least-once
+    foreachBatch contract) is detected in the log and becomes a
+    no-op. That composes the checkpoint's offset tracking with
+    sink-side idempotence into end-to-end exactly-once state, and
+    each epoch rewrites O(touched files), not O(table).
+    """
 
     def __init__(self, spark: SparkSession, events_dir: str,
-                 records_path: str, checkpoint_dir: str):
+                 records_path: str, checkpoint_dir: str,
+                 fmt: str = "parquet"):
         self.spark = spark
         self.events_dir = events_dir
         self.records_path = records_path
         self.checkpoint_dir = checkpoint_dir
+        assert fmt in ("parquet", "txn")
+        self.fmt = fmt
+
+    def _txn(self):
+        from ..sinks.txnlake import txn_table
+        return txn_table(self.spark, self.records_path)
 
     def _load_records(self) -> DataFrame:
+        if self.fmt == "txn":
+            t = self._txn()
+            if t.version() >= 0:
+                return t.read()
+            return empty_records(self.spark)
         if os.path.exists(self.records_path):
             return self.spark.read.parquet(self.records_path)
         return empty_records(self.spark)
 
-    def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
+    def _publish(self, merged: DataFrame, batch: DataFrame,
+                 epoch_id: int) -> None:
+        """Commit the post-merge table state for one micro-batch."""
+        if self.fmt == "txn":
+            t = self._txn()
+            txn_id = f"{self.checkpoint_dir}#epoch-{epoch_id}"
+            if t.version() < 0:
+                t.overwrite(merged, app_txn_id=txn_id)
+            else:
+                touched = merged.join(
+                    batch.select("bibcode").distinct(), "bibcode",
+                    "left_semi")
+                t.merge(touched, app_txn_id=txn_id)
             return
-        records = self._load_records()
-        merged, changelog = merge_updates(records, batch)
         # copy-on-write commit: write to a staging dir, then swap —
         # the same atomic-publish idea as the reference's core swap
         # (scripts/reindex.py:146-156)
@@ -53,6 +86,15 @@ class StreamingIngest:
             import shutil
             shutil.rmtree(self.records_path)
         os.rename(staging, self.records_path)
+
+    def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        records = self._load_records()
+        merged, changelog = merge_updates(records, batch)
+        if self.fmt == "txn":
+            merged = merged.localCheckpoint()
+        self._publish(merged, batch, epoch_id)
 
     def run_available_now(self) -> None:
         """Process everything currently in events_dir, then stop —
@@ -93,8 +135,9 @@ class StreamingReindex(StreamingIngest):
 
     def __init__(self, spark: SparkSession, events_dir: str,
                  records_path: str, checkpoint_dir: str, sinks_dir: str,
-                 force: bool = False, now=None):
-        super().__init__(spark, events_dir, records_path, checkpoint_dir)
+                 force: bool = False, now=None, fmt: str = "parquet"):
+        super().__init__(spark, events_dir, records_path,
+                         checkpoint_dir, fmt=fmt)
         self.sinks_dir = sinks_dir
         self.force = force
         self.now = now  # pin for deterministic tests
@@ -138,12 +181,9 @@ class StreamingReindex(StreamingIngest):
                                      df.select("bibcode", "checksum"),
                                      sink, now=self.now)
         updated = updated.localCheckpoint()
-        staging = self.records_path + f".epoch{epoch_id}"
-        updated.write.mode("overwrite").parquet(staging)
-        if os.path.exists(self.records_path):
-            import shutil
-            shutil.rmtree(self.records_path)
-        os.rename(staging, self.records_path)
+        # mark_processed only touched `done` keys ⊆ batch keys, so the
+        # txn publish path's batch-key MERGE covers the writeback too
+        self._publish(updated, batch, epoch_id)
 
 
 def streaming_dedup(docs: DataFrame, fingerprint_cols: list[str],

@@ -136,3 +136,32 @@ def test_quantiles_approx_tracks_exact(spark):
             rank_ex = bisect.bisect_left(vals, ex)
             rank_ap = bisect.bisect_left(vals, ap)
             assert abs(rank_ex - rank_ap) <= tol, (p, ex, ap)
+
+
+def test_order_proxy_monotone_property():
+    """Hypothesis: for ANY two strings (including non-ASCII, where
+    code points clamp to 127), a < b implies proxy(a) <= proxy(b) —
+    the invariant that makes range-bucketing on the proxy safe: equal
+    proxies share a bucket, so the true ordering is never split."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from adsmasterpipeline_spark.operators.assignment import _order_proxy
+    from adsmasterpipeline_spark.session import get_spark
+
+    spark = get_spark("proxy_prop", shuffle_partitions=4)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.text(min_size=0, max_size=12), min_size=2,
+                    max_size=8, unique=True))
+    def check(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        rows = (df.select("key",
+                          _order_proxy(F.col("key")).alias("p"))
+                .collect())
+        got = sorted(((r["key"], r["p"]) for r in rows))
+        proxies = [p for _, p in got]
+        assert proxies == sorted(proxies), got
+
+    check()

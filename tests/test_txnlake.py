@@ -170,3 +170,63 @@ def test_txn_concurrent_commit_conflict(spark, tmp_path):
     # no stray temp files left behind
     assert not [n for n in os.listdir(os.path.join(path, "_txn"))
                 if n.startswith(".tmp")]
+
+
+def test_streaming_ingest_on_txn_table(spark, tmp_path):
+    """Streaming ingestion publishing through the TxnTable: state
+    equals the parquet-swap mode, versions advance per micro-batch,
+    and a REPLAYED epoch (foreachBatch's at-least-once contract after
+    a crash-restart) is a no-op — the epoch's app txn id is already
+    in the log, so file set and bytes are unchanged. End-to-end
+    exactly-once state without delta-spark."""
+    import json
+
+    from adsmasterpipeline_spark.streaming.ingest import StreamingIngest
+
+    def run(fmt, sub):
+        events_dir = tmp_path / sub / "events"
+        events_dir.mkdir(parents=True)
+        b1 = [{"bibcode": "S1", "type": "bib_data", "status": "active",
+               "payload": json.dumps({"bibcode": "S1", "title": ["one"]}),
+               "event_ts": "2024-01-01T00:00:00.000Z"},
+              {"bibcode": "S2", "type": "bib_data", "status": "active",
+               "payload": json.dumps({"bibcode": "S2"}),
+               "event_ts": "2024-01-01T00:00:01.000Z"}]
+        b2 = [{"bibcode": "S1", "type": "fulltext", "status": "active",
+               "payload": json.dumps({"body": "B"}),
+               "event_ts": "2024-01-02T00:00:00.000Z"}]
+        ing = StreamingIngest(spark, str(events_dir),
+                              str(tmp_path / sub / "records"),
+                              str(tmp_path / sub / "ckpt"), fmt=fmt)
+        (events_dir / "b1.json").write_text(
+            "\n".join(json.dumps(e) for e in b1))
+        ing.run_available_now()
+        (events_dir / "b2.json").write_text(json.dumps(b2[0]))
+        ing.run_available_now()
+        return ing
+
+    ing_t = run("txn", "t")
+    ing_p = run("parquet", "p")
+
+    t = ing_t._txn()
+    assert t.version() == 1          # one commit per micro-batch
+    drop = {"created", "updated", "processed"}  # wall-clock stamps
+    cols = [c for c in ing_t._load_records().columns if c not in drop]
+
+    def state(df):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert state(ing_t._load_records()) == state(ing_p._load_records())
+
+    # crash-replay: re-apply epoch 1's batch with the same epoch id —
+    # the txn log already has ckpt#epoch-1, so nothing changes
+    live_before = t.live_files()
+    hashes_before = _file_hashes(str(tmp_path / "t" / "records"))
+    from adsmasterpipeline_spark.schemas import EVENT_SCHEMA
+    replay = spark.createDataFrame(
+        [("S1", "fulltext", "active", '{"body": "B"}',
+          dt.datetime(2024, 1, 2))], EVENT_SCHEMA)
+    ing_t._apply_batch(replay, epoch_id=1)
+    assert t.version() == 1
+    assert t.live_files() == live_before
+    assert _file_hashes(str(tmp_path / "t" / "records")) == hashes_before
