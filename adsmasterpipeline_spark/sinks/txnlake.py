@@ -126,10 +126,15 @@ class TxnTable:
 
     # ----------------------------------------------------------- data
     def _write_data(self, df: DataFrame, version: int) -> list[str]:
-        """Write ``df`` as new parquet files under a per-commit dir;
+        """Write ``df`` as new parquet files under a per-attempt dir;
         returns their table-relative paths. Files are invisible until
-        the log entry referencing them commits."""
-        rel_dir = os.path.join("data", f"commit-{version:08d}")
+        the log entry referencing them commits — and the dir name
+        carries an attempt id so a CRASHED earlier attempt's orphan
+        directory (data written, commit never published) can never
+        collide with the retry; orphans are unreferenced garbage, not
+        corruption."""
+        rel_dir = os.path.join(
+            "data", f"commit-{version:08d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         df.write.mode("error").parquet(out_dir)
         return [os.path.join(rel_dir, n)
@@ -186,19 +191,27 @@ class TxnTable:
         deleted_keys = deleted_keys.select(key).distinct()
 
         live = self.live_files()
-        abs_live = {f: os.path.join(self.path, f) for f in live}
-        tagged = (self.spark.read.parquet(*abs_live.values())
-                  .withColumn("_file", F.input_file_name()))
         affected = (changed.select(key)
                     .unionByName(deleted_keys).distinct())
-        # file list is bounded by file count (driver-side by design —
-        # the same cardinality Delta's log fold holds on the driver)
-        touched_uris = [r["_file"] for r in
-                        tagged.join(affected, key, "left_semi")
-                        .select("_file").distinct().collect()]
+        if live:
+            abs_live = {f: os.path.join(self.path, f) for f in live}
+            tagged = (self.spark.read.parquet(*abs_live.values())
+                      .withColumn("_file", F.input_file_name()))
+            # file list is bounded by file count (driver-side by
+            # design — the same cardinality Delta's log fold holds on
+            # the driver)
+            touched_uris = [r["_file"] for r in
+                            tagged.join(affected, key, "left_semi")
+                            .select("_file").distinct().collect()]
+        else:
+            touched_uris = []          # first merge == pure insert
 
         def rel(uri: str) -> str:
-            p = uri[7:] if uri.startswith("file://") else uri
+            # input_file_name() returns a percent-encoded file URI
+            # ("file:///p%20ath/..." or "file:/path/..."); normalize
+            # back to the table-relative form the log stores
+            from urllib.parse import unquote, urlparse
+            p = unquote(urlparse(uri).path) if ":" in uri else uri
             return os.path.relpath(p, self.path)
 
         touched = sorted(rel(u) for u in touched_uris)

@@ -230,3 +230,25 @@ def test_streaming_ingest_on_txn_table(spark, tmp_path):
     assert t.version() == 1
     assert t.live_files() == live_before
     assert _file_hashes(str(tmp_path / "t" / "records")) == hashes_before
+
+
+def test_txn_merge_into_empty_table_and_crash_orphans(spark, tmp_path):
+    """Bootstrap-by-merge (no prior commit: every row inserts) and
+    crash recovery: an orphan data directory from a crashed attempt
+    (files written, commit never published) neither blocks the retry
+    nor leaks into reads. Also: a path WITH A SPACE round-trips
+    through input_file_name()'s percent-encoding."""
+    path = str(tmp_path / "t t")          # space exercises URI decode
+    t = txn_table(spark, path)
+    assert t.merge(_recs(spark, [("B1", 1)])) == 0   # insert-only boot
+    assert {r["bibcode"] for r in t.read().collect()} == {"B1"}
+
+    # fake a crashed attempt: data dir exists, no log entry for it
+    orphan = os.path.join(path, "data", "commit-00000001-deadbeef")
+    os.makedirs(orphan)
+    _recs(spark, [("ZZ", 99)]).write.mode("overwrite").parquet(orphan)
+
+    v = t.merge(_recs(spark, [("B1", 2), ("B2", 2)]))
+    assert v == 1
+    rows = {r["bibcode"]: r["v"] for r in t.read().collect()}
+    assert rows == {"B1": 2, "B2": 2}     # orphan ZZ never surfaces
