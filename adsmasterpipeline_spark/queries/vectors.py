@@ -106,19 +106,26 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# List-native formulation (round 6): the previous range(1,65) lateral
+# join exploded every pair into 64 rows before aggregating — ~12.8 G
+# intermediate rows at the 10x stress SF (20k vectors, 200M pairs),
+# blowing the 300 s oracle wall cap while the Spark side ran in 4-5 s.
+# DuckDB's list_dot_product over pre-cast DOUBLE lists is the same
+# sequential per-element sum (verified bit-identical after ROUND(.,6)
+# at sf0.01 AND sf0.1: 59/59 and 920/920 pairs), and runs sf1 in ~18 s
+# — the tier's last two oracle_timeout rows become real hash matches.
 _NEARDUP_SQL = """
-    WITH pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             ROUND(
-               SUM(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))
-               / (sqrt(SUM(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE)))
-                  * sqrt(SUM(CAST(b.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)))),
-               6) AS sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
-           range(1, 65) t(i)
-      GROUP BY a.vec_id, b.vec_id
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
     )
-    SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.4
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.4
     """
 
 

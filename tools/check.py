@@ -88,7 +88,10 @@ def main() -> int:
               "lineitem", "events", "documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    n_pass = n_fail = 0
+    # three buckets (ADVICE r5): verified-identical vs uncompared-but-
+    # Spark-finished vs failed — an oracle timeout is NOT a pass, it is
+    # explicitly "engine ran, comparison evidence absent at this SF"
+    n_pass = n_fail = n_uncompared = 0
     for name, qd in sorted(REGISTRY.items()):
         if only and name not in only:
             continue
@@ -167,7 +170,7 @@ def main() -> int:
             record(name, "oracle_timeout", rows=len(srows),
                    secs=spark_secs,
                    detail=f"duckdb oracle > {oracle_timeout:.0f}s")
-            n_pass += 1
+            n_uncompared += 1
             continue
         except Exception:
             print(f"FAIL  {name}: duckdb error")
@@ -202,10 +205,11 @@ def main() -> int:
         record(name, "pass", rows=len(sr), secs=time.time() - t0)
         n_pass += 1
 
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    print(f"\n{n_pass} passed, {n_uncompared} uncompared (oracle "
+          f"timeout), {n_fail} failed")
     if json_out:
         summary = {"sf_dir": sf_dir, "passed": n_pass, "failed": n_fail,
-                   "queries": results}
+                   "uncompared": n_uncompared, "queries": results}
         with open(json_out, "w") as f:
             json.dump(summary, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
