@@ -45,19 +45,35 @@ def assign_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", bucket_name(F.col("seq"), 100).alias("filename"))
 
 
+def _hadamard_bkt_sql(planes: int = 8) -> str:
+    """DuckDB expression mirroring operators/similarity.
+    hadamard_bucket_int bit-for-bit: plane j's projection is the
+    signed sum of floor(x*2^20) int64 components with sign
+    (-1)^popcount((i-1) & j) — exact integer arithmetic, so engine
+    summation order cannot flip a bucket bit. MSB-first fold matches
+    the Spark side's a*2+b accumulation."""
+    q = "CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)"
+    terms = []
+    for j in range(1, planes + 1):
+        proj = (f"list_sum(list_transform(embedding, (x,i) -> "
+                f"CASE WHEN bit_count(CAST((i-1) & {j} AS BIGINT)) % 2 = 0 "
+                f"THEN {q} ELSE -{q} END))")
+        terms.append(f"(CASE WHEN {proj} >= 0 "
+                     f"THEN {1 << (planes - j)} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 @query(
     "ann_sign_lsh",
     f"""
     WITH b AS (
       SELECT vec_id, embedding,
-             list_sum(list_transform(range(1, 9),
-                 i -> CASE WHEN embedding[i] >= 0
-                      THEN (1 << (i - 1)) ELSE 0 END)) AS bkt
+             {_hadamard_bkt_sql(8)} AS bkt
       FROM embeddings
     ),
     probes AS (
       SELECT vec_id, embedding, xor(bkt, m.m) AS bkt
-      FROM b, (SELECT unnest({hamming_masks(8, 2)!r}) AS m) m
+      FROM b, (SELECT unnest({hamming_masks(8, 3)!r}) AS m) m
       WHERE vec_id < 32
     ),
     pairs AS (
@@ -79,19 +95,23 @@ def assign_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "vectors", "scale",
     doc="ANN via hyperplane-sign LSH with MULTI-PROBE (Lv et al. 2007): "
-        "bucket = sign bits of the first 8 components as an integer; "
+        "bucket = sign bits of 8 HADAMARD-MIXED projections (every "
+        "plane sees all 64 components via integer-exact "
+        "floor(x*2^20) sums — round-6 fix for the axis-aligned "
+        "bucket's recall falling 0.43->0.35 from sf0.01 to sf0.1); "
         "each query probes its own bucket plus every bucket within "
-        "Hamming distance 2 (37 XOR masks). The fan-out is QUERY-side "
+        "Hamming distance 3 (93 XOR masks). The fan-out is QUERY-side "
         "only — candidates still shuffle to exactly one bucket — so "
-        "the 100 TB posture is unchanged while recall@3 on the random "
-        "synthetic embeddings rises ~20x over single-probe (tracked "
-        "per-round in ANNRECALL_r{{N}}.json). Engine-portable math -> "
-        "fully oracle-checked.",
+        "the 100 TB posture is unchanged while recall@3 now RISES "
+        "with corpus size (0.65/0.73/0.83 at sf0.01/0.1/stress-1, "
+        "tracked per-round in ANNRECALL_r{{N}}.json). Engine-portable "
+        "integer math -> fully oracle-checked.",
 )
 def ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 32)
-    return sign_lsh_topk(q, e, k=3, planes=8, hamming=2).select(
+    return sign_lsh_topk(q, e, k=3, planes=8, hamming=3,
+                         mix="hadamard").select(
         "query_id", "neighbor_id", "sim", "rnk")
 
 
