@@ -257,9 +257,12 @@ def _jpeg_gray(payload: bytes):
     entropy decode (DC prediction + AC run-length), dequantize,
     un-zigzag, 8x8 IDCT via one basis-matrix GEMM, 4:2:0/4:2:2 chroma
     upsampling, YCbCr->RGB->mean-gray (mean matches the P6/PNG
-    convention). Returns None when the SOI signature doesn't match;
-    raises ValueError for corrupt or unsupported (progressive,
-    arithmetic, 12-bit) streams — recorded per-row by callers."""
+    convention). Progressive (SOF2) streams decode their DC first
+    scan into the 8x-downsampled raster (enough for every downstream
+    block-mean/phash feature). Returns None when the SOI signature
+    doesn't match; raises ValueError for corrupt or unsupported
+    (arithmetic, hierarchical, 12-bit, non-DC-first progressive)
+    streams — recorded per-row by callers."""
     import numpy as np
 
     if payload is None or payload[:2] != b"\xff\xd8":
@@ -275,6 +278,14 @@ def _jpeg_gray(payload: bytes):
         marker = payload[pos + 1]
         if marker == 0xD9:               # EOI
             break
+        if marker == 0xFF:               # fill byte (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / standalone RSTn carry NO length field — reading
+            # one desyncs the whole segment scan (ADVICE r5)
+            pos += 2
+            continue
         ln = int.from_bytes(payload[pos + 2:pos + 4], "big")
         seg = payload[pos + 4:pos + 2 + ln]
         if marker == 0xDB:               # DQT
@@ -314,10 +325,23 @@ def _jpeg_gray(payload: bytes):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:             # SOF2 progressive (DC-only)
+            prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), \
+                int.from_bytes(seg[3:5], "big"), seg[5]
+            if prec != 8:
+                raise ValueError(f"JPEG precision {prec} unsupported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], \
+                    seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": True}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("progressive/arithmetic JPEG unsupported "
-                             "(baseline sequential only)")
+            raise ValueError("arithmetic/hierarchical JPEG unsupported "
+                             "(baseline + progressive-DC only)")
         elif marker == 0xDD:             # DRI
             restart = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:             # SOS
@@ -328,10 +352,94 @@ def _jpeg_gray(payload: bytes):
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 0xF)
+            if frame.get("progressive"):
+                # Progressive decode is FIRST-SCAN-ONLY by design: the
+                # DC scan (Ss=Se=0, Ah=0) yields the 8x-downsampled
+                # image — exactly the raster the 64x64 phash/block-
+                # mean features need; later refinement scans only add
+                # detail the features discard. Spectral-selection or
+                # refinement first scans stay per-row errors.
+                ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+                if ss_ == 0 and se_ == 0 and ah == 0:
+                    return _jpeg_dc_scan(payload, pos + 2 + ln, frame,
+                                         sel, qt, huff, restart, al)
+                raise ValueError(
+                    "progressive JPEG: only a DC first scan "
+                    "(Ss=Se=0, Ah=0) is decoded")
             return _jpeg_scan(payload, pos + 2 + ln, frame, sel, qt,
                               huff, restart)
         pos += 2 + ln
     raise ValueError("corrupt JPEG (no scan)")
+
+
+def _decode_huff(r: _BitReader, table) -> int:
+    length, code = 0, 0
+    while length < 16:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("corrupt JPEG Huffman code")
+
+
+def _jpeg_dc_scan(payload, pos, frame, sel, qt, huff, restart, al):
+    """Progressive DC first scan (T.81 G.2): per block, one Huffman-
+    coded DC diff, point-transformed by ``al`` — no AC coefficients in
+    the stream at all. The block's spatial mean is dc*q0/8 + 128 (the
+    orthonormal IDCT's constant basis), so the scan IS the
+    8x-downsampled image; returns that raster (callers' block-mean /
+    phash features consume any raster size)."""
+    import numpy as np
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * c["v"], mcux * c["h"])) for c in comps]
+    r = _BitReader(payload, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                r.align_to_marker()
+                mk = payload[r.pos:r.pos + 2]
+                if len(mk) == 2 and mk[0] == 0xFF and \
+                        0xD0 <= mk[1] <= 0xD7:
+                    r.pos += 2
+                    pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t = huff[(0, sel[c["id"]][0])]
+                q0 = int(qt[c["tq"]][0])
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        s = _decode_huff(r, dc_t)
+                        pred[ci] += _receive_extend(r, s)
+                        planes[ci][my * c["v"] + by,
+                                   mx * c["h"] + bx] = \
+                            (pred[ci] << al) * q0 / 8 + 128
+            mcu_count += 1
+
+    dh, dw = -(-h // 8), -(-w // 8)      # ceil: blocks covering image
+    full = []
+    for ci, c in enumerate(comps):
+        p = np.repeat(np.repeat(planes[ci], vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        full.append(p[:dh, :dw])
+    if len(full) == 1:
+        gray = full[0]
+    elif len(full) == 3:
+        y, cb, cr = full[0], full[1] - 128, full[2] - 128
+        rch = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        gray = (rch + g + b) / 3
+    else:
+        raise ValueError(f"JPEG with {len(full)} components unsupported")
+    return np.clip(gray, 0, 255) / 255.0
 
 
 def _jpeg_scan(payload, pos, frame, sel, qt, huff, restart):
@@ -351,15 +459,7 @@ def _jpeg_scan(payload, pos, frame, sel, qt, huff, restart):
               for c in comps]
     zz = np.array(_ZIGZAG)
 
-    def decode_huff(r, table):
-        length, code = 0, 0
-        while length < 16:
-            code = (code << 1) | r.read_bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("corrupt JPEG Huffman code")
-
+    decode_huff = _decode_huff
     r = _BitReader(payload, pos)
     pred = [0] * len(comps)
     mcu_count = 0

@@ -92,12 +92,22 @@ class TxnTable:
 
     def __init__(self, spark: SparkSession, path: str, key: str,
                  checkpoint_every: int = 10,
-                 prune_key_limit: int = 65536):
+                 prune_key_limit: int = 65536,
+                 cluster_writes: bool = False,
+                 rows_per_file: int = 500_000):
         self.spark = spark
         self.path = os.path.abspath(path)
         self.key = key
         self.checkpoint_every = checkpoint_every
         self.prune_key_limit = prune_key_limit
+        # cluster_writes range-partitions every written batch by key
+        # (~rows_per_file rows per data file) — Delta's cluster-by
+        # analogue. Key-clustered files are what make the min/max
+        # stats pruning EFFECTIVE: a hash-partitioned bootstrap gives
+        # every file the full key range and no file can ever be
+        # skipped. Costs one count() per write (O(batch)).
+        self.cluster_writes = cluster_writes
+        self.rows_per_file = rows_per_file
         # observability: filled by merge() so tests/benchmarks can
         # assert which files the probe was allowed to open
         self.last_merge_probe: dict | None = None
@@ -269,6 +279,10 @@ class TxnTable:
         rel_dir = os.path.join(
             "data", f"commit-{version:08d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
+        if self.cluster_writes and self.key in df.columns:
+            n = df.count()
+            nfiles = max(1, -(-n // self.rows_per_file))
+            df = df.repartitionByRange(nfiles, self.key)
         df.write.mode("error").parquet(out_dir)
         names = sorted(n for n in os.listdir(out_dir)
                        if n.endswith(".parquet"))
@@ -292,6 +306,28 @@ class TxnTable:
                  **stats.get(n, {"min_key": None, "max_key": None,
                                  "rows": None})}
                 for n in names]
+
+    def read_for_keys(self, keys: DataFrame) -> DataFrame:
+        """Rows whose key appears in ``keys``, reading ONLY the data
+        files whose stats range can contain one (the read-side twin of
+        the merge probe's file skipping) — O(candidate files), not
+        O(table). The returned frame is exact: candidate files are a
+        superset of the containing files, and the semi-join filters
+        the overshoot."""
+        snap = self._snapshot()
+        if not snap.live:
+            raise FileNotFoundError(
+                f"TxnTable at {self.path} has no committed data")
+        keys = keys.select(self.key).distinct()
+        cands = self._prune_candidates(snap.live, keys)
+        if not cands:
+            # no file can contain any key: empty frame, table schema
+            first = next(iter(snap.live))
+            return (self.spark.read.parquet(
+                os.path.join(self.path, first)).limit(0))
+        return (self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in cands])
+            .join(keys, self.key, "left_semi"))
 
     def read(self, as_of: int | None = None) -> DataFrame:
         files = self.live_files(as_of)

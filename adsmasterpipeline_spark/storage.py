@@ -96,7 +96,8 @@ def scix_id_col(bib_payload_json):
 
 
 def merge_updates(records: DataFrame, events: DataFrame, now=None,
-                  scalable_insert_threshold: int = 100_000
+                  scalable_insert_threshold: int = 100_000,
+                  max_id: int | None = None
                   ) -> tuple[DataFrame, DataFrame]:
     """MERGE an event batch into the records table.
 
@@ -127,7 +128,12 @@ def merge_updates(records: DataFrame, events: DataFrame, now=None,
 
     # deterministic id assignment for inserts: continue from max id in
     # bibcode order (ids drive sitemap ordering, adsmp/models.py:47-50).
-    max_id = (records.agg(F.max("id")).collect()[0][0] or 0) if records.head(1) else 0
+    # Callers merging against a SUBSET of the table (the txn streaming
+    # path reads only candidate files) must pass the table-wide max_id
+    # — the subset's max would collide fresh ids with existing rows.
+    if max_id is None:
+        max_id = (records.agg(F.max("id")).collect()[0][0] or 0) \
+            if records.head(1) else 0
     # threshold decision from the RAW event count (cheap scan) — counting
     # the folded batch would execute the fold windows a second time
     use_scalable = events.count() > scalable_insert_threshold

@@ -41,17 +41,21 @@ class StreamingIngest:
 
     def __init__(self, spark: SparkSession, events_dir: str,
                  records_path: str, checkpoint_dir: str,
-                 fmt: str = "parquet"):
+                 fmt: str = "parquet", txn_opts: dict | None = None):
         self.spark = spark
         self.events_dir = events_dir
         self.records_path = records_path
         self.checkpoint_dir = checkpoint_dir
         assert fmt in ("parquet", "txn")
         self.fmt = fmt
+        # e.g. {"cluster_writes": True, "rows_per_file": ...}: key-
+        # clustered data files let the TxnTable's stats pruning bound
+        # each epoch's merge probe by the batch's key range
+        self.txn_opts = txn_opts or {}
 
     def _txn(self):
         from ..sinks.txnlake import txn_table
-        return txn_table(self.spark, self.records_path)
+        return txn_table(self.spark, self.records_path, **self.txn_opts)
 
     def _load_records(self) -> DataFrame:
         if self.fmt == "txn":
@@ -62,6 +66,34 @@ class StreamingIngest:
         if os.path.exists(self.records_path):
             return self.spark.read.parquet(self.records_path)
         return empty_records(self.spark)
+
+    def _merge_batch(self, batch: DataFrame, now=None) -> DataFrame:
+        """Load + merge for one micro-batch. The parquet mode (full
+        snapshot swap) needs the FULL post-merge table; the txn mode
+        only publishes the batch's keys, so an existing table is
+        merged against ONLY the rows read from candidate data files
+        (TxnTable.read_for_keys — per-file stats pruning): per-epoch
+        compute is O(touched files + batch), not O(table). The
+        table-wide max id (insert numbering) is aggregated only when
+        the batch actually inserts, as a column-pruned scan."""
+        from pyspark.sql import functions as F
+
+        if self.fmt == "txn":
+            t = self._txn()
+            if t.version() >= 0:
+                batch_keys = batch.select("bibcode").distinct()
+                records = t.read_for_keys(batch_keys)
+                n_new = batch_keys.join(records, "bibcode",
+                                        "left_anti").count()
+                max_id = 0
+                if n_new:
+                    max_id = t.read().agg(
+                        F.max("id")).collect()[0][0] or 0
+                merged, _ = merge_updates(records, batch, now=now,
+                                          max_id=max_id)
+                return merged
+        merged, _ = merge_updates(self._load_records(), batch, now=now)
+        return merged
 
     def _publish(self, merged: DataFrame, batch: DataFrame,
                  epoch_id: int) -> None:
@@ -98,8 +130,7 @@ class StreamingIngest:
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        records = self._load_records()
-        merged, changelog = merge_updates(records, batch)
+        merged = self._merge_batch(batch)
         if self.fmt == "txn":
             merged = merged.localCheckpoint()
         self._publish(merged, batch, epoch_id)
@@ -143,9 +174,10 @@ class StreamingReindex(StreamingIngest):
 
     def __init__(self, spark: SparkSession, events_dir: str,
                  records_path: str, checkpoint_dir: str, sinks_dir: str,
-                 force: bool = False, now=None, fmt: str = "parquet"):
+                 force: bool = False, now=None, fmt: str = "parquet",
+                 txn_opts: dict | None = None):
         super().__init__(spark, events_dir, records_path,
-                         checkpoint_dir, fmt=fmt)
+                         checkpoint_dir, fmt=fmt, txn_opts=txn_opts)
         self.sinks_dir = sinks_dir
         self.force = force
         self.now = now  # pin for deterministic tests
@@ -158,8 +190,7 @@ class StreamingReindex(StreamingIngest):
 
         if batch.isEmpty():
             return
-        records = self._load_records()
-        merged, _changelog = merge_updates(records, batch, now=self.now)
+        merged = self._merge_batch(batch, now=self.now)
         merged = merged.localCheckpoint()
         # dispatch scope: only keys present in this micro-batch can
         # have changed — an O(batch) scan, the incremental_filter

@@ -924,12 +924,15 @@ def test_image_phash_png_planted_pair(spark):
     assert not any(3 in p for p in pairs)
 
 
-def _jpeg_encode_gray(img, comps_420=None):
+def _jpeg_encode_gray(img, comps_420=None, progressive=False, al=0):
     """Test-side baseline JPEG encoder (forward twin of the production
     decoder): full 8x8 orthonormal DCT, all-ones quant tables, custom
     single-length Huffman tables (DC: 12 cats at 4 bits; AC: 176
     run/size symbols at 8 bits), byte stuffing, optional flat-chroma
-    4:2:0 color (``comps_420=(cb, cr)``)."""
+    4:2:0 color (``comps_420=(cb, cr)``). ``progressive=True`` emits
+    SOF2 + a DC-only first scan (Ss=Se=0, Ah=0, Al=``al``) — DC
+    coefficients arithmetic-shifted by ``al`` per T.81 G.1.2.1, no AC
+    data at all (gray only)."""
     import numpy as np
 
     k = np.arange(8)
@@ -982,7 +985,20 @@ def _jpeg_encode_gray(img, comps_420=None):
 
     h, w = img.shape
     ncomp = 3 if comps_420 else 1
-    if comps_420:
+    if progressive:
+        pred = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                f = A @ (blk.astype(np.float64) - 128) @ A.T
+                tdc = int(round(f[0, 0])) >> al
+                diff = tdc - pred
+                pred = tdc
+                s = cat(diff)
+                put(s, 4)
+                if s:
+                    put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    elif comps_420:
         cb, cr = comps_420
         preds = [0, 0, 0]
         for my in range(h // 16):
@@ -1017,6 +1033,14 @@ def _jpeg_encode_gray(img, comps_420=None):
         [0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
     ac_dht = seg(0xC4, bytes([0x10]) + bytes(
         [0] * 7 + [176] + [0] * 8) + bytes(ac_syms))
+    if progressive:
+        sof = seg(0xC2, bytes([8]) + h.to_bytes(2, "big")
+                  + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 0, al]))
+        # TEM + fill byte before SOS: zero-payload markers a baseline
+        # segment walker mis-parses as length-carrying (ADVICE r5)
+        return (b"\xff\xd8" + dqt + dc_dht + b"\xff\x01" + b"\xff"
+                + sof + sos + bytes(raw) + b"\xff\xd9")
     if ncomp == 1:
         sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big")
                   + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
@@ -1072,3 +1096,48 @@ def test_jpeg_decode_baseline(spark):
     assert out[1]["decode_ok"]
     assert not out[2]["decode_ok"] and "progressive" in out[2]["error"]
     assert not out[3]["decode_ok"]
+
+
+def test_jpeg_progressive_dc_decode(spark):
+    """Progressive JPEG (SOF2) DC-first-scan decode: the scan IS the
+    8x-downsampled image, which is exactly what the block-mean /
+    phash features consume. Planted pair: the SAME image encoded
+    progressive and baseline must yield matching features through the
+    real Arrow path; arithmetic-coded SOF stays a per-row error. Also
+    exercises zero-payload TEM + fill bytes in the segment walk
+    (ADVICE r5: these desynced the round-5 parser)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from adsmasterpipeline_spark.operators.multimodal import (
+        _jpeg_gray, decode_image, extract_features)
+
+    rng = np.random.default_rng(7)
+    # block-constant image -> DC-only reconstruction is near-exact
+    blocks = rng.integers(30, 226, size=(4, 4))
+    img = np.kron(blocks, np.ones((8, 8))).astype(np.uint8)
+
+    jp_prog = _jpeg_encode_gray(img, progressive=True, al=1)
+    gray = _jpeg_gray(jp_prog)
+    assert gray.shape == (4, 4)          # 8x-downsampled raster
+    # al=1 drops one LSB of the quantized DC: mean error < 1 level
+    assert np.abs(gray * 255 - blocks).max() < 1.5
+
+    f_prog = decode_image(jp_prog, dims=4)
+    f_base = decode_image(_jpeg_encode_gray(img), dims=4)
+    assert f_prog == _pytest.approx(f_base, abs=0.02)
+
+    other = np.kron(rng.integers(30, 226, size=(4, 4)),
+                    np.ones((8, 8))).astype(np.uint8)
+    jp_other = _jpeg_encode_gray(other, progressive=True, al=1)
+    arith = jp_prog.replace(b"\xff\xc2", b"\xff\xc9", 1)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(jp_prog)), (2, "image", bytearray(jp_other)),
+         (3, "image", bytearray(arith))],
+        "asset_id long, kind string, media binary")
+    out = {r["asset_id"]: r for r in
+           extract_features(df, fake_decode=False, dims=4).collect()}
+    assert out[1]["decode_ok"] and out[2]["decode_ok"]
+    assert out[1]["feature"] == _pytest.approx(f_prog, abs=1e-6)
+    assert out[1]["feature"] != _pytest.approx(out[2]["feature"], abs=0.02)
+    assert not out[3]["decode_ok"] and "arithmetic" in out[3]["error"]
