@@ -47,50 +47,42 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 # named here follow in registration order; rows-only entries always
 # sort last.
 #
-# Round-5 rotation (VERDICT.md r4 task 9): cumulative driver-green
-# across rounds is what counts — after r04, EVERY oracled query has a
-# green driver row in some round (125/125). This window = the three
-# oracled queries changed/new in round 5 (ngram_jaccard_pairs lost
-# the PPJoin dictionary broadcast; levenshtein_similarity was
-# scale-rewritten to bounded-output aggregates; quantiles_per_segment
-# is new) + all 30 oracled queries whose last driver-green is r01
-# or r02 (computed from the committed CORRECTNESS_r0{1..4}.json) + the
-# 17 registration-order-first r03-green queries, refreshing the
-# stalest evidence end to end. Round-5's other changes are rows-only
-# entries (ann_pq, image_phash_neardup — covered by CHECKALL +
-# ANNRECALL), operator paths with no oracled surface change
-# (assign_sequential's string proxy: both oracled users key on
-# numerics), or physical-only strategy switches with unchanged
-# semantics (embedding_cosine_neardup -> GEMM above 4k rows,
-# corpus_dedup_pipeline -> prefix-filtered join; both still
-# hash-match their unchanged oracles, re-verified at sf0.01 AND the
-# 10x stress SF this round). Everything else is covered by
-# CHECKALL_r05_* plus prior-round CORRECTNESS rows.
+# Round-6 rotation (VERDICT.md r5 task 7): cumulative driver-green
+# across rounds is what counts — after r05, EVERY oracled query
+# (126/126) has a green driver row in some round. This window = the
+# three oracled queries whose ORACLE or plan changed in round 6
+# (ann_sign_lsh: Hadamard fixed-point buckets + hamming-3;
+# embedding_cosine_neardup{,_gemm}: list-native DuckDB formulation
+# replacing the range-join that timed out at the stress SF) + all 27
+# oracled queries whose last driver-green is r03 (the stalest tier,
+# computed from committed CORRECTNESS_r0{1..5}.json) + 20 of the r04
+# tier, refreshing the oldest evidence end to end. Round-6's other
+# changes have no oracled surface: TxnTable stats/checkpointing and
+# the streaming txn subset-merge are pytest + STREAMTXN_r06-covered;
+# progressive JPEG decode feeds rows-only multimodal entries.
 PRIORITY: tuple[str, ...] = (
-    # -- changed in round 5 (PPJoin un-broadcast; levenshtein scale
-    #    rewrite to distinct-name multiplicity-weighted aggregates;
-    #    quantiles_per_segment is NEW) --
-    "ngram_jaccard_pairs", "levenshtein_similarity",
-    "quantiles_per_segment",
-    # -- stalest driver evidence (last green r01/r02) --
-    "union_distinct", "except_keys", "q5_regional_revenue",
-    "cube_order_stats", "pivot_status_by_segment", "stats_per_brand",
-    "correlated_small_quantity", "min_cost_supplier",
-    "distinct_counts_exact_vs_approx", "intersect_keys",
-    "union_all_counts", "histogram_prices", "explode_tokens_top",
-    "posexplode_components", "token_count", "langid_heuristic",
-    "doc_fingerprint", "simhash", "incremental_dedup",
-    "q4_order_priority", "q7_volume_shipping", "q12_shipmode_priority",
-    "q14_promo_revenue", "q19_disjunctive", "vector_norms",
-    "embedding_cosine_neardup", "label_centroid_distance",
-    "stratified_sample", "sequence_pack", "corpus_token_stats",
-    # -- next-stalest (last green r03), registration order --
-    "semantic_dedup", "q1_pricing_summary", "full_outer_diff",
-    "native_max_by", "merge_last_writer_wins", "checksum_dispatch",
-    "sessionize", "incremental_watermark_scan", "text_quality",
-    "dedup_exact", "minhash_signatures", "tfidf_top_terms",
-    "winnow_fingerprints", "q3_shipping_priority",
-    "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
+    # -- changed in round 6 --
+    "ann_sign_lsh", "embedding_cosine_neardup",
+    "embedding_cosine_neardup_gemm",
+    # -- stalest driver evidence (last green r03) --
+    "asof_attribution", "assign_scalable", "benchmark_contamination",
+    "bigram_lm_nll", "char_entropy", "cluster_keeper_quality",
+    "cosine_topk", "dedup_clusters", "mixture_temperature_weights",
+    "pii_scrub", "q10_returned_items", "q11_important_stock",
+    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
+    "q18_large_volume", "q20_potential_promotion",
+    "q21_suppliers_kept_waiting", "q22_global_sales_opportunity",
+    "quality_rules_filter", "range_join_bands", "repetition_quality",
+    "salted_group_counts", "source_mixture_sample", "span_dedup_docs",
+    "streaming_windowed_counts", "zorder_data_skipping",
+    # -- next-stalest (last green r04) --
+    "agg_argmax_per_group", "agg_collect_sorted", "agg_counts_per_group",
+    "agg_nonnull_counts", "ann_int8_quantized", "ann_ivf_kmeans",
+    "bloom_shingle_filter", "bm25_topdf_terms", "bpe_learn_encode",
+    "case_when_mapping", "chunk_documents", "cohort_retention",
+    "corpus_clean", "corpus_dedup_pipeline", "corpus_train_split",
+    "countmin_heavy_hitters", "date_buckets", "dsir_importance_weights",
+    "duplicated_substring_runs", "embedding_quantize",
 )
 
 

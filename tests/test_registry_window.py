@@ -11,11 +11,11 @@ from adsmasterpipeline_spark.queries import (
 _load()
 
 MUST_PROVE = (
-    # changed/new in round 5 — need fresh green driver rows (the
-    # round-4 must-prove set all went green in CORRECTNESS_r04; the
-    # rest of the window refreshes the stalest r01-r03 evidence)
-    "ngram_jaccard_pairs", "levenshtein_similarity",
-    "quantiles_per_segment",
+    # changed in round 6 — need fresh green driver rows (the round-5
+    # must-prove set all went green in CORRECTNESS_r05; the rest of
+    # the window refreshes the stalest r03/r04 evidence)
+    "ann_sign_lsh", "embedding_cosine_neardup",
+    "embedding_cosine_neardup_gemm",
 )
 
 
