@@ -460,6 +460,43 @@ class TxnTable:
         self._commit(v, adds, touched, "merge", app_txn_id)
         return v
 
+    def compact(self, small_rows_threshold: int | None = None) -> int:
+        """OPTIMIZE: fold small data files into ~rows_per_file-sized
+        key-clustered ones in one atomic commit (Delta's bin-packing
+        OPTIMIZE). Micro-batch merges add one small file per epoch —
+        without compaction the file count (and the driver-side log
+        fold, and every scan's task count) grows with EPOCHS instead
+        of with DATA. Only files below ``small_rows_threshold``
+        (default rows_per_file / 2, using the stats row counts; files
+        without stats count as small) are rewritten; large files are
+        left untouched. Readers are unaffected mid-compact: the old
+        files stay live until the single commit swaps the references.
+        Returns the committed version, or the current one when
+        nothing qualifies (needs >= 2 small files to pay for itself).
+        """
+        thr = (self.rows_per_file // 2 if small_rows_threshold is None
+               else small_rows_threshold)
+        snap = self._snapshot()
+        small = [p for p, s in snap.live.items()
+                 if not s or s.get("rows") is None or s["rows"] <= thr]
+        if len(small) < 2:
+            return snap.version
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in small])
+        n = df.count()
+        nfiles = max(1, -(-n // self.rows_per_file))
+        packed = df.repartitionByRange(nfiles, self.key) \
+            if self.key in df.columns else df.coalesce(nfiles)
+        # bypass cluster_writes' own count/repartition: already packed
+        cw, self.cluster_writes = self.cluster_writes, False
+        try:
+            v = snap.version + 1
+            adds = self._write_data(packed, v)
+        finally:
+            self.cluster_writes = cw
+        self._commit(v, adds, sorted(small), "compact", None)
+        return v
+
 
 def _decode_uri(uri: str) -> str:
     """input_file_name() returns a percent-encoded file URI

@@ -121,26 +121,34 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    # The stdout line carries EXACTLY the driver-spec keys — the r05
+    # driver artifact recorded "parsed": null with a mid-JSON
+    # truncated tail, i.e. the extra verbosity (protocol string,
+    # warm-up map) pushed the line past the driver's capture buffer.
+    # Full detail goes to --detail PATH (the committed
+    # BENCH_r{N}_local.json protocol evidence).
+    slim = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
-        # cross-round comparability: the round-1 16-query NAMES
-        # (r1: 27.1s, r2 advisory: 16.0s, r3: 10.7s). The query set is
-        # fixed but implementations evolve — round 3 retuned
-        # minhash_lsh_neardup 16x8 -> 12x6 hashes and round 4 to 6x2
-        # three-row bands (measured-equal recall, see
-        # test_minhash_lsh_recall_vs_exact), and round 4 made
-        # ann_sign_lsh multiprobe (~2x slower, ~20x recall) — so
-        # deltas mix engine and parameter changes.
-        "r1_subset_total": round(
-            sum(times[n] for n in BENCH_QUERIES[:16]), 3),
-        "protocol": "fresh idle session; per query 2 warm-up then "
-                    "best-of-3, cache cleared each run",
-        "warmup_best": warm_times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # cross-round comparability note: the first 16 BENCH_QUERIES are
+    # the round-1 set (r1: 27.1s, r2: 16.0s, r3: 10.7s). The names are
+    # fixed but implementations evolve — r3 retuned minhash bands, r4
+    # made ann_sign_lsh multiprobe, r6 gave it Hadamard planes — so
+    # deltas mix engine and parameter changes.
+    detail = dict(slim)
+    detail["r1_subset_total"] = round(
+        sum(times[n] for n in BENCH_QUERIES[:16]), 3)
+    detail["protocol"] = ("fresh idle session; per query 2 warm-up "
+                          "then best-of-3, cache cleared each run")
+    detail["warmup_best"] = warm_times
+    if len(sys.argv) > 2 and sys.argv[1] == "--detail":
+        with open(sys.argv[2], "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":

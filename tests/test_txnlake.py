@@ -407,3 +407,39 @@ def test_streaming_txn_delete_writes_tombstone(spark, tmp_path):
                    ing_t._load_records().select(*cols).collect())
             == sorted(tuple(r) for r in
                       ing_p._load_records().select(*cols).collect()))
+
+
+def test_txn_compact_bin_packs_small_files(spark, tmp_path):
+    """OPTIMIZE: many per-epoch small files fold into few clustered
+    ones in ONE atomic commit — data identical, large files untouched,
+    time travel to pre-compact versions intact, and the post-compact
+    table still prunes merges by key range."""
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, cluster_writes=True, rows_per_file=400)
+    t.overwrite(_recs(spark, [(f"K{i:05d}", i) for i in range(800)]))
+    big = set(t.live_files())
+    # 6 micro-batch merges -> 6 small files (plus rewrites)
+    for e in range(6):
+        t.merge(_recs(spark, [(f"N{e}{i:03d}", e * 1000 + i)
+                              for i in range(20)]))
+    before_files = t.live_files()
+    before_rows = sorted(tuple(r) for r in t.read().collect())
+    v_pre = t.version()
+
+    v = t.compact()
+    assert v == v_pre + 1
+    after = t.live_adds()
+    assert len(after) < len(before_files)
+    # the two big bootstrap files (400 rows each) were NOT rewritten
+    assert big & set(after), "large files must survive compaction"
+    assert sorted(tuple(r) for r in t.read().collect()) == before_rows
+    # compacted files carry stats -> merge probe still prunes
+    t.merge(_recs(spark, [("K00001", -1)]))
+    assert len(t.last_merge_probe["candidate_files"]) < len(after)
+    # time travel to the pre-compact version still folds correctly
+    assert t.read(as_of=v_pre).count() == len(before_rows)
+    # idempotent when nothing qualifies
+    assert t.compact() in (v, v + 1)  # a second pass may no-op or fold remainder
+    n_before = t.read().count()
+    assert t.compact() == t.version()  # now certainly a no-op
+    assert t.read().count() == n_before
