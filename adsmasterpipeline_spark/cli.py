@@ -431,6 +431,31 @@ def cmd_validate(args) -> int:
     return 0 if n == 0 else 1
 
 
+def cmd_lake(args) -> int:
+    """TxnTable maintenance: DESCRIBE HISTORY, OPTIMIZE (bin-pack
+    small files), VACUUM (drop files unreachable from the retained
+    snapshots) — the operational lifecycle of the log-structured
+    records table (sinks/txnlake.py)."""
+    from .sinks.txnlake import txn_table
+    spark = _spark()
+    t = txn_table(spark, args.path, key=args.key)
+    out: dict = {"version": t.version()}
+    if args.action == "history":
+        out["history"] = t.history()
+    elif args.action == "compact":
+        if args.rows_per_file:
+            t.rows_per_file = args.rows_per_file
+        v0 = len(t.live_files())
+        out["version"] = t.compact()
+        out["files_before"] = v0
+        out["files_after"] = len(t.live_files())
+    elif args.action == "vacuum":
+        deleted = t.vacuum(keep_versions=args.keep_versions)
+        out["deleted_files"] = len(deleted)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="adsmasterpipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -505,6 +530,14 @@ def main(argv=None) -> int:
     pc.add_argument("--train-pct", type=int, default=90)
     pc.add_argument("--val-pct", type=int, default=5)
     pc.set_defaults(fn=cmd_corpus)
+
+    pl = sub.add_parser("lake", help="TxnTable history/compact/vacuum")
+    pl.add_argument("action", choices=["history", "compact", "vacuum"])
+    pl.add_argument("--path", required=True)
+    pl.add_argument("--key", default="bibcode")
+    pl.add_argument("--rows-per-file", type=int, default=None)
+    pl.add_argument("--keep-versions", type=int, default=10)
+    pl.set_defaults(fn=cmd_lake)
 
     pv = sub.add_parser("validate", help="differential doc compare")
     pv.add_argument("--left", required=True)

@@ -498,6 +498,50 @@ class TxnTable:
         return v
 
 
+    def history(self) -> list[dict]:
+        """Commit history, oldest first: version, operation, add/
+        remove counts, app txn id — the DESCRIBE HISTORY shape."""
+        out = []
+        for v, p in self._entry_files():
+            e = self._load_json(p)
+            out.append({"version": v, "operation": e.get("operation"),
+                        "adds": len(e.get("adds", [])),
+                        "removes": len(e.get("removes", [])),
+                        "app_txn_id": e.get("app_txn_id")})
+        return out
+
+    def vacuum(self, keep_versions: int = 10) -> list[str]:
+        """Delete data files unreachable from the last
+        ``keep_versions`` snapshots (Delta VACUUM): de-referenced
+        rewrites older than the horizon AND orphan directories from
+        crashed attempts. Files referenced by ANY retained snapshot
+        are protected, so reads and time travel within the horizon
+        are untouched; time travel OLDER than the horizon stops
+        resolving (exactly Delta's retention contract). Returns the
+        deleted table-relative paths."""
+        latest = self.version()
+        if latest < 0:
+            return []
+        horizon = max(0, latest - keep_versions + 1)
+        protected: set[str] = set(self._snapshot(as_of=horizon).live)
+        for v, p in self._entry_files():
+            if v > horizon:
+                for a in self._load_json(p).get("adds", []):
+                    protected.add(_as_add(a)[0])
+        data_root = os.path.join(self.path, "data")
+        deleted = []
+        for root, _dirs, files in os.walk(data_root, topdown=False):
+            for name in files:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.path)
+                if rel not in protected:
+                    os.unlink(full)
+                    deleted.append(rel)
+            if root != data_root and not os.listdir(root):
+                os.rmdir(root)
+        return sorted(deleted)
+
+
 def _decode_uri(uri: str) -> str:
     """input_file_name() returns a percent-encoded file URI
     ("file:///p%20ath/..." or "file:/path/..."); normalize back to a

@@ -202,3 +202,35 @@ def test_cli_corpus_rejects_bad_split_pcts(tmp_path):
             main(["corpus", "--sf-dir", SF_DIR,
                   "--out", str(tmp_path / "x"),
                   "--train-pct", str(tr), "--val-pct", str(va)])
+
+
+def test_cli_lake_maintenance(spark, tmp_path, capsys):
+    """`lake history|compact|vacuum`: the TxnTable lifecycle is
+    operable from the CLI — compact shrinks the file count, vacuum
+    reports deletions, history lists every commit."""
+    import json
+
+    from adsmasterpipeline_spark.cli import main
+    from adsmasterpipeline_spark.sinks.txnlake import txn_table
+
+    path = str(tmp_path / "records")
+    t = txn_table(spark, path, cluster_writes=True, rows_per_file=100)
+    t.overwrite(spark.createDataFrame(
+        [(f"B{i:04d}", i) for i in range(200)], "bibcode string, v long"))
+    for e in range(4):
+        t.merge(spark.createDataFrame(
+            [(f"N{e}{i}", i) for i in range(5)], "bibcode string, v long"))
+
+    assert main(["lake", "history", "--path", path]) == 0
+    hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hist["version"] == 4 and len(hist["history"]) == 5
+
+    assert main(["lake", "compact", "--path", path]) == 0
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["files_after"] < comp["files_before"]
+
+    assert main(["lake", "vacuum", "--path", path,
+                 "--keep-versions", "1"]) == 0
+    vac = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vac["deleted_files"] > 0
+    assert t.read().count() == 220

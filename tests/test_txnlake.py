@@ -443,3 +443,52 @@ def test_txn_compact_bin_packs_small_files(spark, tmp_path):
     n_before = t.read().count()
     assert t.compact() == t.version()  # now certainly a no-op
     assert t.read().count() == n_before
+
+
+def test_txn_vacuum_and_history(spark, tmp_path):
+    """VACUUM deletes exactly the files unreachable from the retained
+    snapshots — de-referenced rewrites older than the horizon and
+    crashed-attempt orphans — while reads and time travel WITHIN the
+    horizon stay intact; history() reports the DESCRIBE-HISTORY
+    shape."""
+    import glob
+
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path)
+    t.overwrite(_recs(spark, [("B1", 1), ("B2", 2)]))           # v0
+    for i in range(4):                                           # v1..v4
+        t.merge(_recs(spark, [("B1", 10 + i)]),
+                app_txn_id=f"b{i}")
+    # orphan from a crashed attempt: never referenced by any commit
+    orphan_dir = os.path.join(path, "data", "commit-00000009-dead0000")
+    os.makedirs(orphan_dir)
+    _recs(spark, [("ZZ", 0)]).write.mode("overwrite").parquet(orphan_dir)
+
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1, 2, 3, 4]
+    assert hist[0]["operation"] == "overwrite"
+    assert hist[2] == {"version": 2, "operation": "merge",
+                       "adds": hist[2]["adds"], "removes": 1,
+                       "app_txn_id": "b1"}
+
+    rows_now = sorted(tuple(r) for r in t.read().collect())
+    rows_v3 = sorted(tuple(r) for r in t.read(as_of=3).collect())
+
+    deleted = t.vacuum(keep_versions=2)          # horizon = v3
+    # the orphan is gone, and at least one old rewrite was dropped
+    assert not os.path.exists(orphan_dir) or not os.listdir(orphan_dir)
+    assert any("dead0000" in d for d in deleted)
+    assert len(deleted) > 1
+
+    # current read and horizon-internal time travel are intact
+    assert sorted(tuple(r) for r in t.read().collect()) == rows_now
+    assert sorted(tuple(r) for r in t.read(as_of=3).collect()) == rows_v3
+    # every live-referenced file still exists on disk
+    for f in t.live_files():
+        assert os.path.exists(os.path.join(path, f))
+    # pre-horizon time travel now (correctly) fails to resolve files
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        t.read(as_of=0).collect()
+    # vacuum is idempotent
+    assert t.vacuum(keep_versions=2) == []
