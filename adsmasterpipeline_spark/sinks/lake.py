@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 
 
 def write_records(records: DataFrame, path: str, fmt: str = "parquet",
-                  key: str = "bibcode") -> None:
+                  key: str = "bibcode", **txn_opts) -> None:
     """Persist the records table.
 
     parquet: full copy-on-write snapshot swap (staging dir + rename).
@@ -47,7 +47,8 @@ def write_records(records: DataFrame, path: str, fmt: str = "parquet",
         return
     if fmt == "txn":
         from .txnlake import txn_table
-        txn_table(records.sparkSession, path, key).overwrite(records)
+        txn_table(records.sparkSession, path, key,
+                  **txn_opts).overwrite(records)
         return
     staging = path + ".staging"
     records.write.mode("overwrite").parquet(staging)
@@ -58,7 +59,7 @@ def write_records(records: DataFrame, path: str, fmt: str = "parquet",
 
 def merge_records(spark, changed: DataFrame, deleted_keys: DataFrame,
                   path: str, fmt: str = "parquet",
-                  key: str = "bibcode") -> None:
+                  key: str = "bibcode", **txn_opts) -> None:
     """Apply an incremental merge result to the stored table.
 
     ``changed``: full rows for inserted/updated keys (post-merge state).
@@ -66,7 +67,8 @@ def merge_records(spark, changed: DataFrame, deleted_keys: DataFrame,
     """
     if fmt == "txn":
         from .txnlake import txn_table
-        txn_table(spark, path, key).merge(changed, deleted_keys)
+        txn_table(spark, path, key,
+                  **txn_opts).merge(changed, deleted_keys)
         return
     if fmt == "delta":
         _require_delta()
