@@ -492,3 +492,71 @@ def test_txn_vacuum_and_history(spark, tmp_path):
         t.read(as_of=0).collect()
     # vacuum is idempotent
     assert t.vacuum(keep_versions=2) == []
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
+    """Model-based check of the WHOLE lifecycle: a seeded random
+    sequence of merge/delete/overwrite/compact/vacuum ops (checkpoints
+    firing every 3 commits) must keep the table equal to a plain dict
+    model after every step — the same style of test that caught the
+    round-5 order-proxy byte bug. Vacuum keeps enough versions that
+    the current snapshot is always intact."""
+    import random
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, checkpoint_every=3,
+                  cluster_writes=bool(seed % 2), rows_per_file=64)
+    model: dict[str, int] = {}
+    keys = [f"K{i:03d}" for i in range(40)]
+
+    def check():
+        got = {r["bibcode"]: r["v"] for r in t.read().collect()} \
+            if model else None
+        if model:
+            assert got == model
+        else:
+            # empty table: every row deleted -> read of live files
+            # yields zero rows (or no files at all on empty bootstrap)
+            try:
+                assert t.read().count() == 0
+            except FileNotFoundError:
+                pass
+
+    t.overwrite(_recs(spark, [(k, 0) for k in keys[:10]]))
+    model.update({k: 0 for k in keys[:10]})
+    check()
+
+    for step in range(10):
+        op = rng.choice(["merge", "merge", "merge", "delete",
+                         "compact", "vacuum"])
+        if op == "merge":
+            ups = {rng.choice(keys): step * 100 + i for i in range(4)}
+            dels = ({rng.choice(list(model))}
+                    if model and rng.random() < 0.5 else set())
+            ups = {k: v for k, v in ups.items() if k not in dels}
+            t.merge(_recs(spark, list(ups.items())),
+                    deleted_keys=spark.createDataFrame(
+                        [(k,) for k in dels] or [("~none~",)],
+                        "bibcode string"))
+            model.update(ups)
+            for k in dels:
+                model.pop(k, None)
+        elif op == "delete":
+            if not model:
+                continue
+            k = rng.choice(list(model))
+            t.merge(_recs(spark, []).limit(0),
+                    deleted_keys=spark.createDataFrame(
+                        [(k,)], "bibcode string"))
+            model.pop(k)
+        elif op == "compact":
+            t.compact()
+        else:
+            t.vacuum(keep_versions=3)
+        check()
+
+    # replaying the whole history through time travel still resolves
+    # for the retained horizon
+    assert t.read(as_of=t.version()).count() == len(model)
