@@ -94,7 +94,8 @@ class TxnTable:
                  checkpoint_every: int = 10,
                  prune_key_limit: int = 65536,
                  cluster_writes: bool = False,
-                 rows_per_file: int = 500_000):
+                 rows_per_file: int = 500_000,
+                 bloom_bits: int = 0):
         self.spark = spark
         self.path = os.path.abspath(path)
         self.key = key
@@ -108,6 +109,12 @@ class TxnTable:
         # skipped. Costs one count() per write (O(batch)).
         self.cluster_writes = cluster_writes
         self.rows_per_file = rows_per_file
+        # bloom_bits > 0 additionally records a per-file key BLOOM
+        # FILTER in each add (Delta's bloom index analogue): min/max
+        # ranges prune nothing on a hash-partitioned table (every
+        # file spans the full key range), but bloom membership still
+        # skips files. Power-of-two bits; ~512 bytes/file at 4096.
+        self.bloom_bits = bloom_bits
         # observability: filled by merge() so tests/benchmarks can
         # assert which files the probe was allowed to open
         self.last_merge_probe: dict | None = None
@@ -288,24 +295,63 @@ class TxnTable:
                        if n.endswith(".parquet"))
         stats = {}
         if names and self.key in df.columns:
-            rows = (self.spark.read.parquet(out_dir)
-                    .withColumn("_f", F.input_file_name())
-                    .groupBy("_f")
-                    .agg(F.min(self.key).alias("mn"),
-                         F.max(self.key).alias("mx"),
-                         F.count(F.lit(1)).alias("n"))
-                    .collect())
+            tagged = (self.spark.read.parquet(out_dir)
+                      .withColumn("_f", F.input_file_name()))
+            if self.bloom_bits:
+                rows = self._file_stats_with_bloom(tagged)
+            else:
+                rows = (tagged.groupBy("_f")
+                        .agg(F.min(self.key).alias("mn"),
+                             F.max(self.key).alias("mx"),
+                             F.count(F.lit(1)).alias("n"))
+                        .collect())
             for r in rows:
                 base = os.path.basename(_decode_uri(r["_f"]))
                 mn, mx = r["mn"], r["mx"]
                 if not _jsonable(mn) or not _jsonable(mx):
                     mn = mx = None   # exotic key type: no pruning
-                stats[base] = {"min_key": mn, "max_key": mx,
-                               "rows": r["n"]}
+                s = {"min_key": mn, "max_key": mx, "rows": r["n"]}
+                if self.bloom_bits and "bloom" in r:
+                    s["bloom"] = r["bloom"]
+                    s["bloom_bits"] = self.bloom_bits
+                stats[base] = s
         return [{"path": os.path.join(rel_dir, n),
                  **stats.get(n, {"min_key": None, "max_key": None,
                                  "rows": None})}
                 for n in names]
+
+    def _file_stats_with_bloom(self, tagged: DataFrame) -> list:
+        """Per-file min/max/rows PLUS a base64 key bloom, built
+        executor-side in one Arrow pass per file group."""
+        import base64
+
+        from pyspark.sql import types as T
+
+        key, m = self.key, self.bloom_bits
+        key_type = tagged.schema[key].dataType
+        schema = T.StructType([
+            T.StructField("_f", T.StringType()),
+            T.StructField("mn", key_type),
+            T.StructField("mx", key_type),
+            T.StructField("n", T.LongType()),
+            T.StructField("bloom", T.StringType()),
+        ])
+
+        def per_file(pdf):
+            import pandas as pd
+            ks = pdf[key]
+            arr = bytearray(m // 8)
+            for k in ks:
+                h = _bloom_digest(k)
+                for p in (h[0] % m, h[1] % m):
+                    arr[p >> 3] |= 1 << (p & 7)
+            return pd.DataFrame({
+                "_f": [pdf["_f"].iloc[0]],
+                "mn": [ks.min()], "mx": [ks.max()], "n": [len(ks)],
+                "bloom": [base64.b64encode(bytes(arr)).decode()]})
+
+        return tagged.groupBy("_f").applyInPandas(per_file,
+                                                  schema).collect()
 
     def read_for_keys(self, keys: DataFrame) -> DataFrame:
         """Rows whose key appears in ``keys``, reading ONLY the data
@@ -364,6 +410,7 @@ class TxnTable:
             return []
         bmin, bmax = agg["mn"], agg["mx"]
         keys = None
+        digests = None
         if agg["n"] <= self.prune_key_limit:
             keys = sorted(r[0] for r in affected.collect()
                           if r[0] is not None)
@@ -383,6 +430,20 @@ class TxnTable:
                     i = bisect.bisect_left(keys, mn)
                     if i >= len(keys) or keys[i] > mx:
                         continue
+                    if s.get("bloom"):
+                        # bloom skip: effective even when the file's
+                        # range spans everything (hash-partitioned
+                        # layouts). md5 digests computed once per
+                        # batch key, bit-tested per file.
+                        import base64
+                        if digests is None:
+                            digests = [_bloom_digest(k) for k in keys]
+                        bl = base64.b64decode(s["bloom"])
+                        bb = s.get("bloom_bits", len(bl) * 8)
+                        j = bisect.bisect_right(keys, mx)
+                        if not any(_bloom_contains(bl, digests[x], bb)
+                                   for x in range(i, j)):
+                            continue
             except TypeError:
                 pass                   # incomparable: keep candidate
             out.append(p)
@@ -540,6 +601,23 @@ class TxnTable:
             if root != data_root and not os.listdir(root):
                 os.rmdir(root)
         return sorted(deleted)
+
+
+def _bloom_digest(key) -> tuple[int, int]:
+    """Two independent 64-bit hashes of the STRINGIFIED key (md5
+    halves) — deliberately engine-free so the executor-side build and
+    the driver-side probe share one definition."""
+    import hashlib
+    d = hashlib.md5(str(key).encode()).digest()
+    return (int.from_bytes(d[:8], "big"),
+            int.from_bytes(d[8:16], "big"))
+
+
+def _bloom_contains(bloom: bytes, h: tuple[int, int], m: int) -> bool:
+    for p in (h[0] % m, h[1] % m):
+        if not bloom[p >> 3] & (1 << (p & 7)):
+            return False
+    return True
 
 
 def _decode_uri(uri: str) -> str:

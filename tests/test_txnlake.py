@@ -560,3 +560,51 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
     # replaying the whole history through time travel still resolves
     # for the retained horizon
     assert t.read(as_of=t.version()).count() == len(model)
+
+
+def test_txn_bloom_prunes_hash_partitioned_files(spark, tmp_path):
+    """Bloom file skipping: on a HASH-partitioned table every file
+    spans the full key range, so min/max pruning keeps all of them —
+    the per-file key bloom still skips the files that cannot contain
+    a batch key. Control: the same layout without blooms prunes
+    nothing."""
+    rows = [(f"K{i:04d}", i) for i in range(400)]
+
+    def build(sub, bloom_bits):
+        path = str(tmp_path / sub)
+        t = txn_table(spark, path, bloom_bits=bloom_bits)
+        t.overwrite(_recs(spark, rows).repartition(8, "bibcode"))
+        return t
+
+    t = build("bloomed", 4096)
+    adds = t.live_adds()
+    assert len(adds) >= 6
+    for s in adds.values():
+        assert s.get("bloom") and s["bloom_bits"] == 4096
+        # hash layout: every file's range spans ~everything
+        assert s["min_key"] < "K0100" and s["max_key"] > "K0300"
+
+    t.merge(_recs(spark, [("K0007", -7)]))
+    probe = t.last_merge_probe
+    # the key lives in exactly one file; bloom must cut the candidate
+    # set far below the live count (false positives allowed but rare
+    # at this fill ratio)
+    assert len(probe["candidate_files"]) <= 2
+    assert probe["touched_files"] and \
+        set(probe["touched_files"]) <= set(probe["candidate_files"])
+    got = {r["bibcode"]: r["v"] for r in t.read().collect()}
+    assert got["K0007"] == -7 and len(got) == 400
+
+    # control: same layout without blooms — range+containment alone
+    # keeps strictly more candidates (it can only rule a file out
+    # when the key falls outside its [min,max] or in a gap)
+    t0 = build("plain", 0)
+    t0.merge(_recs(spark, [("K0007", -7)]))
+    assert len(t0.last_merge_probe["candidate_files"]) > \
+        len(probe["candidate_files"])
+
+    # absent key: bloom proves no file can contain it -> zero
+    # candidates, pure insert
+    t.merge(_recs(spark, [("ZZZZ", 1)]))
+    assert t.last_merge_probe["candidate_files"] == []
+    assert t.read().count() == 401
