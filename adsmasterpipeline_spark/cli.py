@@ -450,7 +450,8 @@ def cmd_lake(args) -> int:
         out["files_before"] = v0
         out["files_after"] = len(t.live_files())
     elif args.action == "vacuum":
-        deleted = t.vacuum(keep_versions=args.keep_versions)
+        deleted = t.vacuum(keep_versions=args.keep_versions,
+                           min_age_seconds=args.min_age_seconds)
         out["deleted_files"] = len(deleted)
     print(json.dumps(out))
     return 0
@@ -537,6 +538,7 @@ def main(argv=None) -> int:
     pl.add_argument("--key", default="bibcode")
     pl.add_argument("--rows-per-file", type=int, default=None)
     pl.add_argument("--keep-versions", type=int, default=10)
+    pl.add_argument("--min-age-seconds", type=float, default=3600.0)
     pl.set_defaults(fn=cmd_lake)
 
     pv = sub.add_parser("validate", help="differential doc compare")

@@ -388,8 +388,9 @@ def _jpeg_dc_scan(payload, pos, frame, sel, qt, huff, restart, al):
     coded DC diff, point-transformed by ``al`` — no AC coefficients in
     the stream at all. The block's spatial mean is dc*q0/8 + 128 (the
     orthonormal IDCT's constant basis), so the scan IS the
-    8x-downsampled image; returns that raster (callers' block-mean /
-    phash features consume any raster size)."""
+    8x-downsampled image; the raster is pixel-replicated back to the
+    frame's (h, w) so downstream fixed-strip features see the same
+    geometry as a baseline decode of the same image."""
     import numpy as np
 
     comps = frame["comps"]
@@ -439,6 +440,15 @@ def _jpeg_dc_scan(payload, pos, frame, sel, qt, huff, restart, al):
         gray = (rch + g + b) / 3
     else:
         raise ValueError(f"JPEG with {len(full)} components unsupported")
+    # pixel-replicate back to the image's true (h, w): downstream
+    # features split the raster into fixed strip counts, so a
+    # w/8-wide raster would zero-pad strips whenever w < 8*strips
+    # (progressive vs baseline encodings of the SAME image would
+    # then hash apart — the opposite of what near-dup needs), and
+    # the resize path is downscale-only. Nearest-neighbor is exact
+    # for the DC-only content: every replicated pixel IS its
+    # block's mean.
+    gray = np.repeat(np.repeat(gray, 8, axis=0), 8, axis=1)[:h, :w]
     return np.clip(gray, 0, 255) / 255.0
 
 

@@ -116,30 +116,44 @@ def hadamard_bucket_from_quant(qvec: Column, planes: int = 8) -> Column:
     return out
 
 
-def hadamard_bucket_vectorized(planes: int = 8, dim: int = 64):
+def hadamard_bucket_vectorized(planes: int = 8):
     """Arrow-batched twin of ``hadamard_bucket_int``: one int64 GEMM
     per batch (qv @ H.T, exact integer arithmetic — floor and the
     IEEE multiply are deterministic, the integer sum is order-free,
     so this is BIT-IDENTICAL to the JVM fold and to the DuckDB
     oracle). The interpreted per-plane folds measured ~0.7 s on 2k
-    rows; the GEMM is ~1 ms. Returns a pandas_udf Column factory."""
+    rows; the GEMM is ~1 ms. The sign matrix is built per OBSERVED
+    vector dimension (cached), matching the dim-generic JVM fold;
+    null embeddings yield a null bucket (dropped by the equi-join)
+    instead of crashing the batch. Returns a pandas_udf factory."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    H = np.array([[1 if bin(i & j).count("1") % 2 == 0 else -1
-                   for i in range(dim)]
-                  for j in range(1, planes + 1)], dtype=np.int64)
     weights = (1 << np.arange(planes - 1, -1, -1)).astype(np.int64)
+    h_cache: dict[int, "np.ndarray"] = {}
+
+    def h_for(dim: int):
+        h = h_cache.get(dim)
+        if h is None:
+            h = np.array([[1 if bin(i & j).count("1") % 2 == 0 else -1
+                           for i in range(dim)]
+                          for j in range(1, planes + 1)], dtype=np.int64)
+            h_cache[dim] = h
+        return h
 
     @pandas_udf("long")
     def bkt(col):
         import pandas as pd
-        if len(col) == 0:
-            return pd.Series([], dtype="int64")
-        m = np.vstack(col.to_numpy()).astype(np.float64)
-        qv = np.floor(m * 1048576.0).astype(np.int64)
-        bits = (qv @ H.T >= 0).astype(np.int64)
-        return pd.Series(bits @ weights)
+        vals = col.to_numpy()
+        ok = np.array([v is not None for v in vals])
+        out = np.full(len(vals), None, dtype=object)
+        if ok.any():
+            m = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in vals[ok]])
+            qv = np.floor(m * 1048576.0).astype(np.int64)
+            bits = (qv @ h_for(m.shape[1]).T >= 0).astype(np.int64)
+            out[ok] = bits @ weights
+        return pd.Series(out, dtype="Int64")
 
     return bkt
 

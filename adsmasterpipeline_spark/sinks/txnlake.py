@@ -109,6 +109,9 @@ class TxnTable:
         # skipped. Costs one count() per write (O(batch)).
         self.cluster_writes = cluster_writes
         self.rows_per_file = rows_per_file
+        # checkpoints retain app txn ids from this many trailing
+        # commits (replay detection window — Delta's txn expiry)
+        self.txn_retention_commits = 10_000
         # bloom_bits > 0 additionally records a per-file key BLOOM
         # FILTER in each add (Delta's bloom index analogue): min/max
         # ranges prune nothing on a hash-partitioned table (every
@@ -183,8 +186,12 @@ class TxnTable:
                 snap.version = data["version"]
                 snap.live = dict(_as_add(a) for a in data["live"])
                 snap.txn_ids = set(data["txn_ids"])
-            except OSError:
-                cp = None            # pointer ahead of file: full fold
+            except (OSError, ValueError, KeyError, TypeError):
+                # missing OR corrupt checkpoint: the retained full log
+                # can always rebuild the state — fall back rather than
+                # wedging every operation on one bad file
+                snap = Snapshot()
+                cp = None
         for v, p in entries:
             if cp is not None and (as_of is None or as_of >= cp) and v <= cp:
                 continue
@@ -199,10 +206,25 @@ class TxnTable:
         if version % self.checkpoint_every != 0:
             return
         snap = self._snapshot(as_of=version)
+        # txn-id RETENTION (Delta's txn expiry analogue): carrying
+        # every app txn id ever committed would grow each checkpoint
+        # and every driver snapshot O(total epochs) — the exact
+        # growth checkpointing exists to bound. Idempotent-replay
+        # detection is therefore guaranteed within the last
+        # ``txn_retention_commits`` commits (streaming redelivery is
+        # always of a recent epoch — the source checkpoint has
+        # committed past anything older).
+        lo = version - self.txn_retention_commits
+        ids = set()
+        for v, p in self._entry_files():
+            if lo < v <= version:
+                tid = self._load_json(p).get("app_txn_id")
+                if tid is not None:
+                    ids.add(tid)
         data = {"version": version,
                 "live": [({"path": p, **s} if s else p)
                          for p, s in snap.live.items()],
-                "txn_ids": sorted(snap.txn_ids)}
+                "txn_ids": sorted(ids)}
         d = self._log_dir()
         tmp = os.path.join(d, f".tmp-cp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -215,6 +237,9 @@ class TxnTable:
             pass                       # another writer checkpointed
         finally:
             os.unlink(tmp)
+        cur = self._read_last_checkpoint()
+        if cur is not None and cur >= version:
+            return   # a faster writer already published a newer one
         ptr_tmp = os.path.join(d, f".tmp-ptr-{uuid.uuid4().hex}.json")
         with open(ptr_tmp, "w") as f:
             json.dump({"version": version}, f)
@@ -364,7 +389,10 @@ class TxnTable:
         if not snap.live:
             raise FileNotFoundError(
                 f"TxnTable at {self.path} has no committed data")
-        keys = keys.select(self.key).distinct()
+        # pruning needs an agg + a collect and the result feeds a
+        # semi-join: sever the keys lineage once instead of
+        # re-executing the caller's pipeline three times
+        keys = keys.select(self.key).distinct().localCheckpoint()
         cands = self._prune_candidates(snap.live, keys)
         if not cands:
             # no file can contain any key: empty frame, table schema
@@ -571,15 +599,26 @@ class TxnTable:
                         "app_txn_id": e.get("app_txn_id")})
         return out
 
-    def vacuum(self, keep_versions: int = 10) -> list[str]:
+    def vacuum(self, keep_versions: int = 10,
+               min_age_seconds: float = 3600.0) -> list[str]:
         """Delete data files unreachable from the last
         ``keep_versions`` snapshots (Delta VACUUM): de-referenced
         rewrites older than the horizon AND orphan directories from
         crashed attempts. Files referenced by ANY retained snapshot
         are protected, so reads and time travel within the horizon
         are untouched; time travel OLDER than the horizon stops
-        resolving (exactly Delta's retention contract). Returns the
-        deleted table-relative paths."""
+        resolving (exactly Delta's retention contract).
+
+        ``min_age_seconds`` additionally protects RECENT files
+        regardless of references: a concurrent writer that has
+        finished ``_write_data`` but not yet published its commit has
+        on-disk files no snapshot references yet — deleting them
+        would let its commit land pointing at nothing (silent data
+        loss). Delta guards the same race with a modification-time
+        retention window; pass 0 only when no other writer can be
+        in flight. Returns the deleted table-relative paths."""
+        import time
+
         latest = self.version()
         if latest < 0:
             return []
@@ -589,15 +628,22 @@ class TxnTable:
             if v > horizon:
                 for a in self._load_json(p).get("adds", []):
                     protected.add(_as_add(a)[0])
+        cutoff = time.time() - min_age_seconds
         data_root = os.path.join(self.path, "data")
         deleted = []
         for root, _dirs, files in os.walk(data_root, topdown=False):
             for name in files:
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, self.path)
-                if rel not in protected:
-                    os.unlink(full)
-                    deleted.append(rel)
+                if rel in protected:
+                    continue
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue           # too young: maybe in flight
+                except OSError:
+                    continue
+                os.unlink(full)
+                deleted.append(rel)
             if root != data_root and not os.listdir(root):
                 os.rmdir(root)
         return sorted(deleted)

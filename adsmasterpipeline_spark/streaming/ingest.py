@@ -60,7 +60,12 @@ class StreamingIngest:
     def _load_records(self) -> DataFrame:
         if self.fmt == "txn":
             t = self._txn()
-            if t.version() >= 0:
+            # live-EMPTY is distinct from nonexistent: an epoch whose
+            # deletes removed every row commits a merge with zero
+            # adds; the next epoch must see an empty table, not a
+            # FileNotFoundError crash-loop (foreachBatch would retry
+            # the same batch forever)
+            if t.version() >= 0 and t.live_files():
                 return t.read()
             return empty_records(self.spark)
         if os.path.exists(self.records_path):
@@ -80,7 +85,10 @@ class StreamingIngest:
 
         if self.fmt == "txn":
             t = self._txn()
-            if t.version() >= 0:
+            # the subset path needs live data files; a live-empty
+            # table (all rows deleted) falls through to the
+            # empty_records merge below
+            if t.version() >= 0 and t.live_files():
                 batch_keys = batch.select("bibcode").distinct()
                 records = t.read_for_keys(batch_keys)
                 n_new = batch_keys.join(records, "bibcode",

@@ -230,7 +230,8 @@ def test_cli_lake_maintenance(spark, tmp_path, capsys):
     assert comp["files_after"] < comp["files_before"]
 
     assert main(["lake", "vacuum", "--path", path,
-                 "--keep-versions", "1"]) == 0
+                 "--keep-versions", "1",
+                 "--min-age-seconds", "0"]) == 0
     vac = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert vac["deleted_files"] > 0
     assert t.read().count() == 220

@@ -474,7 +474,10 @@ def test_txn_vacuum_and_history(spark, tmp_path):
     rows_now = sorted(tuple(r) for r in t.read().collect())
     rows_v3 = sorted(tuple(r) for r in t.read(as_of=3).collect())
 
-    deleted = t.vacuum(keep_versions=2)          # horizon = v3
+    # default min-age guard protects freshly-written files (they may
+    # belong to an in-flight writer) — nothing qualifies yet
+    assert t.vacuum(keep_versions=2) == []
+    deleted = t.vacuum(keep_versions=2, min_age_seconds=0)  # horizon v3
     # the orphan is gone, and at least one old rewrite was dropped
     assert not os.path.exists(orphan_dir) or not os.listdir(orphan_dir)
     assert any("dead0000" in d for d in deleted)
@@ -491,7 +494,7 @@ def test_txn_vacuum_and_history(spark, tmp_path):
     with _pytest.raises(Exception):
         t.read(as_of=0).collect()
     # vacuum is idempotent
-    assert t.vacuum(keep_versions=2) == []
+    assert t.vacuum(keep_versions=2, min_age_seconds=0) == []
 
 
 @pytest.mark.parametrize("seed", [7, 23])
@@ -554,7 +557,7 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
         elif op == "compact":
             t.compact()
         else:
-            t.vacuum(keep_versions=3)
+            t.vacuum(keep_versions=3, min_age_seconds=0)
         check()
 
     # replaying the whole history through time travel still resolves
@@ -608,3 +611,81 @@ def test_txn_bloom_prunes_hash_partitioned_files(spark, tmp_path):
     t.merge(_recs(spark, [("ZZZZ", 1)]))
     assert t.last_merge_probe["candidate_files"] == []
     assert t.read().count() == 401
+
+
+def test_streaming_txn_survives_delete_everything_epoch(spark, tmp_path):
+    """Crash-loop regression (round-6 review): an epoch whose deletes
+    remove EVERY remaining row leaves the table live-empty (a commit
+    with zero adds). The next epoch must merge against an empty
+    records frame and re-insert — not die in read_for_keys with
+    FileNotFoundError and have foreachBatch retry the same batch
+    forever."""
+    import json
+
+    from adsmasterpipeline_spark.streaming.ingest import StreamingIngest
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir(parents=True)
+    ing = StreamingIngest(spark, str(events_dir),
+                          str(tmp_path / "records"),
+                          str(tmp_path / "ckpt"), fmt="txn")
+
+    def write(name, evs):
+        (events_dir / name).write_text(
+            "\n".join(json.dumps(e) for e in evs))
+
+    write("b1.json", [{"bibcode": "S1", "type": "bib_data",
+                       "status": "active",
+                       "payload": json.dumps({"bibcode": "S1"}),
+                       "event_ts": "2024-01-01T00:00:00.000Z"}])
+    ing.run_available_now()
+    write("b2.json", [{"bibcode": "S1", "type": "bib_data",
+                       "status": "deleted", "payload": None,
+                       "event_ts": "2024-01-02T00:00:00.000Z"}])
+    ing.run_available_now()
+    assert ing._load_records().count() == 0     # live-empty, no crash
+    write("b3.json", [{"bibcode": "S2", "type": "bib_data",
+                       "status": "active",
+                       "payload": json.dumps({"bibcode": "S2"}),
+                       "event_ts": "2024-01-03T00:00:00.000Z"}])
+    ing.run_available_now()                     # would crash pre-fix
+    assert {r["bibcode"] for r in ing._load_records().collect()} == {"S2"}
+
+
+def test_txn_corrupt_checkpoint_falls_back_to_log(spark, tmp_path):
+    """A corrupt checkpoint file (truncated copy, bad sector) must
+    degrade to the full-log fold the retained entries always allow —
+    not wedge every operation."""
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, checkpoint_every=2)
+    t.overwrite(_recs(spark, [("B1", 1)]))
+    t.merge(_recs(spark, [("B2", 2)]))
+    t.merge(_recs(spark, [("B3", 3)]))
+    cp = os.path.join(path, "_txn", "checkpoint-00000002.json")
+    assert os.path.exists(cp)
+    open(cp, "w").write("{ truncated garbage")
+    assert t.read().count() == 3                # full-log fallback
+    assert t.merge(_recs(spark, [("B4", 4)])) == 3
+    assert t.read().count() == 4
+
+
+def test_txn_checkpoint_txn_id_retention(spark, tmp_path):
+    """Checkpoints carry only the app txn ids of the trailing
+    retention window, so checkpoint size and driver snapshot state
+    stop growing with total epochs; replay detection inside the
+    window still works."""
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, checkpoint_every=2)
+    t.txn_retention_commits = 3
+    t.overwrite(_recs(spark, [("B0", 0)]), app_txn_id="e0")
+    for i in range(1, 7):
+        t.merge(_recs(spark, [(f"B{i}", i)]), app_txn_id=f"e{i}")
+    import json
+    cp = json.load(open(os.path.join(path, "_txn",
+                                     "checkpoint-00000006.json")))
+    assert cp["txn_ids"] == ["e4", "e5", "e6"]   # window of 3
+    assert t.seen_txn("e6") and t.seen_txn("e4")
+    assert not t.seen_txn("e0")                  # aged out, documented
+    # replay of an in-window epoch is still a no-op
+    v = t.merge(_recs(spark, [("B6", 99)]), app_txn_id="e6")
+    assert v == 6

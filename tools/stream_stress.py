@@ -63,7 +63,7 @@ def _epoch_rows(epoch: int, total: int, batch: int) -> list[dict]:
 
 
 def run_mode(spark, workdir: str, mode: str, rows: int, epochs: int,
-             batch: int, rows_per_file: int) -> list[dict]:
+             batch: int, rows_per_file: int) -> dict:
     from adsmasterpipeline_spark.sinks.txnlake import TxnTable
     from adsmasterpipeline_spark.streaming.ingest import StreamingIngest
 
