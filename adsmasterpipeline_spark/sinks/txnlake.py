@@ -43,7 +43,18 @@ EXECUTES for real in tests and in this container:
 - **Idempotence**: a merge carrying ``app_txn_id`` that already
   appears in the log is a no-op (Delta's ``txn`` action) — replaying
   a batch after a sink failure changes nothing, the same checksum-
-  suppression contract the dispatch layer has.
+  suppression contract the dispatch layer has. Checkpoints retain
+  the ids of the trailing ``txn_retention_commits`` commits only
+  (Delta's txn expiry), so replay-detection state stops growing with
+  total epochs.
+- **Lifecycle**: ``read_for_keys`` (stat-pruned point reads),
+  optional ``cluster_writes`` (range-partition every written batch —
+  what makes min/max pruning effective) and ``bloom_bits`` per-file
+  key blooms (file skipping on hash-partitioned layouts),
+  ``compact()`` (OPTIMIZE bin-packing: file count tracks data, not
+  epochs), ``vacuum()`` (retention-horizon GC of unreachable files
+  with a modification-time guard for in-flight writers), and
+  ``history()`` (DESCRIBE HISTORY).
 
 Scale notes: the log fold and file lists live on the driver — bounded
 by FILE COUNT (what Delta itself keeps driver-side after parsing the
@@ -72,8 +83,9 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 @dataclass
 class Snapshot:
     """Driver-side fold of the log at one version: the live file set
-    (path -> stats dict or None) in add order, plus every application
-    txn id applied so far."""
+    (path -> stats dict or None) in add order, plus the application
+    txn ids visible from the checkpoint's retention window + the
+    log tail."""
     version: int = -1
     live: dict[str, dict | None] = field(default_factory=dict)
     txn_ids: set[str] = field(default_factory=set)

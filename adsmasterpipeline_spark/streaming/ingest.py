@@ -50,8 +50,14 @@ class StreamingIngest:
         self.fmt = fmt
         # e.g. {"cluster_writes": True, "rows_per_file": ...}: key-
         # clustered data files let the TxnTable's stats pruning bound
-        # each epoch's merge probe by the batch's key range
-        self.txn_opts = txn_opts or {}
+        # each epoch's merge probe by the batch's key range.
+        # "auto_compact_every": N additionally runs TxnTable.compact()
+        # after every Nth commit — each micro-batch merge adds a small
+        # file, so an unbounded stream otherwise grows the file count
+        # (and every scan's task count) with EPOCHS instead of DATA.
+        self.txn_opts = dict(txn_opts or {})
+        self.auto_compact_every = self.txn_opts.pop(
+            "auto_compact_every", 0)
 
     def _txn(self):
         from ..sinks.txnlake import txn_table
@@ -122,8 +128,11 @@ class StreamingIngest:
                 # snapshot mode and batch merge_records(fmt="txn")
                 # both already delete; this keeps the modes identical)
                 deleted = batch_keys.join(merged, "bibcode", "left_anti")
-                t.merge(touched, deleted_keys=deleted,
-                        app_txn_id=txn_id)
+                v = t.merge(touched, deleted_keys=deleted,
+                            app_txn_id=txn_id)
+                if (self.auto_compact_every
+                        and v % self.auto_compact_every == 0):
+                    t.compact()
             return
         # copy-on-write commit: write to a staging dir, then swap —
         # the same atomic-publish idea as the reference's core swap

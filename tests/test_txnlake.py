@@ -689,3 +689,37 @@ def test_txn_checkpoint_txn_id_retention(spark, tmp_path):
     # replay of an in-window epoch is still a no-op
     v = t.merge(_recs(spark, [("B6", 99)]), app_txn_id="e6")
     assert v == 6
+
+
+def test_streaming_auto_compact_bounds_file_count(spark, tmp_path):
+    """auto_compact_every: an unbounded micro-batch stream otherwise
+    adds one small file per epoch; with periodic OPTIMIZE the live
+    file count tracks data volume, not epoch count, and the table
+    state is unchanged."""
+    import json
+
+    from adsmasterpipeline_spark.streaming.ingest import StreamingIngest
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir(parents=True)
+    ing = StreamingIngest(
+        spark, str(events_dir), str(tmp_path / "records"),
+        str(tmp_path / "ckpt"), fmt="txn",
+        txn_opts={"cluster_writes": True, "rows_per_file": 10_000,
+                  "auto_compact_every": 4})
+
+    for e in range(9):
+        (events_dir / f"b{e}.json").write_text("\n".join(
+            json.dumps({"bibcode": f"S{e}-{i}", "type": "bib_data",
+                        "status": "active",
+                        "payload": json.dumps({"bibcode": f"S{e}-{i}"}),
+                        "event_ts": f"2024-01-{e + 1:02d}T00:00:00.000Z"})
+            for i in range(5)))
+        ing.run_available_now()
+
+    t = ing._txn()
+    # 9 epochs, compactions folded the per-epoch files: far fewer
+    # live files than epochs
+    assert len(t.live_files()) < 5
+    assert any(h["operation"] == "compact" for h in t.history())
+    assert ing._load_records().count() == 45

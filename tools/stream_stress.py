@@ -101,10 +101,16 @@ def run_mode(spark, workdir: str, mode: str, rows: int, epochs: int,
         t0 = time.time()
         ing.run_available_now()
         boot_secs = round(time.time() - t0, 2)
+        epoch_wall = []
         for e in range(epochs):
             _write_events(events_dir, f"e{e:03d}.json",
                           _epoch_rows(e, rows, batch))
+            t0 = time.time()
             ing.run_available_now()
+            epoch_wall.append(round(time.time() - t0, 2))
+        for i, w in enumerate(epoch_wall):
+            if i < len(timings):
+                timings[i]["epoch_wall_secs"] = w
     finally:
         TxnTable.merge = orig_merge
         TxnTable._prune_candidates = orig_prune
