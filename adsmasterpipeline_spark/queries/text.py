@@ -759,3 +759,144 @@ def inverted_index_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tf.join(F.broadcast(top), "tok")
             .groupBy(F.col("tok").alias("term"), "df", "cf")
             .agg(postings.alias("postings_sig")))
+
+
+@query(
+    "shingle_containment_pairs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS sh
+      FROM w WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common, sa.sz AS sz_a,
+           ROUND(CAST(i.n_common AS DOUBLE) / sa.sz, 4) AS containment
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+    WHERE 10 * i.n_common >= 9 * sa.sz
+    """,
+    "dedup", "text",
+    doc="ASYMMETRIC shingle containment join (Broder's containment "
+        "C(a->b) = |S_a n S_b| / |S_a| on 3-gram shingles, threshold "
+        "0.9): detects quotes/subsets the SYMMETRIC Jaccard join "
+        "misses — a short document wholly embedded in a long one has "
+        "low Jaccard but containment 1.0. Directed pairs (a->b and "
+        "b->a are distinct findings). Scale shape: the probe side "
+        "indexes only its |S_a| - ceil(0.9|S_a|) + 1 globally-rarest "
+        "shingles (the prefix-filter bound specialized to containment "
+        "— any qualifying pair must share a probe-prefix shingle), "
+        "the index side stays full but shingle df is near-1 on real "
+        "text, so hot-key blocks cannot form on the probe side; "
+        "candidates verify with exact intersection over full shingle "
+        "sets, bit-identical to the naive join the oracle runs. "
+        "Integer threshold arithmetic (10*n >= 9*sz) on both engines.",
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import shingles
+
+    d = _docs(spark, sf_dir)
+    t_num, t_den = 9, 10
+    base = (d.select("doc_id", shingles(F.col("text"), 3).alias("_sh"),
+                     F.size(F.split(_norm_text(), " ")).alias("_nw"))
+            .where(F.col("_nw") >= 3)
+            .select("doc_id", "_sh", F.size("_sh").alias("sz")))
+    tok = base.select("doc_id", "sz", F.explode("_sh").alias("sh"))
+    dfc = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
+    w_doc = W.partitionBy("doc_id").orderBy("dfc", "sh")
+    ranked = tok.join(dfc, "sh").withColumn(
+        "rnk", F.row_number().over(w_doc))
+    # containment prefix bound (probe side only): a pair with
+    # C >= t must share one of a's sz - ceil(t*sz) + 1 rarest
+    # shingles with ANY shingle of b — so b is indexed in full
+    plen = (F.col("sz")
+            - F.floor((t_num * F.col("sz") + t_den - 1) / t_den) + 1)
+    probe = (ranked.where(F.col("rnk") <= plen)
+             .select(F.col("doc_id").alias("doc_a"),
+                     F.col("sz").alias("sz_a"), "sh"))
+    index = tok.select(F.col("doc_id").alias("doc_b"),
+                       F.col("sz").alias("sz_b"), "sh")
+    # length filter: n_common <= sz_b and n_common >= ceil(t*sz_a)
+    # jointly force t_den*sz_b >= t_num*sz_a
+    cand = (probe.join(index, "sh")
+            .where((F.col("doc_a") != F.col("doc_b"))
+                   & (t_den * F.col("sz_b") >= t_num * F.col("sz_a")))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"]))
+    arrs = base.select("doc_id", "_sh")
+    verified = (
+        cand.join(arrs.select(F.col("doc_id").alias("doc_a"),
+                              F.col("_sh").alias("arr_a")), "doc_a")
+        .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                          F.col("_sh").alias("arr_b")), "doc_b")
+        .select("doc_a", "doc_b",
+                F.size(F.array_intersect("arr_a", "arr_b"))
+                .cast("long").alias("n_common"),
+                F.size("arr_a").cast("long").alias("sz_a")))
+    return (verified
+            .where(t_den * F.col("n_common") >= t_num * F.col("sz_a"))
+            .select("doc_a", "doc_b", "n_common", "sz_a",
+                    F.round(F.col("n_common") / F.col("sz_a"), 4)
+                    .alias("containment")))
+
+
+@query(
+    "distinct_ngram_diversity",
+    f"""
+    WITH w AS (
+      SELECT source, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS sh
+      FROM w WHERE len(w) >= 3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT sh) AS BIGINT) AS distinct_ngrams,
+           ROUND(CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*), 4)
+             AS distinct_ratio
+    FROM sh GROUP BY source
+    """,
+    "text", "training",
+    doc="Distinct-n corpus diversity per source (the distinct-3 "
+        "metric from text-generation evaluation, applied to corpus "
+        "curation): total vs distinct 3-gram occurrences — a LOW "
+        "ratio flags template/boilerplate-heavy sources worth "
+        "down-weighting before training. One explode + one "
+        "map-side-combinable groupBy; count_distinct shuffles "
+        "(source, shingle) pairs once. 100 TB posture: identical to "
+        "token_count's — no joins, no windows.",
+)
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = F.split(_norm_text(), " ")
+    # NON-distinct shingles (diversity counts occurrences): same
+    # zip_with construction as operators/dedup.shingles but keeping
+    # multiplicity and no short-doc fallback (len(w) >= 3 gate)
+    acc = w
+    for off in range(1, 3):
+        shifted = F.slice(w, off + 1,
+                          F.greatest(F.size(w) - off, F.lit(1)))
+        acc = F.zip_with(acc, shifted,
+                         lambda a, b: F.when(a.isNotNull() & b.isNotNull(),
+                                             F.concat_ws(" ", a, b)))
+    sh = (d.where(F.size(w) >= 3)
+          .select("source", F.explode(
+              F.filter(acc, lambda x: x.isNotNull())).alias("sh")))
+    return sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+        F.count_distinct("sh").cast("long").alias("distinct_ngrams"),
+        F.round(F.count_distinct("sh") / F.count(F.lit(1)), 4)
+        .alias("distinct_ratio"))

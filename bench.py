@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     # round-5 addition: IVF+PQ re-ranking ANN (rewritten this round —
     # recall@3 0.33 -> 0.81 at sf0.1 at sign-LSH cost)
     "ann_pq",
+    # round-6 addition: asymmetric shingle-containment join (quote /
+    # subset detection — probe-side prefix filter, full index side)
+    "shingle_containment_pairs",
 ]
 
 

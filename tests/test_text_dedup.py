@@ -125,3 +125,40 @@ def test_duplicated_runs_plan_is_scale_safe(spark):
     assert "CartesianProduct" not in s
     for rs in read_schemas(df):
         assert "lang" not in rs and "source" not in rs
+
+
+def test_shingle_containment_finds_embedded_quote(spark):
+    """Containment vs Jaccard separation: a short document wholly
+    embedded inside a long one has containment 1.0 (short -> long)
+    but Jaccard well below the 0.6 near-dup threshold — the directed
+    pair only the asymmetric join can find. The reverse direction
+    (long -> short) must NOT qualify."""
+    from adsmasterpipeline_spark.queries.text import (
+        ppjoin_jaccard_pairs, shingle_containment_pairs)
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        (1, quote, "en", "srcA", len(quote)),
+        (2, filler + " " + quote + " " + filler, "en", "srcA", 500),
+        (3, "completely different text about spark catalyst engines "
+            "and shuffle partitions at scale", "en", "srcA", 90),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+    import adsmasterpipeline_spark.queries.text as qt
+    orig = qt._docs
+    qt._docs = lambda _spark, _sf: df
+    try:
+        got = {(r["doc_a"], r["doc_b"]): r["containment"]
+               for r in shingle_containment_pairs(spark, "ignored").collect()}
+    finally:
+        qt._docs = orig
+    assert got == {(1, 2): 1.0}          # short→long only, exact 1.0
+
+    # the symmetric Jaccard join at 0.6 cannot see this pair
+    jac = ppjoin_jaccard_pairs(df, 3, 5, block=False)
+    assert not [r for r in jac.collect()
+                if {r["doc_a"], r["doc_b"]} == {1, 2}]
