@@ -811,6 +811,11 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.size(F.split(_norm_text(), " ")).alias("_nw"))
             .where(F.col("_nw") >= 3)
             .select("doc_id", "_sh", F.size("_sh").alias("sz")))
+    # the shingle subtree feeds the df count, the rank join, the index
+    # side AND verification — Catalyst does not CSE it across outputs
+    # (SCALE.md minhash lesson 4), so materialize ONCE: measured 4.5s
+    # -> ~1.5s at sf0.1
+    base = base.localCheckpoint(eager=True)
     tok = base.select("doc_id", "sz", F.explode("_sh").alias("sh"))
     dfc = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
     w_doc = W.partitionBy("doc_id").orderBy("dfc", "sh")
