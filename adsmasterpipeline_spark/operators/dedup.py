@@ -39,11 +39,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                     (F.col(id_col) == F.col("_keeper")).alias("is_keeper")))
 
 
-def shingles(text: Column, n: int = 3) -> Column:
+def shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
     """Word n-gram shingle set, computed without explode: zip_with over
     n shifted views of the token array (one slice per OFFSET, not per
     position — the per-position ``slice`` form measured 4.5x slower at
-    sf0.1 because every element allocated its own sub-array)."""
+    sf0.1 because every element allocated its own sub-array).
+    ``distinct=False`` keeps per-position multiplicity (diversity
+    metrics count occurrences, set-similarity joins count members)."""
     norm = normalize_text(text)
     toks = F.split(norm, " ")
     k = F.size(toks) - (n - 1)
@@ -57,10 +59,11 @@ def shingles(text: Column, n: int = 3) -> Column:
         acc = F.zip_with(acc, shifted,
                          lambda a, b: F.when(a.isNotNull() & b.isNotNull(),
                                              F.concat_ws(" ", a, b)))
+    full = F.filter(acc, lambda x: x.isNotNull())
+    if distinct:
+        full = F.array_distinct(full)
     # guard short docs: the whole normalized text is their single shingle
-    return F.when(k >= 1,
-                  F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))) \
-        .otherwise(F.array(norm))
+    return F.when(k >= 1, full).otherwise(F.array(norm))
 
 
 def minhash_from_shingles(sh: Column, num_hashes: int = 16) -> Column:

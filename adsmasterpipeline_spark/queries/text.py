@@ -885,21 +885,16 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token_count's — no joins, no windows.",
 )
 def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+
     d = _docs(spark, sf_dir)
     w = F.split(_norm_text(), " ")
-    # NON-distinct shingles (diversity counts occurrences): same
-    # zip_with construction as operators/dedup.shingles but keeping
-    # multiplicity and no short-doc fallback (len(w) >= 3 gate)
-    acc = w
-    for off in range(1, 3):
-        shifted = F.slice(w, off + 1,
-                          F.greatest(F.size(w) - off, F.lit(1)))
-        acc = F.zip_with(acc, shifted,
-                         lambda a, b: F.when(a.isNotNull() & b.isNotNull(),
-                                             F.concat_ws(" ", a, b)))
+    # NON-distinct shingles (diversity counts occurrences); the
+    # len(w) >= 3 gate keeps the short-doc fallback branch unreached,
+    # matching the oracle's WHERE len(w) >= 3
     sh = (d.where(F.size(w) >= 3)
           .select("source", F.explode(
-              F.filter(acc, lambda x: x.isNotNull())).alias("sh")))
+              shingles(F.col("text"), 3, distinct=False)).alias("sh")))
     return sh.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("total_ngrams"),
         F.count_distinct("sh").cast("long").alias("distinct_ngrams"),

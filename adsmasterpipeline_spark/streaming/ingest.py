@@ -58,6 +58,11 @@ class StreamingIngest:
         self.txn_opts = dict(txn_opts or {})
         self.auto_compact_every = self.txn_opts.pop(
             "auto_compact_every", 0)
+        # counts APPLIED merges, not table versions: compact's own
+        # commit bumps the version, so a version-modulo check drifts
+        # to every N-1 batches (every single batch at N=2), and a
+        # crash-replay no-op merge must not trigger a spurious compact
+        self._merges_since_compact = 0
 
     def _txn(self):
         from ..sinks.txnlake import txn_table
@@ -115,7 +120,8 @@ class StreamingIngest:
         if self.fmt == "txn":
             t = self._txn()
             txn_id = f"{self.checkpoint_dir}#epoch-{epoch_id}"
-            if t.version() < 0:
+            ver = t.version()
+            if ver < 0:
                 t.overwrite(merged, app_txn_id=txn_id)
             else:
                 batch_keys = batch.select("bibcode").distinct()
@@ -130,9 +136,13 @@ class StreamingIngest:
                 deleted = batch_keys.join(merged, "bibcode", "left_anti")
                 v = t.merge(touched, deleted_keys=deleted,
                             app_txn_id=txn_id)
-                if (self.auto_compact_every
-                        and v % self.auto_compact_every == 0):
+                if v > ver:                     # replay no-op: v == ver
+                    self._merges_since_compact += 1
+                if (self.auto_compact_every and
+                        self._merges_since_compact
+                        >= self.auto_compact_every):
                     t.compact()
+                    self._merges_since_compact = 0
             return
         # copy-on-write commit: write to a staging dir, then swap —
         # the same atomic-publish idea as the reference's core swap
