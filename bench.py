@@ -95,6 +95,15 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Protocol evidence (VERDICT r6 #6): capture machine state BEFORE the
+    # run so cross-round deltas are explainable without prose caveats.
+    # load1 > ~1 means the session was not idle and the numbers are
+    # contended; the committed runs are made cold (load1 < 0.2).
+    try:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+    except OSError:  # non-Linux fallback
+        load1 = -1.0
     from adsmasterpipeline_spark.queries import REGISTRY, _load
     from adsmasterpipeline_spark.session import get_spark
 
@@ -136,6 +145,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # compact on purpose — the slim line must stay under the
+        # driver's capture buffer (the r05 lesson)
+        "protocol": {"stat": "best3_after_2warm", "load1": load1},
     }
     # cross-round comparability note: the first 16 BENCH_QUERIES are
     # the round-1 set (r1: 27.1s, r2: 16.0s, r3: 10.7s). The names are
