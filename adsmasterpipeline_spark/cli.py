@@ -38,18 +38,22 @@ def _load_records(spark, data_dir: str):
 
 
 def _save_records(df, data_dir: str) -> None:
-    import shutil
+    import uuid
+
+    from .sinks.lake import publish_snapshot_dir
     path = _records_path(data_dir)
-    staging = path + ".staging"
+    # versioned snapshot dir + atomic symlink swap (sinks/lake.py):
+    # a crash at any point leaves the old or the new COMPLETE
+    # snapshot readable — the round-6 rmtree-then-rename had a window
+    # that left neither
+    staging = f"{path}.v-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(staging)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(staging, path)
-    # The staging-dir rename happens behind Spark's back: any cached
-    # relation over `path` (cmd_reindex caches records) would keep
-    # serving the PRE-swap rows to every later read in this session.
-    # Cross-process callers never notice; in-process sequences (tests,
-    # long-lived drivers) silently lose the writeback without this.
+    publish_snapshot_dir(path, staging)
+    # The swap happens behind Spark's back: any cached relation over
+    # `path` (cmd_reindex caches records) would keep serving the
+    # PRE-swap rows to every later read in this session. Cross-process
+    # callers never notice; in-process sequences (tests, long-lived
+    # drivers) silently lose the writeback without this.
     df.sparkSession.catalog.refreshByPath(path)
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame
 
@@ -50,11 +51,63 @@ def write_records(records: DataFrame, path: str, fmt: str = "parquet",
         txn_table(records.sparkSession, path, key,
                   **txn_opts).overwrite(records)
         return
-    staging = path + ".staging"
+    staging = f"{path}.v-{uuid.uuid4().hex[:8]}"
     records.write.mode("overwrite").parquet(staging)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(staging, path)
+    publish_snapshot_dir(path, staging)
+
+
+def publish_snapshot_dir(path: str, staging: str) -> None:
+    """Atomically point ``path`` at the fully-written ``staging``
+    directory (the reference's core-swap publish,
+    scripts/reindex.py:146-156, made crash-safe — VERDICT r6 task 7).
+
+    The old rmtree-then-rename publish had a window where a crash
+    between the two left NO table at all. Here ``path`` is a SYMLINK
+    to the current snapshot directory: publishing writes a temp
+    symlink and ``os.rename``s it over ``path`` — one atomic step, so
+    a crash at any point leaves ``path`` resolving to either the old
+    or the new complete snapshot, never to nothing. The superseded
+    snapshot dir and any orphans from crashed attempts are swept
+    AFTER the swap (a crash mid-sweep leaves garbage, not data loss).
+
+    One-time migration: a legacy REAL directory at ``path`` can't be
+    atomically replaced by a symlink (rename onto a non-empty dir
+    fails), so it is moved aside first — a microsecond window that
+    exists once per table lifetime; a crash inside it leaves the old
+    snapshot recoverable at ``path.legacy-*``.
+
+    Single-writer contract (the streaming checkpoint / one CLI run
+    serializes publishes); concurrent READERS are safe throughout.
+    """
+    path = os.path.abspath(path)
+    staging = os.path.abspath(staging)
+    prev = os.path.realpath(path) if os.path.islink(path) else None
+    tmp = f"{path}.ptr-{uuid.uuid4().hex[:8]}"
+    os.symlink(staging, tmp)
+    if os.path.lexists(path) and not os.path.islink(path):
+        legacy = f"{path}.legacy-{uuid.uuid4().hex[:8]}"
+        os.rename(path, legacy)
+        os.rename(tmp, path)
+        shutil.rmtree(legacy, ignore_errors=True)
+    else:
+        os.rename(tmp, path)       # atomically replaces the symlink
+        if prev and prev != staging:
+            shutil.rmtree(prev, ignore_errors=True)
+    # sweep orphan snapshot dirs / temp pointers from crashed attempts
+    cur = os.path.realpath(path)
+    d, base = os.path.dirname(path), os.path.basename(path)
+    for name in os.listdir(d):
+        full = os.path.join(d, name)
+        if full == path or os.path.realpath(full) == cur:
+            continue
+        if (name.startswith(base + ".v") and os.path.isdir(full)
+                and not os.path.islink(full)):
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith((base + ".ptr-", base + ".legacy-")):
+            if os.path.islink(full):
+                os.unlink(full)
+            else:
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def merge_records(spark, changed: DataFrame, deleted_keys: DataFrame,

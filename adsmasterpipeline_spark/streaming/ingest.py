@@ -106,8 +106,19 @@ class StreamingIngest:
                                         "left_anti").count()
                 max_id = 0
                 if n_new:
-                    max_id = t.read().agg(
-                        F.max("id")).collect()[0][0] or 0
+                    # table-wide max id for insert numbering WITHOUT a
+                    # table scan: folded driver-side from the per-file
+                    # id stats every commit records (VERDICT r6 #1 —
+                    # the old t.read().agg(max) opened every live file
+                    # on every insert epoch, reintroducing the
+                    # O(table) cost the probe pruning removed; insert
+                    # workloads hit this nearly every batch). Falls
+                    # back to the scan only for legacy tables whose
+                    # files predate id stats.
+                    max_id = t.max_stat("id")
+                    if max_id is None:
+                        max_id = t.read().agg(
+                            F.max("id")).collect()[0][0] or 0
                 merged, _ = merge_updates(records, batch, now=now,
                                           max_id=max_id)
                 return merged
@@ -144,15 +155,20 @@ class StreamingIngest:
                     t.compact()
                     self._merges_since_compact = 0
             return
-        # copy-on-write commit: write to a staging dir, then swap —
-        # the same atomic-publish idea as the reference's core swap
-        # (scripts/reindex.py:146-156)
-        staging = self.records_path + f".epoch{epoch_id}"
+        # copy-on-write commit: write a fresh versioned snapshot dir,
+        # then atomically repoint the table symlink (the reference's
+        # core swap, scripts/reindex.py:146-156, without the round-6
+        # rmtree-then-rename crash window that could lose the table).
+        # The attempt suffix keeps a REPLAYED epoch (crash after
+        # publish, before the stream checkpoint committed) from
+        # overwriting the dir it is currently serving reads from.
+        import uuid
+
+        from ..sinks.lake import publish_snapshot_dir
+        staging = (f"{self.records_path}.v{epoch_id}"
+                   f"-{uuid.uuid4().hex[:8]}")
         merged.write.mode("overwrite").parquet(staging)
-        if os.path.exists(self.records_path):
-            import shutil
-            shutil.rmtree(self.records_path)
-        os.rename(staging, self.records_path)
+        publish_snapshot_dir(self.records_path, staging)
 
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
