@@ -62,8 +62,23 @@ def _epoch_rows(epoch: int, total: int, batch: int) -> list[dict]:
             for i in range(batch)]
 
 
+def _insert_rows(epoch: int, total: int, batch: int) -> list[dict]:
+    """Brand-new keys every epoch — the table GROWS; the worst case
+    for the round-6 insert path, which ran a full-table max(id)
+    aggregate on every epoch containing an unseen key."""
+    base = total + epoch * batch
+    return [{"bibcode": f"B{base + i:07d}", "type": "bib_data",
+             "status": "active",
+             "payload": json.dumps({"bibcode": f"B{base + i:07d}",
+                                    "title": [f"new {base + i}"]}),
+             "event_ts": f"2024-02-{(epoch % 27) + 1:02d}"
+                         "T00:00:00.000Z"}
+            for i in range(batch)]
+
+
 def run_mode(spark, workdir: str, mode: str, rows: int, epochs: int,
-             batch: int, rows_per_file: int) -> dict:
+             batch: int, rows_per_file: int,
+             insert_heavy: bool = False) -> dict:
     from adsmasterpipeline_spark.sinks.txnlake import TxnTable
     from adsmasterpipeline_spark.streaming.ingest import StreamingIngest
 
@@ -77,8 +92,11 @@ def run_mode(spark, workdir: str, mode: str, rows: int, epochs: int,
                   "rows_per_file": rows_per_file})
 
     timings: list[dict] = []
+    full_reads = [0]
     orig_merge = TxnTable.merge
     orig_prune = TxnTable._prune_candidates
+    orig_read = TxnTable.read
+    orig_maxstat = TxnTable.max_stat
 
     def timed_merge(self, *a, **kw):
         t0 = time.time()
@@ -92,10 +110,19 @@ def run_mode(spark, workdir: str, mode: str, rows: int, epochs: int,
         })
         return v
 
+    def counted_read(self, *a, **kw):
+        full_reads[0] += 1
+        return orig_read(self, *a, **kw)
+
     TxnTable.merge = timed_merge
+    TxnTable.read = counted_read
     if mode == "full_scan":
         TxnTable._prune_candidates = \
             lambda self, live, affected: list(live)
+    if mode == "max_scan":
+        # the round-6 insert path: stat fold disabled, so every
+        # insert epoch falls back to the full-table max(id) aggregate
+        TxnTable.max_stat = lambda self, col: None
     try:
         _write_events(events_dir, "boot.json", _bootstrap_rows(rows))
         t0 = time.time()
@@ -103,17 +130,23 @@ def run_mode(spark, workdir: str, mode: str, rows: int, epochs: int,
         boot_secs = round(time.time() - t0, 2)
         epoch_wall = []
         for e in range(epochs):
+            gen = _insert_rows if insert_heavy else _epoch_rows
             _write_events(events_dir, f"e{e:03d}.json",
-                          _epoch_rows(e, rows, batch))
+                          gen(e, rows, batch))
+            reads_before = full_reads[0]
             t0 = time.time()
             ing.run_available_now()
-            epoch_wall.append(round(time.time() - t0, 2))
-        for i, w in enumerate(epoch_wall):
+            epoch_wall.append((round(time.time() - t0, 2),
+                               full_reads[0] - reads_before))
+        for i, (w, r) in enumerate(epoch_wall):
             if i < len(timings):
                 timings[i]["epoch_wall_secs"] = w
+                timings[i]["full_table_reads"] = r
     finally:
         TxnTable.merge = orig_merge
         TxnTable._prune_candidates = orig_prune
+        TxnTable.read = orig_read
+        TxnTable.max_stat = orig_maxstat
     t = ing._txn()
     return {"bootstrap_secs": boot_secs,
             "final_version": t.version(),
@@ -127,10 +160,13 @@ def main() -> int:
 
     argv = sys.argv[1:]
     json_out = None
+    insert_heavy = False
     opts = {"rows": 262_144, "epochs": 10, "batch": 512}
     while argv:
         if argv[0] == "--json":
             json_out = argv[1]; argv = argv[2:]
+        elif argv[0] == "--insert-heavy":
+            insert_heavy = True; argv = argv[1:]
         elif argv[0] in ("--rows", "--epochs", "--batch"):
             opts[argv[0][2:]] = int(argv[1]); argv = argv[2:]
         else:
@@ -140,17 +176,28 @@ def main() -> int:
     spark = get_spark("stream_stress")
     workdir = tempfile.mkdtemp(prefix="stream_stress_")
     try:
-        out = {"config": {**opts, "rows_per_file": rows_per_file},
+        out = {"config": {**opts, "rows_per_file": rows_per_file,
+                          "insert_heavy": insert_heavy},
                "modes": {}}
-        for mode in ("pruned", "full_scan"):
+        # insert-heavy compares the round-7 stat-fold id numbering
+        # against the round-6 full-max-scan path on a GROWING table
+        # (done-criterion VERDICT r6 #1: pruned epoch wall stays flat
+        # in table size, full_table_reads stays 0); the default mode
+        # compares stats pruning against the round-5 full probe scan.
+        modes = (("pruned", "max_scan") if insert_heavy
+                 else ("pruned", "full_scan"))
+        for mode in modes:
             r = run_mode(spark, workdir, mode, opts["rows"],
-                         opts["epochs"], opts["batch"], rows_per_file)
+                         opts["epochs"], opts["batch"], rows_per_file,
+                         insert_heavy=insert_heavy)
             out["modes"][mode] = r
             es = r["epochs"]       # bootstrap is an overwrite, not here
             tot = sum(e["merge_secs"] for e in es)
             cand = [e["candidate_files"] for e in es]
+            reads = [e.get("full_table_reads") for e in es]
             print(f"{mode}: {len(es)} incremental merges, "
-                  f"total {tot:.1f}s, candidates/epoch {cand}")
+                  f"total {tot:.1f}s, candidates/epoch {cand}, "
+                  f"full-table reads/epoch {reads}")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     if json_out:
