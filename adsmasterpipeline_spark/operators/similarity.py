@@ -141,6 +141,16 @@ def hadamard_bucket_vectorized(planes: int = 8):
             h_cache[dim] = h
         return h
 
+    def to_row(v):
+        """Arrow hands list<float> elements over as float64 ndarrays
+        (nulls already NaN); object rows with raw Nones still appear
+        from createDataFrame fixtures — map those to NaN too."""
+        try:
+            return np.asarray(v, dtype=np.float64)
+        except (TypeError, ValueError):
+            return np.array([np.nan if x is None else float(x)
+                             for x in v], dtype=np.float64)
+
     @pandas_udf("long")
     def bkt(col):
         import pandas as pd
@@ -148,11 +158,21 @@ def hadamard_bucket_vectorized(planes: int = 8):
         ok = np.array([v is not None for v in vals])
         out = np.full(len(vals), None, dtype=object)
         if ok.any():
-            m = np.vstack([np.asarray(v, dtype=np.float64)
-                           for v in vals[ok]])
-            qv = np.floor(m * 1048576.0).astype(np.int64)
-            bits = (qv @ h_for(m.shape[1]).T >= 0).astype(np.int64)
-            out[ok] = bits @ weights
+            m = np.vstack([to_row(v) for v in vals[ok]])
+            # non-finite components (null elements arrive as NaN; ±inf
+            # from upstream math) would hit np.floor(...).astype(int64)
+            # — platform-DEFINED garbage (INT64_MIN on x86) that the
+            # JVM fold cannot reproduce (ADVICE r6). A dirty vector
+            # belongs in NO bucket: null it out like whole-null rows
+            # (dropped by the bucket equi-join) instead of letting it
+            # collide somewhere engine-dependent.
+            finite = np.isfinite(m).all(axis=1)
+            if finite.any():
+                qv = np.floor(m[finite] * 1048576.0).astype(np.int64)
+                bits = (qv @ h_for(m.shape[1]).T >= 0).astype(np.int64)
+                res = np.full(int(ok.sum()), None, dtype=object)
+                res[finite] = bits @ weights
+                out[ok] = res
         return pd.Series(out, dtype="Int64")
 
     return bkt
@@ -425,7 +445,8 @@ def _train_pq_codebooks(sample, m_sub: int, d_sub: int, k_cent: int,
 
 def pq_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
             m_sub: int = 8, d_sub: int = 8, k_cent: int = 64,
-            k_coarse: int = 16, nprobe: int = 10, rerank: int = 16,
+            k_coarse: int = 16, nprobe: int = 10,
+            rerank: int | None = None,
             train_cap: int = 2048, id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:
     """IVF + product-quantization ANN (Jegou, Douze & Schmid 2011)
@@ -481,6 +502,10 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
     import pandas as pd
 
     # --- 1. ONE job: distributed-TopK training sample + query set
+    # (+ the corpus count when the re-rank pool auto-scales — a
+    # column-pruned count branch in the SAME job, so sizing the pool
+    # with n never costs a separate eager job and the query function
+    # stays lazy until the result executes; ADVICE r6)
     samp_branch = (candidates.select(F.col(id_col), F.col(vec_col))
                    .orderBy(F.hash(F.col(id_col)), F.col(id_col))
                    .limit(train_cap)
@@ -490,9 +515,25 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
     q_branch = queries.select(F.lit(1).alias("_t"),
                               F.col(id_col).cast("long").alias("_id"),
                               F.col(vec_col).alias("_v"))
-    both = samp_branch.unionByName(q_branch).collect()
+    union = samp_branch.unionByName(q_branch)
+    if rerank is None:
+        vec_t = candidates.schema[vec_col].dataType
+        n_branch = candidates.agg(
+            F.count(F.lit(1)).cast("long").alias("_id")).select(
+            F.lit(2).alias("_t"), "_id",
+            F.lit(None).cast(vec_t).alias("_v"))
+        union = union.unionByName(n_branch)
+    both = union.collect()
     sample = [r["_v"] for r in both if r["_t"] == 0]
     qrows = [(r["_id"], r["_v"]) for r in both if r["_t"] == 1]
+    if rerank is None:
+        # pool = k*rerank = max(16k, ~n/50): with fixed k_coarse the
+        # per-list occupancy grows ~n/k_coarse, so a FIXED pool lets
+        # ADC noise in dense clusters squeeze true neighbors out (the
+        # round-6 n-scaling lesson — recall 0.50 at the 10x stress SF
+        # before, 0.81 after)
+        n = next(r["_id"] for r in both if r["_t"] == 2)
+        rerank = max(16, -(-int(n) // (50 * k)))
     coarse, books = _train_pq_codebooks(sample, m_sub, d_sub, k_cent,
                                         k_coarse)
 

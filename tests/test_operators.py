@@ -1143,3 +1143,32 @@ def test_jpeg_progressive_dc_decode(spark):
     assert out[1]["feature"] == _pytest.approx(f_prog, abs=1e-6)
     assert out[1]["feature"] != _pytest.approx(out[2]["feature"], abs=0.02)
     assert not out[3]["decode_ok"] and "arithmetic" in out[3]["error"]
+
+
+def test_hadamard_bucket_vectorized_dirty_vectors(spark):
+    """ADVICE r6: embeddings containing null/NaN/inf components must
+    not hit np.floor(non-finite).astype(int64) — platform-defined
+    garbage the JVM fold can't reproduce. Contract: a vector with any
+    non-finite component gets a NULL bucket (excluded from the bucket
+    join, like whole-null vectors); clean vectors in the same batch
+    are unaffected."""
+    from adsmasterpipeline_spark.operators.similarity import (
+        hadamard_bucket_vectorized)
+
+    rows = [
+        (1, [1.0] * 8),
+        (2, [1.0, None, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (3, [float("nan")] * 8),
+        (4, [float("inf"), 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (5, None),
+        (6, [-1.0] * 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    bkt = hadamard_bucket_vectorized(4)
+    got = {r["vec_id"]: r["b"] for r in
+           df.select("vec_id",
+                     bkt(F.col("embedding")).alias("b")).collect()}
+    assert got[1] is not None and got[6] is not None
+    assert got[2] is None and got[3] is None and got[4] is None
+    assert got[5] is None
