@@ -522,6 +522,11 @@ class TxnTable:
         if not snap.live:
             raise FileNotFoundError(
                 f"TxnTable at {self.path} has no committed data")
+        # tz-aware bounds normalize to naive UTC — the domain the
+        # stored stats live in (session tz is UTC; collected
+        # timestamps come back naive), so the encoded comparison and
+        # the row filter agree on boundary instants
+        lo, hi = _naive_utc(lo), _naive_utc(hi)
         lo_e, hi_e = _stat_encode(lo), _stat_encode(hi)
         cands = []
         for p, s in snap.live.items():
@@ -703,9 +708,19 @@ class TxnTable:
                             .select("_file").distinct().collect()]
         else:
             touched_uris = []          # first merge == pure insert
-        touched = sorted(
-            os.path.relpath(_decode_uri(u), self.path)
-            for u in touched_uris)
+        if any(not u for u in touched_uris):
+            # input_file_name() came back EMPTY: a caller has the
+            # same files CACHED (Spark's cache manager matches the
+            # probe scan by canonical plan and serves rows from the
+            # in-memory relation, which has no file context).
+            # Correctness must not depend on caller cache state —
+            # degrade to rewriting every candidate (a superset of
+            # touched; still stat-pruned, just less tightly).
+            touched = sorted(candidates)
+        else:
+            touched = sorted(
+                os.path.relpath(_decode_uri(u), self.path)
+                for u in touched_uris)
         self.last_merge_probe = {
             "live_files": len(snap.live),
             "candidate_files": sorted(candidates),
@@ -853,6 +868,13 @@ def _decode_uri(uri: str) -> str:
 
 def _jsonable(v) -> bool:
     return isinstance(v, (str, int, float)) and not isinstance(v, bool)
+
+
+def _naive_utc(v):
+    import datetime as _dt
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
 
 
 def _stat_encode(v):
