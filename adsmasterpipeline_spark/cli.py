@@ -576,6 +576,9 @@ def cmd_lake(args) -> int:
         deleted = t.vacuum(keep_versions=args.keep_versions,
                            min_age_seconds=args.min_age_seconds)
         out["deleted_files"] = len(deleted)
+    elif args.action == "cleanup-log":
+        deleted = t.cleanup_log(keep_versions=args.keep_versions)
+        out["deleted_log_files"] = len(deleted)
     print(json.dumps(out))
     return 0
 
@@ -669,8 +672,10 @@ def main(argv=None) -> int:
     pc.add_argument("--val-pct", type=int, default=5)
     pc.set_defaults(fn=cmd_corpus)
 
-    pl = sub.add_parser("lake", help="TxnTable history/compact/vacuum")
-    pl.add_argument("action", choices=["history", "compact", "vacuum"])
+    pl = sub.add_parser(
+        "lake", help="TxnTable history/compact/vacuum/cleanup-log")
+    pl.add_argument("action", choices=["history", "compact", "vacuum",
+                                       "cleanup-log"])
     pl.add_argument("--path", required=True)
     pl.add_argument("--key", default="bibcode")
     pl.add_argument("--rows-per-file", type=int, default=None)

@@ -80,6 +80,13 @@ _LOG_DIR = "_txn"
 _LAST_CHECKPOINT = "_last_checkpoint"
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this writer staged —
+    the optimistic-concurrency loss signal (Delta's
+    ConcurrentModificationException). Safe to retry: the losing
+    attempt's data files are unreferenced orphans, never corruption."""
+
+
 @dataclass
 class Snapshot:
     """Driver-side fold of the log at one version: the live file set
@@ -199,26 +206,41 @@ class TxnTable:
     def _snapshot(self, as_of: int | None = None) -> Snapshot:
         """One log read per operation (the round-5 code re-read and
         re-parsed the whole log for every version()/seen_txn()/
-        live_files() call inside a single merge). Reads the latest
-        checkpoint + only the entries after it; time travel to a
-        pre-checkpoint version folds the retained full log."""
+        live_files() call inside a single merge). Seeds from the
+        NEWEST checkpoint at or below the requested version (the
+        pointer's for current reads; an older retained checkpoint
+        file for time travel) + only the entries after it; when no
+        usable checkpoint exists it folds the log from scratch,
+        refusing (rather than silently under-folding) if
+        ``cleanup_log`` removed the log head."""
         entries = self._entry_files()
         snap = Snapshot()
         cp = self._read_last_checkpoint()
-        if cp is not None and (as_of is None or as_of >= cp):
+        if cp is not None and as_of is not None and as_of < cp:
+            older = [v for v in self._checkpoint_versions()
+                     if v <= as_of]
+            cp = older[-1] if older else None
+        if cp is not None:
             try:
                 data = self._load_json(self._checkpoint_path(cp))
                 snap.version = data["version"]
                 snap.live = dict(_as_add(a) for a in data["live"])
                 snap.txn_ids = set(data["txn_ids"])
             except (OSError, ValueError, KeyError, TypeError):
-                # missing OR corrupt checkpoint: the retained full log
-                # can always rebuild the state — fall back rather than
-                # wedging every operation on one bad file
+                # missing OR corrupt checkpoint: the retained log can
+                # rebuild the state — fall back rather than wedging
+                # every operation on one bad file
                 snap = Snapshot()
                 cp = None
+        if cp is None and entries and entries[0][0] > 0:
+            raise ValueError(
+                f"TxnTable log at {self._log_dir()} starts at version "
+                f"{entries[0][0]} with no usable checkpoint at or "
+                f"below the requested version — the head was removed "
+                f"by cleanup_log (or the checkpoint is corrupt); "
+                f"folding the partial log would be silently wrong")
         for v, p in entries:
-            if cp is not None and (as_of is None or as_of >= cp) and v <= cp:
+            if cp is not None and v <= cp:
                 continue
             if as_of is not None and v > as_of:
                 break
@@ -377,7 +399,7 @@ class TxnTable:
             # the log and retry (optimistic concurrency)
             os.link(tmp, final)
         except FileExistsError:
-            raise RuntimeError(
+            raise CommitConflict(
                 f"concurrent commit: version {version} already exists "
                 f"at {final}; re-read the snapshot and retry")
         finally:
@@ -661,7 +683,27 @@ class TxnTable:
 
     def merge(self, changed: DataFrame,
               deleted_keys: DataFrame | None = None,
-              app_txn_id: str | None = None) -> int:
+              app_txn_id: str | None = None, retries: int = 0) -> int:
+        """MERGE with optimistic-concurrency retry: on a
+        ``CommitConflict`` (another writer took the staged version)
+        the WHOLE merge re-runs against the fresh snapshot — candidate
+        pruning, touched-file probe, and the app_txn_id idempotence
+        check all re-evaluate, exactly Delta's
+        commit-conflict-then-rebase loop. ``retries=0`` (default)
+        preserves the raise-on-conflict contract for single-writer
+        callers; a conflicted attempt's data files are unreferenced
+        orphans (vacuum collects them), never corruption."""
+        for attempt in range(retries + 1):
+            try:
+                return self._merge_once(changed, deleted_keys,
+                                        app_txn_id)
+            except CommitConflict:
+                if attempt == retries:
+                    raise
+
+    def _merge_once(self, changed: DataFrame,
+                    deleted_keys: DataFrame | None = None,
+                    app_txn_id: str | None = None) -> int:
         """MERGE: upsert ``changed`` (full post-merge rows keyed by
         ``self.key``) and delete ``deleted_keys`` — the
         whenMatchedUpdate / whenNotMatchedInsert / whenMatchedDelete
@@ -815,7 +857,18 @@ class TxnTable:
         if latest < 0:
             return []
         horizon = max(0, latest - keep_versions + 1)
-        protected: set[str] = set(self._snapshot(as_of=horizon).live)
+        try:
+            protected: set[str] = set(
+                self._snapshot(as_of=horizon).live)
+        except ValueError:
+            # cleanup_log removed the entries needed to reconstruct
+            # the horizon version: protect from the oldest version
+            # that IS reconstructable instead (time travel below it
+            # already raises, so nothing reachable loses files)
+            vs = [v for v in self._checkpoint_versions()
+                  if v >= horizon]
+            protected = set(self._snapshot(
+                as_of=vs[0] if vs else None).live)
         for v, p in self._entry_files():
             if v > horizon:
                 for a in self._load_json(p).get("adds", []):
@@ -838,6 +891,46 @@ class TxnTable:
                 deleted.append(rel)
             if root != data_root and not os.listdir(root):
                 os.rmdir(root)
+        return sorted(deleted)
+
+    def cleanup_log(self, keep_versions: int = 0,
+                    keep_checkpoints: int = 2) -> list[str]:
+        """Log retention (Delta's ``logRetentionDuration`` analogue —
+        the cost SCALE.md round 6 stated honestly: every operation
+        LISTS ``_txn/``, O(total commits) dirents forever without
+        this). Deletes commit entry files already superseded by the
+        latest checkpoint — versions <= checkpoint - keep_versions —
+        plus all but the newest ``keep_checkpoints`` checkpoint
+        files. Current reads are untouched (they fold checkpoint +
+        tail); time travel to a removed version now RAISES (``
+        _snapshot`` refuses to fold a headless log) instead of
+        silently resolving — the same contract as Delta, where
+        pre-retention versions stop being reconstructable.
+
+        Interplay with idempotent replay, the reason this waited for
+        round 7: checkpoints now carry (version, txn_id) pairs for
+        the retention window forward, so deleting old entries no
+        longer discards replay-detection state — the checkpoint is
+        self-sufficient. Returns deleted file names."""
+        cp = self._read_last_checkpoint()
+        if cp is None:
+            return []                 # no checkpoint: nothing is safe
+        try:                          # refuse to orphan a corrupt cp
+            self._load_json(self._checkpoint_path(cp))
+        except (OSError, ValueError):
+            return []
+        horizon = cp - keep_versions
+        deleted = []
+        for v, p in self._entry_files():
+            if v <= horizon:
+                os.unlink(p)
+                deleted.append(os.path.basename(p))
+        cps = self._checkpoint_versions()
+        for v in cps[:-keep_checkpoints] if keep_checkpoints else cps:
+            if v < cp:                # never the load-bearing one
+                os.unlink(self._checkpoint_path(v))
+                deleted.append(os.path.basename(
+                    self._checkpoint_path(v)))
         return sorted(deleted)
 
 

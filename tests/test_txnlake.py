@@ -866,3 +866,87 @@ def test_txn_checkpoint_pointer_self_corrects(spark, tmp_path):
     t._publish_checkpoint_pointer(3)
     # self-correction saw checkpoint-6 on disk and republished it
     assert t._read_last_checkpoint() == 6
+
+
+def test_txn_cleanup_log_bounds_listing(spark, tmp_path):
+    """Round-7 log retention (the SCALE.md r6 honest gap: _txn/
+    listing grew O(total commits) forever): cleanup_log deletes
+    entries superseded by the latest checkpoint and old checkpoint
+    files. Current reads, replay detection and FUTURE checkpoints
+    survive; time travel to a removed version RAISES instead of
+    silently folding a partial log."""
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, checkpoint_every=3)
+    t.overwrite(_recs(spark, [("B0", 0)]), app_txn_id="e0")
+    for i in range(1, 8):                                   # v1..v7
+        t.merge(_recs(spark, [(f"B{i}", i)]), app_txn_id=f"e{i}")
+    log = os.path.join(path, "_txn")
+    n_before = len([n for n in os.listdir(log) if n.endswith(".json")])
+
+    deleted = t.cleanup_log()
+    # entries <= cp 6 gone, tail (v7) + newest checkpoints retained
+    assert "00000000.json" in deleted and "00000006.json" in deleted
+    survivors = sorted(n for n in os.listdir(log)
+                       if n.endswith(".json")
+                       and not n.startswith("checkpoint"))
+    assert survivors == ["00000007.json"]
+    assert len(deleted) + len(
+        [n for n in os.listdir(log) if n.endswith(".json")]) == n_before
+
+    # fresh handle: state intact, replay detection intact
+    t2 = txn_table(spark, path, checkpoint_every=3)
+    assert t2.version() == 7
+    assert t2.read().count() == 8
+    assert t2.seen_txn("e5")
+    assert t2.merge(_recs(spark, [("B5", 99)]),
+                    app_txn_id="e5") == 7            # replay no-op
+    # time travel above the retained checkpoint works; below raises
+    assert t2.read(as_of=7).count() == 8
+    with pytest.raises(ValueError, match="cleanup_log"):
+        t2.read(as_of=2)
+    # the NEXT checkpoint builds fine from carry-forward + tail
+    t2.merge(_recs(spark, [("B8", 8)]), app_txn_id="e8")    # v8
+    t2.merge(_recs(spark, [("B9", 9)]), app_txn_id="e9")    # v9 -> cp
+    assert t2._read_last_checkpoint() == 9
+    t3 = txn_table(spark, path, checkpoint_every=3)
+    assert t3.seen_txn("e9") and t3.seen_txn("e1")
+    # vacuum still runs with the cleaned log head
+    t3.vacuum(keep_versions=2, min_age_seconds=0)
+    assert t3.read().count() == 10
+
+
+def test_txn_merge_conflict_retry(spark, tmp_path):
+    """Optimistic concurrency (Delta's conflict-then-rebase loop): a
+    writer whose snapshot went stale loses the version race with
+    CommitConflict; merge(retries=N) re-runs the WHOLE merge against
+    the fresh snapshot — both writers' rows land, and the loser's
+    first-attempt files stay unreferenced orphans."""
+    from adsmasterpipeline_spark.sinks.txnlake import CommitConflict
+
+    path = str(tmp_path / "t")
+    a = txn_table(spark, path)
+    b = txn_table(spark, path)
+    a.overwrite(_recs(spark, [("B1", 1), ("B2", 2)]))
+
+    # writer B captures a snapshot, then writer A commits v1 first
+    stale = b._snapshot()
+    orig = b._snapshot
+
+    calls = {"n": 0}
+
+    def stale_once(as_of=None):
+        calls["n"] += 1
+        if calls["n"] == 1 and as_of is None:
+            return stale
+        return orig(as_of)
+
+    a.merge(_recs(spark, [("B2", 22)]))          # v1 (A wins)
+    b._snapshot = stale_once
+    with pytest.raises(CommitConflict):
+        b.merge(_recs(spark, [("B3", 3)]))       # stale -> v1 conflict
+    calls["n"] = 0
+    b._snapshot = stale_once
+    v = b.merge(_recs(spark, [("B3", 3)]), retries=2)
+    assert v == 2
+    rows = {r["bibcode"]: r["v"] for r in a.read().collect()}
+    assert rows == {"B1": 1, "B2": 22, "B3": 3}

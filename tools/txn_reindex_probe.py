@@ -1,0 +1,151 @@
+"""E2E file-skipping evidence for the CLI txn pipeline (VERDICT r6
+tasks 3+4): bootstrap a many-file clustered records table through
+``cli ingest --fmt txn``, seed sinks with a full reindex, then apply
+narrow incremental batches and run the cron-tick reindex — recording,
+from the CLI's own output JSON, the three probes:
+
+- ``ingest.probe``          — records MERGE during incremental ingest
+- ``probes.watermark_scan`` — the ``updated >= since`` read
+- ``probes.writeback_merge``— the mark_processed writeback MERGE
+- ``probes.metrics_merge``  — the metrics-table upsert MERGE
+
+Done-criterion: candidate_files << live_files on every probe (the
+reference's hottest query, run.py:147-151, and its metrics upsert,
+adsmp/app.py:45-77, both file-skipped).
+
+Usage: python tools/txn_reindex_probe.py [--json OUT.json]
+         [--rows N] [--batches K] [--batch B]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+
+def _write_events(d: str, rows: list[dict]) -> None:
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "b.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _full_record_events(bibs: list[str], day: int) -> list[dict]:
+    rows = []
+    for i, b in enumerate(bibs):
+        ts = f"2024-01-{day:02d}T00:00:{i % 60:02d}.000Z"
+        for t, p in (
+                ("bib_data", {"bibcode": b, "title": [f"T {b}"]}),
+                ("orcid_claims", {"verified": ["0000-1"]}),
+                ("nonbib_data", {"boost": 0.2}),
+                ("metrics", {"citation_num": i % 7,
+                             "citations": [f"C{b}"]})):
+            rows.append({"bibcode": b, "type": t, "status": "active",
+                         "payload": json.dumps(p), "event_ts": ts})
+    return rows
+
+
+def _touch_events(bibs: list[str], day: int, tag: str) -> list[dict]:
+    return [{"bibcode": b, "type": "metrics", "status": "active",
+             "payload": json.dumps({"citation_num": 99,
+                                    "citations": [f"C{tag}-{b}"]}),
+             "event_ts": f"2024-02-{day:02d}T00:00:00.000Z"}
+            for b in bibs]
+
+
+def _cli(argv: list[str]) -> dict:
+    from adsmasterpipeline_spark.cli import main
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(argv)
+    assert rc == 0, (argv, buf.getvalue())
+    return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    json_out = None
+    opts = {"rows": 16384, "batches": 4, "batch": 256}
+    while argv:
+        if argv[0] == "--json":
+            json_out = argv[1]; argv = argv[2:]
+        elif argv[0] in ("--rows", "--batches", "--batch"):
+            opts[argv[0][2:]] = int(argv[1]); argv = argv[2:]
+        else:
+            raise SystemExit(f"unknown arg {argv[0]}")
+    rpf = str(max(512, opts["rows"] // 24))
+
+    from adsmasterpipeline_spark.session import get_spark
+    get_spark("txn_reindex_probe").sparkContext.setLogLevel("ERROR")
+
+    workdir = tempfile.mkdtemp(prefix="txnprobe_")
+    data = os.path.join(workdir, "data")
+    out = {"config": {**opts, "rows_per_file": int(rpf)}, "steps": []}
+    try:
+        bibs = [f"K{i:06d}" for i in range(opts["rows"])]
+        _write_events(os.path.join(workdir, "ev_boot"),
+                      _full_record_events(bibs, 1))
+        r = _cli(["ingest", "--events",
+                  os.path.join(workdir, "ev_boot"), "--data", data,
+                  "--fmt", "txn", "--rows-per-file", rpf])
+        out["steps"].append({"step": "bootstrap_ingest", **r})
+        r = _cli(["reindex", "--data", data, "--fmt", "txn",
+                  "--rows-per-file", rpf])
+        out["steps"].append({"step": "seed_reindex", **r})
+
+        for k in range(opts["batches"]):
+            start = (k * 7919) % (opts["rows"] - opts["batch"])
+            touched = bibs[start:start + opts["batch"]]
+            ev = os.path.join(workdir, f"ev_{k}")
+            _write_events(ev, _touch_events(touched, k + 1, f"b{k}"))
+            r = _cli(["ingest", "--events", ev, "--data", data,
+                      "--fmt", "txn", "--rows-per-file", rpf])
+            out["steps"].append({"step": f"incremental_ingest_{k}",
+                                 **r})
+            # NO --since: the cron tick uses the KV watermark the
+            # previous run advanced (run.py:110-137's cadence) —
+            # `updated` is PROCESSING time, so files written before
+            # the last run's watermark are exactly the prunable ones
+            r = _cli(["reindex", "--data", data, "--fmt", "txn",
+                      "--rows-per-file", rpf])
+            out["steps"].append({"step": f"cron_reindex_{k}", **r})
+
+        # summary: every probe must show candidates << live
+        ratios = []
+        for s in out["steps"]:
+            probes = dict(s.get("probes") or {})
+            if "probe" in s:
+                probes["ingest_merge"] = s["probe"]
+            for name, p in probes.items():
+                if p and p.get("live_files"):
+                    ratios.append(
+                        (s["step"], name,
+                         p["candidate_files"] / p["live_files"],
+                         p["candidate_files"], p["live_files"]))
+        out["probe_ratios"] = [
+            {"step": st, "probe": nm,
+             "candidate_over_live": round(ra, 3),
+             "candidates": c, "live": lv}
+            for st, nm, ra, c, lv in ratios]
+        for row in out["probe_ratios"]:
+            print(f"{row['step']}/{row['probe']}: "
+                  f"{row['candidates']}/{row['live']} files "
+                  f"({row['candidate_over_live']:.0%})")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
