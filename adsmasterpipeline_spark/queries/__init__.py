@@ -47,42 +47,43 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 # named here follow in registration order; rows-only entries always
 # sort last.
 #
-# Round-6 rotation (VERDICT.md r5 task 7): cumulative driver-green
-# across rounds is what counts — after r05, EVERY oracled query
-# (126/126) has a green driver row in some round. This window = the
-# three oracled queries whose ORACLE or plan changed in round 6
-# (ann_sign_lsh: Hadamard fixed-point buckets + hamming-3;
-# embedding_cosine_neardup{,_gemm}: list-native DuckDB formulation
-# replacing the range-join that timed out at the stress SF) + all 27
-# oracled queries whose last driver-green is r03 (the stalest tier,
-# computed from committed CORRECTNESS_r0{1..5}.json) + 20 of the r04
-# tier, refreshing the oldest evidence end to end. Round-6's other
-# changes have no oracled surface: TxnTable stats/checkpointing and
-# the streaming txn subset-merge are pytest + STREAMTXN_r06-covered;
-# progressive JPEG decode feeds rows-only multimodal entries.
+# Round-7 rotation (VERDICT.md r6 task 2): cumulative driver-green
+# across rounds is what counts. This window = the TWO round-6
+# additions that have never had a driver row (judge-run green only:
+# shingle_containment_pairs, distinct_ngram_diversity — rotating them
+# in returns cumulative driver-green to 100% of oracled queries with
+# zero judge-substituted rows) + all 27 oracled queries whose last
+# driver-green is r04 (the stalest tier, computed from committed
+# CORRECTNESS_r0{1..6}.json) + the alphabetically-first 21 of the 49
+# r05-stale queries (the rest rotate in next round). No oracled
+# query's SQL or plan changed in round 7: the round's changes
+# (TxnTable stats/cleanup/retry, streaming insert stat-fold, crash-
+# safe publish, cli txn routing) are pytest/STREAMTXN/TXNPROBE
+# surfaces, and the ann_ivf/ann_pq retunes are rows-only entries.
 PRIORITY: tuple[str, ...] = (
-    # -- changed in round 6 --
-    "ann_sign_lsh", "embedding_cosine_neardup",
-    "embedding_cosine_neardup_gemm",
-    # -- stalest driver evidence (last green r03) --
-    "asof_attribution", "assign_scalable", "benchmark_contamination",
-    "bigram_lm_nll", "char_entropy", "cluster_keeper_quality",
-    "cosine_topk", "dedup_clusters", "mixture_temperature_weights",
-    "pii_scrub", "q10_returned_items", "q11_important_stock",
-    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
-    "q18_large_volume", "q20_potential_promotion",
-    "q21_suppliers_kept_waiting", "q22_global_sales_opportunity",
-    "quality_rules_filter", "range_join_bands", "repetition_quality",
-    "salted_group_counts", "source_mixture_sample", "span_dedup_docs",
-    "streaming_windowed_counts", "zorder_data_skipping",
-    # -- next-stalest (last green r04) --
-    "agg_argmax_per_group", "agg_collect_sorted", "agg_counts_per_group",
-    "agg_nonnull_counts", "ann_int8_quantized", "ann_ivf_kmeans",
-    "bloom_shingle_filter", "bm25_topdf_terms", "bpe_learn_encode",
-    "case_when_mapping", "chunk_documents", "cohort_retention",
-    "corpus_clean", "corpus_dedup_pipeline", "corpus_train_split",
-    "countmin_heavy_hitters", "date_buckets", "dsir_importance_weights",
-    "duplicated_substring_runs", "embedding_quantize",
+    # -- round-6 additions, never driver-checked --
+    "shingle_containment_pairs", "distinct_ngram_diversity",
+    # -- stalest driver evidence (last green r04) --
+    "first_last_value", "funnel_conversion", "gapfill_forward_fill",
+    "has_fields", "hll_distinct_tokens", "inverted_index_topdf",
+    "join_anti", "join_left_outer", "join_semi",
+    "json_payload_extract", "ntile_rank_scalable",
+    "pagerank_supplier_customer", "path_transitions",
+    "regexp_rewrite", "rollup_revenue", "sliding_window_counts",
+    "string_agg_ordered", "string_hier_facet", "topk_per_group",
+    "triangle_copurchase", "vocab_encode_docs",
+    "window_bucket_assign", "window_flag_first", "window_lag_lead",
+    "window_ntile_rank", "window_range_frame", "window_running_total",
+    # -- next-stalest (last green r05, alphabetical first 21) --
+    "checksum_dispatch", "corpus_token_stats",
+    "correlated_small_quantity", "cube_order_stats", "dedup_exact",
+    "distinct_counts_exact_vs_approx", "doc_fingerprint",
+    "except_keys", "explode_tokens_top", "full_outer_diff",
+    "histogram_prices", "incremental_dedup",
+    "incremental_watermark_scan", "intersect_keys",
+    "label_centroid_distance", "langid_heuristic",
+    "levenshtein_similarity", "merge_last_writer_wins",
+    "min_cost_supplier", "minhash_signatures", "native_max_by",
 )
 
 

@@ -11,11 +11,12 @@ from adsmasterpipeline_spark.queries import (
 _load()
 
 MUST_PROVE = (
-    # changed in round 6 — need fresh green driver rows (the round-5
-    # must-prove set all went green in CORRECTNESS_r05; the rest of
-    # the window refreshes the stalest r03/r04 evidence)
-    "ann_sign_lsh", "embedding_cosine_neardup",
-    "embedding_cosine_neardup_gemm",
+    # VERDICT r6 task 2: the round-6 additions were judge-run green
+    # but have never had a DRIVER row — they must hold the window
+    # front until CORRECTNESS_r07 records them (the round-6
+    # must-prove set all went green in CORRECTNESS_r06; the rest of
+    # the window refreshes the stalest r04/r05 evidence)
+    "shingle_containment_pairs", "distinct_ngram_diversity",
 )
 
 
