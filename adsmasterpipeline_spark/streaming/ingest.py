@@ -58,6 +58,13 @@ class StreamingIngest:
         self.txn_opts = dict(txn_opts or {})
         self.auto_compact_every = self.txn_opts.pop(
             "auto_compact_every", 0)
+        # "auto_cleanup_log": True additionally runs
+        # TxnTable.cleanup_log() after each auto-compact — an
+        # unbounded stream otherwise grows the _txn/ LISTING with
+        # epochs even though only checkpoint+tail are read. Off by
+        # default: it trades away pre-checkpoint time travel.
+        self.auto_cleanup_log = self.txn_opts.pop(
+            "auto_cleanup_log", False)
         # counts APPLIED merges, not table versions: compact's own
         # commit bumps the version, so a version-modulo check drifts
         # to every N-1 batches (every single batch at N=2), and a
@@ -154,6 +161,8 @@ class StreamingIngest:
                         >= self.auto_compact_every):
                     t.compact()
                     self._merges_since_compact = 0
+                    if self.auto_cleanup_log:
+                        t.cleanup_log()
             return
         # copy-on-write commit: write a fresh versioned snapshot dir,
         # then atomically repoint the table symlink (the reference's

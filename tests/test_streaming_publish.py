@@ -136,3 +136,34 @@ def test_parquet_publish_survives_crash_and_replays(spark, tmp_path):
              and os.path.join(d, n) != cur
              and os.path.realpath(os.path.join(d, n)) != cur]
     assert stale == []
+
+
+def test_txn_stream_auto_cleanup_bounds_log_listing(spark, tmp_path):
+    """Long-running stream with auto-compact + auto-cleanup: the
+    _txn/ entry-file count stays bounded by the checkpoint tail
+    instead of growing one file per epoch, while state, replay
+    detection and reads stay correct."""
+    from adsmasterpipeline_spark.streaming.ingest import StreamingIngest
+
+    base = tmp_path / "acl"
+    events_dir = base / "events"
+    events_dir.mkdir(parents=True)
+    ing = StreamingIngest(
+        spark, str(events_dir), str(base / "records"),
+        str(base / "ckpt"), fmt="txn",
+        txn_opts={"cluster_writes": True, "rows_per_file": 64,
+                  "checkpoint_every": 3, "auto_compact_every": 3,
+                  "auto_cleanup_log": True})
+    for e in range(10):
+        _write_events(str(events_dir), f"e{e}.json",
+                      [_event(f"B{e:02d}{i}", i) for i in range(4)])
+        ing.run_available_now()
+    t = ing._txn()
+    assert t.read().count() == 40
+    log = os.path.join(str(base / "records"), "_txn")
+    entries = [n for n in os.listdir(log)
+               if n.endswith(".json") and not n.startswith("checkpoint")]
+    # 10 epochs + compacts committed ~13 versions; the cleaned log
+    # keeps only the post-checkpoint tail
+    assert len(entries) <= 6, sorted(entries)
+    assert t.version() >= 10
