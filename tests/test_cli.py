@@ -236,6 +236,19 @@ def test_cli_lake_maintenance(spark, tmp_path, capsys):
     assert vac["deleted_files"] > 0
     assert t.read().count() == 220
 
+    # cleanup-log: young table (no checkpoint yet) is a no-op; after
+    # enough commits to checkpoint, superseded entries are deleted
+    assert main(["lake", "cleanup-log", "--path", path]) == 0
+    cl = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cl["deleted_log_files"] == 0
+    for e in range(5):                       # -> version >= 10 -> cp
+        t.merge(spark.createDataFrame(
+            [(f"M{e}", e)], "bibcode string, v long"))
+    assert main(["lake", "cleanup-log", "--path", path]) == 0
+    cl = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cl["deleted_log_files"] > 0
+    assert t.read().count() == 225           # state intact
+
 
 def _mk_events(tmp_path, name, bibs, day, full=True):
     d = tmp_path / name

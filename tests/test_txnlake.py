@@ -950,3 +950,47 @@ def test_txn_merge_conflict_retry(spark, tmp_path):
     assert v == 2
     rows = {r["bibcode"]: r["v"] for r in a.read().collect()}
     assert rows == {"B1": 1, "B2": 22, "B3": 3}
+
+
+def test_txn_concurrent_writers_threads(spark, tmp_path):
+    """REAL concurrency, not a simulated stale snapshot: four threads
+    each apply four merges to the SAME table through merge(retries=)
+    — the os.link version race serializes them; every batch lands
+    exactly once, version count equals total commits, and replayed
+    app_txn_ids stay idempotent across writers."""
+    import threading
+
+    path = str(tmp_path / "t")
+    t0 = txn_table(spark, path)
+    t0.overwrite(_recs(spark, [("SEED", 0)]))
+
+    n_writers, n_batches = 4, 4
+    errors: list[Exception] = []
+
+    def writer(w: int):
+        try:
+            t = txn_table(spark, path)
+            for b in range(n_batches):
+                rows = [(f"W{w}B{b}K{i}", w * 100 + b) for i in range(3)]
+                t.merge(_recs(spark, rows), app_txn_id=f"w{w}-b{b}",
+                        retries=32)
+        except Exception as exc:           # surface into the assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,))
+               for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+
+    t = txn_table(spark, path)
+    assert t.version() == n_writers * n_batches      # every commit landed
+    rows = {r["bibcode"] for r in t.read().collect()}
+    assert len(rows) == 1 + n_writers * n_batches * 3
+    # replaying any writer's txn id is a no-op from any handle
+    v = t.merge(_recs(spark, [("SEED", 99)]), app_txn_id="w2-b1")
+    assert v == n_writers * n_batches
+    assert {r["v"] for r in t.read().collect()
+            if r["bibcode"] == "SEED"} == {0}
