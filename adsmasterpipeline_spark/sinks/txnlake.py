@@ -115,7 +115,8 @@ class TxnTable:
                  cluster_writes: bool = False,
                  rows_per_file: int = 500_000,
                  bloom_bits: int = 0,
-                 stats_cols: tuple[str, ...] = ("id", "updated")):
+                 stats_cols: tuple[str, ...] = ("id", "updated"),
+                 schema_evolution: bool = False):
         self.spark = spark
         self.path = os.path.abspath(path)
         self.key = key
@@ -131,6 +132,14 @@ class TxnTable:
         # a no-op for tables without those columns. The extra min/max
         # aggregates ride the stats job _write_data already runs.
         self.stats_cols = tuple(stats_cols)
+        # schema_evolution=True is Delta's mergeSchema: a merge whose
+        # batch carries NEW columns widens the table (survivors union
+        # by name with nulls for the missing side) and every read
+        # merges per-file footers so old files surface the new
+        # columns as null. Off by default — the strict mode fails
+        # loudly on drift, which is what a fixed-schema pipeline
+        # wants.
+        self.schema_evolution = schema_evolution
         # cluster_writes range-partitions every written batch by key
         # (~rows_per_file rows per data file) — Delta's cluster-by
         # analogue. Key-clustered files are what make the min/max
@@ -499,6 +508,15 @@ class TxnTable:
         return tagged.groupBy("_f").applyInPandas(
             per_file, "_f string, bloom string").collect()
 
+    def _read_files(self, files: list[str]) -> DataFrame:
+        """Scan table-relative data files; with schema_evolution the
+        per-file footers merge so pre-widening files surface later
+        columns as null (Delta's mergeSchema read)."""
+        r = self.spark.read
+        if self.schema_evolution:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(*[os.path.join(self.path, f) for f in files])
+
     def max_stat(self, col: str):
         """Table-wide max of ``col`` derived ENTIRELY from the
         per-file stats — a driver-side fold over the live file list,
@@ -569,11 +587,8 @@ class TxnTable:
         self.last_read_probe = {"live_files": len(snap.live),
                                 "candidate_files": sorted(cands)}
         if not cands:
-            first = next(iter(snap.live))
-            return (self.spark.read.parquet(
-                os.path.join(self.path, first)).limit(0))
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in cands])
+            return self._read_files([next(iter(snap.live))]).limit(0)
+        df = self._read_files(cands)
         if lo is not None:
             df = df.where(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -600,20 +615,16 @@ class TxnTable:
                                 "candidate_files": sorted(cands)}
         if not cands:
             # no file can contain any key: empty frame, table schema
-            first = next(iter(snap.live))
-            return (self.spark.read.parquet(
-                os.path.join(self.path, first)).limit(0))
-        return (self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in cands])
-            .join(keys, self.key, "left_semi"))
+            return self._read_files([next(iter(snap.live))]).limit(0)
+        return (self._read_files(cands)
+                .join(keys, self.key, "left_semi"))
 
     def read(self, as_of: int | None = None) -> DataFrame:
         files = self.live_files(as_of)
         if not files:
             raise FileNotFoundError(
                 f"TxnTable at {self.path} has no committed data")
-        return self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in files])
+        return self._read_files(files)
 
     # ------------------------------------------------------ operations
     def overwrite(self, df: DataFrame,
@@ -739,9 +750,8 @@ class TxnTable:
                     .localCheckpoint())
         candidates = self._prune_candidates(snap.live, affected)
         if candidates:
-            tagged = (self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in candidates])
-                .withColumn("_file", F.input_file_name()))
+            tagged = (self._read_files(candidates)
+                      .withColumn("_file", F.input_file_name()))
             # file list is bounded by file count (driver-side by
             # design — the same cardinality Delta's log fold holds on
             # the driver)
@@ -770,10 +780,12 @@ class TxnTable:
         }
         upserts = changed.join(deleted_keys, key, "left_anti")
         if touched:
-            survivors = (self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in touched])
-                .join(affected, key, "left_anti"))
-            new_rows = survivors.unionByName(upserts)
+            survivors = (self._read_files(touched)
+                         .join(affected, key, "left_anti"))
+            # schema evolution: a widening batch unions by name with
+            # nulls on the narrow side; strict mode fails loudly
+            new_rows = survivors.unionByName(
+                upserts, allowMissingColumns=self.schema_evolution)
         else:
             new_rows = upserts
         # rewrite is read-from-committed-files, write-to-new-dir: no
@@ -804,8 +816,7 @@ class TxnTable:
                  if not s or s.get("rows") is None or s["rows"] <= thr]
         if len(small) < 2:
             return snap.version
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in small])
+        df = self._read_files(small)
         n = df.count()
         nfiles = max(1, -(-n // self.rows_per_file))
         packed = df.repartitionByRange(nfiles, self.key) \

@@ -994,3 +994,35 @@ def test_txn_concurrent_writers_threads(spark, tmp_path):
     assert v == n_writers * n_batches
     assert {r["v"] for r in t.read().collect()
             if r["bibcode"] == "SEED"} == {0}
+
+
+def test_txn_schema_evolution(spark, tmp_path):
+    """Delta mergeSchema parity: with schema_evolution=True a merge
+    whose batch carries a NEW column widens the table — survivors
+    keep nulls for it, reads merge per-file footers so pre-widening
+    files surface the column, and stats pruning keeps working.
+    Strict mode (default) fails loudly on the same drift."""
+    path = str(tmp_path / "t")
+    strict = txn_table(spark, path)
+    strict.overwrite(_recs(spark, [("B1", 1), ("B2", 2)]))
+    widened = spark.createDataFrame(
+        [("B2", 22, "en"), ("B3", 3, "de")],
+        "bibcode string, v long, lang string")
+    with pytest.raises(Exception):
+        strict.merge(widened)              # strict: loud failure
+
+    evo = txn_table(spark, path, schema_evolution=True)
+    evo.merge(widened)
+    rows = {r["bibcode"]: (r["v"], r["lang"])
+            for r in evo.read().collect()}
+    assert rows == {"B1": (1, None), "B2": (22, "en"),
+                    "B3": (3, "de")}
+    # point reads across old+new files see the merged schema too
+    keyed = evo.read_for_keys(
+        spark.createDataFrame([("B1",), ("B3",)], "bibcode string"))
+    got = {r["bibcode"]: r["lang"] for r in keyed.collect()}
+    assert got == {"B1": None, "B3": "de"}
+    # narrowing batch back-fills nulls for the missing column
+    evo.merge(_recs(spark, [("B4", 4)]))
+    assert {r["bibcode"]: r["lang"] for r in
+            evo.read().collect()}["B4"] is None
