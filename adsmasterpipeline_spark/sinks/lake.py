@@ -28,6 +28,7 @@ subset) and the delete keys, exactly what ``merge_updates`` computes.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
@@ -93,14 +94,21 @@ def publish_snapshot_dir(path: str, staging: str) -> None:
         os.rename(tmp, path)       # atomically replaces the symlink
         if prev and prev != staging:
             shutil.rmtree(prev, ignore_errors=True)
-    # sweep orphan snapshot dirs / temp pointers from crashed attempts
+    # sweep orphan snapshot dirs / temp pointers from crashed attempts.
+    # Snapshot dirs match ONLY the exact generated shapes —
+    # ``base.v-<8 hex>`` (write_records / cli) and
+    # ``base.v<epoch digits>-<8 hex>`` (streaming) — a bare
+    # ``base + ".v"`` prefix test also swept UNRELATED siblings like
+    # ``records.v2_backup`` or ``records.vocab`` on every publish
+    # (ADVICE r7: silent deletion of a neighbor dataset).
     cur = os.path.realpath(path)
     d, base = os.path.dirname(path), os.path.basename(path)
+    snap_re = re.compile(re.escape(base) + r"\.v\d*-[0-9a-f]{8}$")
     for name in os.listdir(d):
         full = os.path.join(d, name)
         if full == path or os.path.realpath(full) == cur:
             continue
-        if (name.startswith(base + ".v") and os.path.isdir(full)
+        if (snap_re.fullmatch(name) and os.path.isdir(full)
                 and not os.path.islink(full)):
             shutil.rmtree(full, ignore_errors=True)
         elif name.startswith((base + ".ptr-", base + ".legacy-")):

@@ -254,6 +254,35 @@ class TxnTable:
             if as_of is not None and v > as_of:
                 break
             self._fold_entry(snap, self._load_json(p))
+        if as_of is not None and snap.version < as_of:
+            # Tail-missing guard (ADVICE r7, data-loss severity): when
+            # ``as_of`` falls BETWEEN a retained older checkpoint and
+            # the cleanup_log horizon (checkpoints {10, 20} kept,
+            # entries <= 20 deleted, as_of = 16), the fold above seeds
+            # from checkpoint 10 and finds no surviving entries in
+            # (10, 16] — silently returning version-10 state as if it
+            # were version 16. A time-travel read would return stale
+            # data against the cleanup_log docstring's raise contract,
+            # and vacuum (which derives its protected set from
+            # _snapshot(as_of=horizon)) would under-protect and delete
+            # files still live at the horizon: permanent loss. If the
+            # table is KNOWN to have reached ``as_of`` (some entry or
+            # checkpoint at/above it exists) but the fold stopped
+            # short, the connecting entries were cleaned — refuse.
+            # ``as_of`` beyond the table's latest version stays legal
+            # (folds to the current state, same as before).
+            known = entries[-1][0] if entries else -1
+            cps = self._checkpoint_versions()
+            if cps:
+                known = max(known, cps[-1])
+            if as_of <= known:
+                raise ValueError(
+                    f"TxnTable log at {self._log_dir()} cannot "
+                    f"reconstruct version {as_of}: fold reached only "
+                    f"version {snap.version} (entries in "
+                    f"({snap.version}, {as_of}] were removed by "
+                    f"cleanup_log); returning the partial fold would "
+                    f"be silently stale")
         return snap
 
     def _maybe_checkpoint(self, version: int) -> None:
@@ -285,12 +314,27 @@ class TxnTable:
         carried_from = None
         if prev is not None and prev < version:
             try:
-                raw = self._load_json(
-                    self._checkpoint_path(prev)).get("txn_pairs")
+                prev_data = self._load_json(self._checkpoint_path(prev))
+                raw = prev_data.get("txn_pairs")
                 if raw is not None:
                     pairs = [(int(v), t) for v, t in raw
                              if lo < int(v) <= version]
                     carried_from = prev
+                else:
+                    # MIGRATION (ADVICE r7): a pre-pairs checkpoint
+                    # only has the flat txn_ids set. If cleanup_log
+                    # already deleted entries inside the retention
+                    # window, the full-window rebuild below would fold
+                    # only surviving entry files and silently drop
+                    # replay-detection ids for the cleaned versions —
+                    # a redelivered epoch in that window could then
+                    # double-apply. Merge the legacy ids, tagged at
+                    # the old checkpoint's version (conservative: they
+                    # expire no earlier than they would have), and let
+                    # the entry scan add anything committed since.
+                    if lo < prev <= version:
+                        pairs = [(prev, t)
+                                 for t in prev_data.get("txn_ids", [])]
             except (OSError, ValueError, KeyError, TypeError):
                 pass
         for v, p in self._entry_files():
@@ -517,6 +561,19 @@ class TxnTable:
             r = r.option("mergeSchema", "true")
         return r.parquet(*[os.path.join(self.path, f) for f in files])
 
+    def _empty_like(self, snap: Snapshot) -> DataFrame:
+        """Zero-row frame with the TABLE schema. In strict mode every
+        live file shares one schema, so any single footer suffices;
+        with schema_evolution a file written before a widening merge
+        lacks the newer columns (mergeSchema over ONE file adds
+        nothing), so the empty frame must merge ALL live footers —
+        otherwise code selecting a post-widening column fails only on
+        the rare empty-result path (ADVICE r7). Footer-only cost:
+        limit(0) never reads row data."""
+        files = (list(snap.live) if self.schema_evolution
+                 else [next(iter(snap.live))])
+        return self._read_files(files).limit(0)
+
     def max_stat(self, col: str):
         """Table-wide max of ``col`` derived ENTIRELY from the
         per-file stats — a driver-side fold over the live file list,
@@ -587,7 +644,7 @@ class TxnTable:
         self.last_read_probe = {"live_files": len(snap.live),
                                 "candidate_files": sorted(cands)}
         if not cands:
-            return self._read_files([next(iter(snap.live))]).limit(0)
+            return self._empty_like(snap)
         df = self._read_files(cands)
         if lo is not None:
             df = df.where(F.col(col) >= F.lit(lo))
@@ -615,7 +672,7 @@ class TxnTable:
                                 "candidate_files": sorted(cands)}
         if not cands:
             # no file can contain any key: empty frame, table schema
-            return self._read_files([next(iter(snap.live))]).limit(0)
+            return self._empty_like(snap)
         return (self._read_files(cands)
                 .join(keys, self.key, "left_semi"))
 
@@ -795,7 +852,8 @@ class TxnTable:
         self._commit(v, adds, touched, "merge", app_txn_id)
         return v
 
-    def compact(self, small_rows_threshold: int | None = None) -> int:
+    def compact(self, small_rows_threshold: int | None = None,
+                retries: int = 0) -> int:
         """OPTIMIZE: fold small data files into ~rows_per_file-sized
         key-clustered ones in one atomic commit (Delta's bin-packing
         OPTIMIZE). Micro-batch merges add one small file per epoch —
@@ -808,7 +866,27 @@ class TxnTable:
         files stay live until the single commit swaps the references.
         Returns the committed version, or the current one when
         nothing qualifies (needs >= 2 small files to pay for itself).
+
+        ``retries``: like ``merge(retries=N)`` — on a CommitConflict
+        (a concurrent writer landed a commit between this compact's
+        snapshot and its CAS) the WHOLE compact re-runs against the
+        fresh snapshot, so the small-file set re-evaluates and a file
+        a racing merge just rewrote is never doubly referenced or
+        stale-referenced (VERDICT r7 #3: compact previously had no
+        rebase path even though merge did, so a multi-writer table's
+        auto-compact could fail a streaming epoch). A losing
+        attempt's packed files are unreferenced orphans (vacuum
+        collects them), never corruption.
         """
+        for attempt in range(retries + 1):
+            try:
+                return self._compact_once(small_rows_threshold)
+            except CommitConflict:
+                if attempt == retries:
+                    raise
+
+    def _compact_once(self,
+                      small_rows_threshold: int | None = None) -> int:
         thr = (self.rows_per_file // 2 if small_rows_threshold is None
                else small_rows_threshold)
         snap = self._snapshot()

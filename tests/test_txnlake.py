@@ -500,11 +500,13 @@ def test_txn_vacuum_and_history(spark, tmp_path):
 @pytest.mark.parametrize("seed", [7, 23])
 def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
     """Model-based check of the WHOLE lifecycle: a seeded random
-    sequence of merge/delete/overwrite/compact/vacuum ops (checkpoints
-    firing every 3 commits) must keep the table equal to a plain dict
-    model after every step — the same style of test that caught the
-    round-5 order-proxy byte bug. Vacuum keeps enough versions that
-    the current snapshot is always intact."""
+    sequence of merge/delete/overwrite/compact/vacuum/cleanup_log ops
+    (checkpoints firing every 3 commits) must keep the table equal to
+    a plain dict model after every step — the same style of test that
+    caught the round-5 order-proxy byte bug. Vacuum keeps enough
+    versions that the current snapshot is always intact; cleanup_log
+    interleaving proves retention + vacuum's horizon fallback never
+    touch live data (the ADVICE r7 loss scenario)."""
     import random
 
     rng = random.Random(seed)
@@ -533,7 +535,7 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
 
     for step in range(10):
         op = rng.choice(["merge", "merge", "merge", "delete",
-                         "compact", "vacuum"])
+                         "compact", "vacuum", "cleanup"])
         if op == "merge":
             ups = {rng.choice(keys): step * 100 + i for i in range(4)}
             dels = ({rng.choice(list(model))}
@@ -556,8 +558,10 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
             model.pop(k)
         elif op == "compact":
             t.compact()
-        else:
+        elif op == "vacuum":
             t.vacuum(keep_versions=3, min_age_seconds=0)
+        else:
+            t.cleanup_log()
         check()
 
     # replaying the whole history through time travel still resolves
@@ -1026,3 +1030,205 @@ def test_txn_schema_evolution(spark, tmp_path):
     evo.merge(_recs(spark, [("B4", 4)]))
     assert {r["bibcode"]: r["lang"] for r in
             evo.read().collect()}["B4"] is None
+
+
+def test_txn_snapshot_refuses_cleaned_midwindow(spark, tmp_path):
+    """ADVICE r8 (data-loss severity): with checkpoints {3, 6}
+    retained and entries <= 6 removed by cleanup_log, _snapshot(4)
+    used to seed from checkpoint 3 and silently return version-3
+    state AS IF it were version 4 — time travel went stale against
+    the cleanup_log raise contract, and vacuum (whose protected set
+    comes from _snapshot(as_of=horizon)) under-protected and deleted
+    files STILL LIVE at the horizon: permanent loss. Now the
+    mid-window fold refuses, and vacuum's ValueError fallback
+    protects from the oldest reconstructable checkpoint >= horizon
+    instead."""
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, checkpoint_every=3)
+    t.overwrite(_recs(spark, [("B0", 0)]))                  # v0
+    for i in range(1, 9):                   # v1..v8, cps at 3 and 6
+        t.merge(_recs(spark, [(f"B{i}", i)]))               # inserts
+    t.cleanup_log()          # entries <= 6 gone; cps {3, 6} retained
+    assert {3, 6} <= set(t._checkpoint_versions())
+
+    # time travel BETWEEN retained cp 3 and the cleaned horizon must
+    # refuse (previously: silently returned v3 state)
+    with pytest.raises(ValueError, match="reconstruct version 4"):
+        t.read(as_of=4)
+    # exact retained checkpoints and the live tail still resolve
+    assert t.read(as_of=3).count() == 4
+    assert t.read(as_of=6).count() == 7
+    assert t.read(as_of=8).count() == 9
+
+    # the ADVICE repro: vacuum with a horizon inside the cleaned
+    # window (latest 8, keep 5 -> horizon 4). Insert-only workload
+    # means EVERY file ever added is still live — vacuum must delete
+    # nothing, and the table must stay fully readable.
+    deleted = t.vacuum(keep_versions=5, min_age_seconds=0)
+    # only _SUCCESS/.crc write-marker junk may go — never a data file
+    # (insert-only workload: every parquet ever added is still live)
+    assert not [d for d in deleted if d.endswith(".parquet")]
+    for f in t.live_files():
+        assert os.path.exists(os.path.join(path, f))
+    assert t.read().count() == 9
+
+
+def test_txn_checkpoint_migrates_legacy_txn_ids(spark, tmp_path):
+    """ADVICE r8: a pre-r7 checkpoint has only the flat txn_ids set
+    (no txn_pairs). Once cleanup_log deletes the entries it
+    superseded, the next checkpoint's full-window rebuild can only
+    fold SURVIVING entries — without the migration the cleaned
+    versions' replay-detection ids vanish and a redelivered epoch
+    double-applies. The fix merges the legacy ids (tagged at the old
+    checkpoint's version) into the carried pairs."""
+    import json
+
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, checkpoint_every=3)
+    t.overwrite(_recs(spark, [("B0", 0)]), app_txn_id="a0")  # v0
+    for i in range(1, 4):                         # v1..v3 -> cp 3
+        t.merge(_recs(spark, [(f"B{i}", i)]), app_txn_id=f"a{i}")
+    cp3 = t._checkpoint_path(3)
+    data = json.load(open(cp3))
+    assert "a2" in data["txn_ids"]
+    del data["txn_pairs"]                  # simulate a pre-r7 checkpoint
+    os.unlink(cp3)
+    json.dump(data, open(cp3, "w"))
+    t.cleanup_log(keep_checkpoints=1)      # entries <= 3 deleted
+
+    for i in range(4, 7):                         # v4..v6 -> cp 6
+        t.merge(_recs(spark, [(f"B{i}", i)]), app_txn_id=f"a{i}")
+    assert t._read_last_checkpoint() == 6
+    cp6 = json.load(open(t._checkpoint_path(6)))
+    assert {"a0", "a1", "a2", "a3"} <= set(cp6["txn_ids"])
+
+    # fresh handle: replaying a CLEANED epoch is still a no-op
+    t2 = txn_table(spark, path, checkpoint_every=3)
+    assert t2.seen_txn("a2")
+    v = t2.merge(_recs(spark, [("B2", 999)]), app_txn_id="a2")
+    assert v == 6                                   # replay no-op
+    assert {r["v"] for r in t2.read().collect()
+            if r["bibcode"] == "B2"} == {2}
+
+
+def test_txn_empty_result_schema_under_evolution(spark, tmp_path):
+    """ADVICE r8: the zero-candidate fallback took its schema from
+    ONE arbitrary live file; with schema_evolution that file may
+    predate a widening merge, so the empty frame lacked the newer
+    columns and downstream selects failed only on the empty-result
+    path. Now the empty frame merges ALL live footers."""
+    path = str(tmp_path / "t")
+    evo = txn_table(spark, path, schema_evolution=True)
+    evo.overwrite(_recs(spark, [("A1", 1)]))       # narrow, FIRST file
+    widened = spark.createDataFrame(
+        [("M1", 2, "en")], "bibcode string, v long, lang string")
+    evo.merge(widened)
+
+    # key beyond every file's range -> zero candidates
+    miss = spark.createDataFrame([("ZZZ",)], "bibcode string")
+    out = evo.read_for_keys(miss)
+    assert evo.last_read_probe["candidate_files"] == []
+    assert out.count() == 0
+    assert "lang" in out.columns
+    out.select("lang").collect()            # post-widening column usable
+
+    rng = evo.read_for_range("bibcode", lo="Y0", hi="Z9")
+    assert rng.count() == 0 and "lang" in rng.columns
+
+
+def test_txn_compact_conflict_retry(spark, tmp_path):
+    """VERDICT r7 #3: compact() commits through the same os.link CAS
+    as merge but had no rebase path. Now compact(retries=N) re-runs
+    against the fresh snapshot on CommitConflict — the small-file set
+    re-evaluates, so a file a racing merge just rewrote is never
+    referenced stale."""
+    from adsmasterpipeline_spark.sinks.txnlake import CommitConflict
+
+    path = str(tmp_path / "t")
+    a = txn_table(spark, path, rows_per_file=1000)
+    b = txn_table(spark, path, rows_per_file=1000)
+    a.overwrite(_recs(spark, [("B1", 1)]))                   # v0
+    a.merge(_recs(spark, [("B2", 2)]))                       # v1
+    a.merge(_recs(spark, [("B3", 3)]))                       # v2
+
+    stale = b._snapshot()
+    orig = b._snapshot
+    calls = {"n": 0}
+
+    def stale_once(as_of=None):
+        calls["n"] += 1
+        if calls["n"] == 1 and as_of is None:
+            return stale
+        return orig(as_of)
+
+    a.merge(_recs(spark, [("B2", 22)]))          # v3: snapshot now stale
+    b._snapshot = stale_once
+    with pytest.raises(CommitConflict):
+        b.compact()                              # default: still raises
+    calls["n"] = 0
+    b._snapshot = stale_once
+    v = b.compact(retries=2)                     # rebase succeeds
+    assert v == 4
+    rows = {r["bibcode"]: r["v"] for r in a.read().collect()}
+    assert rows == {"B1": 1, "B2": 22, "B3": 3}  # racing merge's write kept
+    hist = {h["version"]: h["operation"] for h in a.history()}
+    assert hist[4] == "compact"
+
+
+def test_txn_concurrent_writers_with_compactor(spark, tmp_path):
+    """The round-7 4-thread merge race extended with a COMPACTING
+    writer (VERDICT r7 #3 done-criterion): merges and compacts race
+    through the version CAS; every merge lands exactly once, compact
+    commits interleave without losing or duplicating any row, and the
+    final table equals the union of all writers' batches."""
+    import threading
+
+    path = str(tmp_path / "t")
+    t0 = txn_table(spark, path, rows_per_file=1000)
+    t0.overwrite(_recs(spark, [("SEED", 0)]))
+
+    n_writers, n_batches = 3, 3
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def writer(w: int):
+        try:
+            t = txn_table(spark, path, rows_per_file=1000)
+            for b in range(n_batches):
+                rows = [(f"W{w}B{b}K{i}", w * 100 + b) for i in range(3)]
+                t.merge(_recs(spark, rows), app_txn_id=f"w{w}-b{b}",
+                        retries=64)
+        except Exception as exc:
+            errors.append(exc)
+
+    def compactor():
+        try:
+            t = txn_table(spark, path, rows_per_file=1000)
+            while not stop.is_set():
+                t.compact(retries=64)
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,))
+               for w in range(n_writers)]
+    cth = threading.Thread(target=compactor)
+    for th in threads:
+        th.start()
+    cth.start()
+    for th in threads:
+        th.join(timeout=600)
+    stop.set()
+    cth.join(timeout=600)
+    assert not errors, errors
+
+    t = txn_table(spark, path)
+    hist = t.history()
+    n_compacts = sum(1 for h in hist if h["operation"] == "compact")
+    assert t.version() == n_writers * n_batches + n_compacts
+    rows = {r["bibcode"]: r["v"] for r in t.read().collect()}
+    expect = {"SEED": 0}
+    for w in range(n_writers):
+        for b in range(n_batches):
+            expect.update({f"W{w}B{b}K{i}": w * 100 + b
+                           for i in range(3)})
+    assert rows == expect
