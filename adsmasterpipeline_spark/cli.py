@@ -434,18 +434,72 @@ def cmd_delete(args) -> int:
 def cmd_outbox(args) -> int:
     """run.py -a / boost / classify parity: derive outbound request
     batches for the downstream pipelines and write them to the outbox
-    directory (the HTTP/queue adapter's pickup point)."""
+    directory (the HTTP/queue adapter's pickup point).
+
+    ``--fmt txn --incremental`` feeds the derivation from the
+    TxnTable CHANGE-DATA-FEED instead of a full-table rescan
+    (VERDICT r7 task 1's wired consumer): only rows actually
+    inserted/updated since the last emitted version produce requests
+    — O(changed files), with the feed's probe in the output JSON —
+    and the emitted version advances in the KV store only after the
+    outbox write succeeded (same rollback contract as the reindex
+    watermark). The reference derives the same deltas by rescanning
+    + checksum suppression (adsmp/app.py:821-874); the feed makes the
+    consumer O(changed) with no checksum re-derivation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from .outbox import (aff_augment_requests, boost_requests,
                          classify_requests, write_outbox)
+    from .storage import KeyValueStore
     spark = _spark()
-    records = _load_records(spark, args.data)
     fn = {"augment": aff_augment_requests,
           "boost": boost_requests,
           "classify": classify_requests}[args.kind]
-    requests = fn(records)
     out = args.out or os.path.join(args.data, "outbox", args.kind)
+    result: dict = {"kind": args.kind}
+
+    if getattr(args, "fmt", "parquet") == "txn" and args.incremental:
+        t = _records_txn(spark, args.data)
+        kv = KeyValueStore(spark, os.path.join(args.data, "kv"))
+        vk = f"last.outbox.{args.kind}.version"
+        v_lo = int(kv.get(vk) or -1)
+        v_hi = t.version()
+        if v_hi <= v_lo:
+            result["requests"] = 0
+            result["feed"] = {"v_lo": v_lo, "v_hi": v_hi,
+                              "files_read": 0, "live_files": None}
+            print(json.dumps(result))
+            return 0
+        feed = t.changes(v_lo, v_hi)
+        # a key touched in several commits appears once per commit:
+        # keep its LATEST post-state; a key whose last change is a
+        # delete gets no request (nothing to boost/augment)
+        w = Window.partitionBy("bibcode").orderBy(
+            F.col("_commit_version").desc())
+        latest = (feed.where(F.col("_change_type") != "update_preimage")
+                  .withColumn("_rn", F.row_number().over(w))
+                  .where((F.col("_rn") == 1)
+                         & (F.col("_change_type") != "delete"))
+                  .drop("_rn", "_change_type", "_commit_version"))
+        requests = fn(latest).localCheckpoint()
+        write_outbox(requests, out)
+        kv.put(vk, str(v_hi))          # advance only after the write
+        p = t.last_changes_probe or {}
+        result["requests"] = requests.count()
+        result["feed"] = {"v_lo": v_lo, "v_hi": v_hi,
+                          "files_read": len(p.get("files_read", [])),
+                          "live_files": p.get("live_files")}
+        print(json.dumps(result))
+        return 0
+
+    records = (_records_txn(spark, args.data).read()
+               if getattr(args, "fmt", "parquet") == "txn"
+               else _load_records(spark, args.data))
+    requests = fn(records)
     write_outbox(requests, out)
-    print(json.dumps({"kind": args.kind, "requests": requests.count()}))
+    result["requests"] = requests.count()
+    print(json.dumps(result))
     return 0
 
 
@@ -661,6 +715,12 @@ def main(argv=None) -> int:
     po.add_argument("--kind", choices=("augment", "boost", "classify"),
                     required=True)
     po.add_argument("--out")
+    po.add_argument("--fmt", choices=("parquet", "txn"),
+                    default="parquet")
+    po.add_argument("--incremental", action="store_true",
+                    help="txn only: derive requests from the change-"
+                         "data-feed since the last emitted version "
+                         "instead of a full-table rescan")
     po.set_defaults(fn=cmd_outbox)
 
     pc = sub.add_parser("corpus", help="end-to-end training-corpus prep")

@@ -162,6 +162,7 @@ class TxnTable:
         # the probe was allowed to open
         self.last_merge_probe: dict | None = None
         self.last_read_probe: dict | None = None
+        self.last_changes_probe: dict | None = None
 
     # ------------------------------------------------------------ log
     def _log_dir(self) -> str:
@@ -682,6 +683,156 @@ class TxnTable:
             raise FileNotFoundError(
                 f"TxnTable at {self.path} has no committed data")
         return self._read_files(files)
+
+    def changes(self, v_lo: int, v_hi: int | None = None) -> DataFrame:
+        """Change-data-feed (Delta CDF's ``table_changes`` shape,
+        VERDICT r7 task 1): row-level deltas committed in versions
+        ``(v_lo, v_hi]`` — applying them to ``read(as_of=v_lo)`` yields
+        ``read(as_of=v_hi)``. Pass ``v_lo=-1`` to include the bootstrap
+        commit. Returns the table columns plus ``_change_type``
+        (insert / update_preimage / update_postimage / delete) and
+        ``_commit_version``.
+
+        Derived ENTIRELY from what each commit already recorded: a
+        merge rewrites only its touched files, so commit ``v``'s delta
+        is the key-level diff of its ``removes`` (pre-image) against
+        its ``adds`` (post-image) — survivor rows copied verbatim into
+        the rewrite appear identical on both sides and cancel. The
+        feed therefore reads O(touched files per commit), never the
+        table (``last_changes_probe`` records exactly which files were
+        opened, vs the live count). ``compact`` commits reorganize
+        bytes without changing rows and emit NOTHING by construction.
+
+        This is the question the reference answers with a SECOND
+        table — the ``change_log`` audit rows with pre-images written
+        on every upsert (/root/reference/adsmp/models.py:127-141,
+        written at adsmp/app.py:175,250,296) — served here from the
+        transaction log the table already keeps. Downstream
+        incremental consumers (outbox request derivation, cli
+        ``outbox --incremental``) become O(changed) without checksum
+        re-derivation.
+
+        Like Delta CDF, the feed needs both the LOG entries and the
+        DATA files of the range: if ``cleanup_log`` removed an entry
+        or ``vacuum`` collected a pre-image file, this raises instead
+        of returning a partial feed."""
+        latest = self.version()
+        if v_hi is None:
+            v_hi = latest
+        if not (-1 <= v_lo <= v_hi <= latest):
+            raise ValueError(
+                f"changes({v_lo}, {v_hi}): need -1 <= v_lo <= v_hi <= "
+                f"latest committed version ({latest})")
+        entry_paths = dict(self._entry_files())
+        missing = [v for v in range(v_lo + 1, v_hi + 1)
+                   if v not in entry_paths]
+        if missing:
+            raise ValueError(
+                f"changes({v_lo}, {v_hi}): log entries {missing} were "
+                f"removed by cleanup_log — the feed below the log "
+                f"retention horizon is not reconstructable")
+        per_commit: list[DataFrame] = []
+        files_read: set[str] = set()
+        for v in range(v_lo + 1, v_hi + 1):
+            e = self._load_json(entry_paths[v])
+            if e.get("operation") == "compact":
+                continue               # bin-packing: zero row changes
+            adds = [_as_add(a)[0] for a in e.get("adds", [])]
+            removes = list(e.get("removes", []))
+            for f in adds + removes:
+                if not os.path.exists(os.path.join(self.path, f)):
+                    raise ValueError(
+                        f"changes({v_lo}, {v_hi}): data file {f} from "
+                        f"commit {v} was collected by vacuum — "
+                        f"pre-images below the retention horizon are "
+                        f"not reconstructable")
+            files_read.update(adds)
+            files_read.update(removes)
+            pre = self._read_files(removes) if removes else None
+            post = self._read_files(adds) if adds else None
+            per_commit.append(self._commit_diff(pre, post, v))
+        self.last_changes_probe = {
+            "live_files": len(self._snapshot().live),
+            "files_read": sorted(files_read),
+            "commits": v_hi - v_lo}
+        if not per_commit:
+            empty = self._empty_like(self._snapshot())
+            return (empty
+                    .withColumn("_change_type", F.lit(None).cast("string"))
+                    .withColumn("_commit_version", F.lit(None).cast("long")))
+        out = per_commit[0]
+        for df in per_commit[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
+
+    def _commit_diff(self, pre: DataFrame | None, post: DataFrame | None,
+                     version: int) -> DataFrame:
+        """Key-level diff of one commit's rewritten files: rows only in
+        ``post`` are inserts, only in ``pre`` are deletes, on both
+        sides with ANY column differing are update pre/post pairs, and
+        identical rows (survivors copied into the rewrite) cancel.
+        Shuffles on the key over O(touched files) rows only."""
+        key = self.key
+        if pre is None and post is None:
+            raise AssertionError("commit with neither adds nor removes")
+        # align schemas (schema_evolution: pre-widening files lack the
+        # new columns — surface them as typed nulls on the narrow side)
+        cols: dict[str, object] = {}
+        for df in (post, pre):
+            if df is not None:
+                for f_ in df.schema.fields:
+                    cols.setdefault(f_.name, f_.dataType)
+
+        def _aligned(df):
+            if df is None:
+                return None
+            sel = [(F.col(c) if c in df.columns
+                    else F.lit(None).cast(t)).alias(c)
+                   for c, t in cols.items()]
+            return df.select(*sel)
+
+        pre, post = _aligned(pre), _aligned(post)
+        data_cols = [c for c in cols if c != key]
+        tag = (lambda df, t: df.select(
+            *[F.col(c) for c in cols],
+            F.lit(t).alias("_change_type"),
+            F.lit(version).cast("long").alias("_commit_version")))
+        if pre is None:
+            return tag(post, "insert")
+        if post is None:
+            return tag(pre, "delete")
+
+        # struct comparison treats null fields as equal (verified:
+        # Spark's interpreted ordering for complex types); map columns
+        # are not orderable, so compare their canonical JSON instead
+        def _cmp(side):
+            items = []
+            for c in data_cols:
+                col = F.col(f"{side}.{c}")
+                if str(cols[c]).startswith("Map"):
+                    col = F.to_json(col)
+                items.append(col.alias(c))
+            return F.struct(*items) if items else F.lit(0)
+
+        p, q = pre.alias("p"), post.alias("q")
+        pk, qk = F.col(f"p.{key}"), F.col(f"q.{key}")
+        j = p.join(q, pk == qk, "full_outer")
+
+        def _side(cond, side, ctype):
+            return j.where(cond).select(
+                F.col(f"{side}.{key}").alias(key),
+                *[F.col(f"{side}.{c}").alias(c) for c in data_cols],
+                F.lit(ctype).alias("_change_type"),
+                F.lit(version).cast("long").alias("_commit_version"))
+
+        inserts = _side(pk.isNull() & qk.isNotNull(), "q", "insert")
+        deletes = _side(qk.isNull() & pk.isNotNull(), "p", "delete")
+        both = pk.isNotNull() & qk.isNotNull() \
+            & ~_cmp("p").eqNullSafe(_cmp("q"))
+        upd_pre = _side(both, "p", "update_preimage")
+        upd_post = _side(both, "q", "update_postimage")
+        return (inserts.unionByName(deletes)
+                .unionByName(upd_pre).unionByName(upd_post))
 
     # ------------------------------------------------------ operations
     def overwrite(self, df: DataFrame,

@@ -317,3 +317,56 @@ def test_cli_txn_reindex_probes(spark, tmp_path, capsys):
     # metrics table exists as a txn table when the batch is nonempty
     # (this fixture emits no metrics payloads, so it may be absent —
     # the merge probe shape is covered by the nonzero-path tool run)
+
+
+def test_cli_outbox_incremental_from_change_feed(spark, tmp_path, capsys):
+    """VERDICT r7 task 1 wired consumer: `outbox --fmt txn
+    --incremental` derives boost requests from the TxnTable change
+    feed — first run covers the bootstrap, an idle run emits zero, a
+    delta run emits exactly the touched keys while reading only the
+    delta commits' files (probe), and the emitted version advances
+    only after the outbox write."""
+    data = str(tmp_path / "data")
+    ev0 = _mk_events(tmp_path, "ev0", [f"K{i:03d}" for i in range(32)], 1)
+    assert main(["ingest", "--events", str(ev0), "--data", data,
+                 "--fmt", "txn", "--rows-per-file", "8"]) == 0
+    capsys.readouterr()
+
+    out_dir = str(tmp_path / "ob1")
+    assert main(["outbox", "--data", data, "--kind", "boost",
+                 "--fmt", "txn", "--incremental", "--out", out_dir]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["requests"] == 32                 # bootstrap: every record
+    assert r1["feed"]["v_lo"] == -1
+
+    # idle: no new commits -> zero requests, zero files read
+    assert main(["outbox", "--data", data, "--kind", "boost",
+                 "--fmt", "txn", "--incremental", "--out", out_dir]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["requests"] == 0 and r2["feed"]["files_read"] == 0
+
+    # delta: touch two keys, next run emits exactly those two and the
+    # feed opened only the delta commit's files, not the table
+    ev1 = _mk_events(tmp_path, "ev1", ["K003", "K007"], 20, full=False)
+    assert main(["ingest", "--events", str(ev1), "--data", data,
+                 "--fmt", "txn", "--rows-per-file", "8"]) == 0
+    capsys.readouterr()
+    out2 = str(tmp_path / "ob2")
+    assert main(["outbox", "--data", data, "--kind", "boost",
+                 "--fmt", "txn", "--incremental", "--out", out2]) == 0
+    r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r3["requests"] == 2
+    assert 0 < r3["feed"]["files_read"] < r3["feed"]["live_files"]
+    reqs = {r["bibcode"] for r in spark.read.json(out2).collect()}
+    assert reqs == {"K003", "K007"}
+    # the request payload matches the full-rescan derivation for the
+    # same keys (content parity, not just key parity)
+    capsys.readouterr()
+    full = str(tmp_path / "ob_full")
+    assert main(["outbox", "--data", data, "--kind", "boost",
+                 "--fmt", "txn", "--out", full]) == 0
+    want = {r["bibcode"]: r["bib_data"] for r in
+            spark.read.json(full).collect() if r["bibcode"] in reqs}
+    got = {r["bibcode"]: r["bib_data"] for r in
+           spark.read.json(out2).collect()}
+    assert got == want

@@ -8,10 +8,15 @@ from the CLI's own output JSON, the three probes:
 - ``probes.watermark_scan`` — the ``updated >= since`` read
 - ``probes.writeback_merge``— the mark_processed writeback MERGE
 - ``probes.metrics_merge``  — the metrics-table upsert MERGE
+- ``feed``                  — the CHANGE-DATA-FEED consumer
+  (``outbox --fmt txn --incremental``, round 8): files_read is the
+  union of just the delta commits' touched files, never the table
 
 Done-criterion: candidate_files << live_files on every probe (the
 reference's hottest query, run.py:147-151, and its metrics upsert,
-adsmp/app.py:45-77, both file-skipped).
+adsmp/app.py:45-77, both file-skipped), and files_read << live_files
+on every incremental feed step (the reference's change_log audit
+table, adsmp/models.py:127-141, served from the txn log instead).
 
 Usage: python tools/txn_reindex_probe.py [--json OUT.json]
          [--rows N] [--batches K] [--batch B]
@@ -99,6 +104,11 @@ def main() -> int:
         r = _cli(["reindex", "--data", data, "--fmt", "txn",
                   "--rows-per-file", rpf])
         out["steps"].append({"step": "seed_reindex", **r})
+        # baseline-consume the bootstrap through the change feed so
+        # the per-batch outbox runs below are pure deltas
+        r = _cli(["outbox", "--data", data, "--kind", "boost",
+                  "--fmt", "txn", "--incremental"])
+        out["steps"].append({"step": "outbox_feed_bootstrap", **r})
 
         for k in range(opts["batches"]):
             start = (k * 7919) % (opts["rows"] - opts["batch"])
@@ -116,6 +126,11 @@ def main() -> int:
             r = _cli(["reindex", "--data", data, "--fmt", "txn",
                       "--rows-per-file", rpf])
             out["steps"].append({"step": f"cron_reindex_{k}", **r})
+            # incremental outbox: requests derive from changes() over
+            # the versions this batch's ingest + writeback committed
+            r = _cli(["outbox", "--data", data, "--kind", "boost",
+                      "--fmt", "txn", "--incremental"])
+            out["steps"].append({"step": f"outbox_feed_{k}", **r})
 
         # summary: every probe must show candidates << live
         ratios = []
@@ -123,6 +138,10 @@ def main() -> int:
             probes = dict(s.get("probes") or {})
             if "probe" in s:
                 probes["ingest_merge"] = s["probe"]
+            if s.get("feed") and s["feed"].get("live_files"):
+                probes["change_feed"] = {
+                    "candidate_files": s["feed"]["files_read"],
+                    "live_files": s["feed"]["live_files"]}
             for name, p in probes.items():
                 if p and p.get("live_files"):
                     ratios.append(
