@@ -61,29 +61,33 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 # safe publish, cli txn routing) are pytest/STREAMTXN/TXNPROBE
 # surfaces, and the ann_ivf/ann_pq retunes are rows-only entries.
 PRIORITY: tuple[str, ...] = (
-    # -- round-6 additions, never driver-checked --
-    "shingle_containment_pairs", "distinct_ngram_diversity",
-    # -- stalest driver evidence (last green r04) --
-    "first_last_value", "funnel_conversion", "gapfill_forward_fill",
-    "has_fields", "hll_distinct_tokens", "inverted_index_topdf",
-    "join_anti", "join_left_outer", "join_semi",
-    "json_payload_extract", "ntile_rank_scalable",
-    "pagerank_supplier_customer", "path_transitions",
-    "regexp_rewrite", "rollup_revenue", "sliding_window_counts",
-    "string_agg_ordered", "string_hier_facet", "topk_per_group",
-    "triangle_copurchase", "vocab_encode_docs",
-    "window_bucket_assign", "window_flag_first", "window_lag_lead",
-    "window_ntile_rank", "window_range_frame", "window_running_total",
-    # -- next-stalest (last green r05, alphabetical first 21) --
-    "checksum_dispatch", "corpus_token_stats",
-    "correlated_small_quantity", "cube_order_stats", "dedup_exact",
-    "distinct_counts_exact_vs_approx", "doc_fingerprint",
-    "except_keys", "explode_tokens_top", "full_outer_diff",
-    "histogram_prices", "incremental_dedup",
-    "incremental_watermark_scan", "intersect_keys",
-    "label_centroid_distance", "langid_heuristic",
-    "levenshtein_similarity", "merge_last_writer_wins",
-    "min_cost_supplier", "minhash_signatures", "native_max_by",
+    # Round-8 window (VERDICT r7 task 2): computed from committed
+    # CORRECTNESS_r0{1..7}.json — every oracled query's LAST
+    # driver-green round. The 28 whose last green is r05 lead, then
+    # 22 of the 50 whose last green is r06 (alphabetical), so
+    # cumulative staleness after this round is <= r06 for every
+    # oracled query.
+    # -- last driver-green r05 (28) --
+    "ngram_jaccard_pairs", "pivot_status_by_segment",
+    "posexplode_components", "q12_shipmode_priority",
+    "q14_promo_revenue", "q19_disjunctive", "q1_pricing_summary",
+    "q3_shipping_priority", "q4_order_priority",
+    "q5_regional_revenue", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "quantiles_per_segment", "semantic_dedup", "sequence_pack",
+    "sessionize", "simhash", "stats_per_brand", "stratified_sample",
+    "text_quality", "tfidf_top_terms", "token_count",
+    "union_all_counts", "union_distinct", "vector_norms",
+    "winnow_fingerprints",
+    # -- last driver-green r06 (alphabetical first 22) --
+    "agg_argmax_per_group", "agg_collect_sorted",
+    "agg_counts_per_group", "agg_nonnull_counts",
+    "ann_int8_quantized", "ann_ivf_kmeans", "ann_sign_lsh",
+    "asof_attribution", "assign_scalable", "benchmark_contamination",
+    "bigram_lm_nll", "bloom_shingle_filter", "bm25_topdf_terms",
+    "bpe_learn_encode", "case_when_mapping", "char_entropy",
+    "chunk_documents", "cluster_keeper_quality", "cohort_retention",
+    "corpus_clean", "corpus_dedup_pipeline", "corpus_train_split",
 )
 
 

@@ -11,12 +11,22 @@ from adsmasterpipeline_spark.queries import (
 _load()
 
 MUST_PROVE = (
-    # VERDICT r6 task 2: the round-6 additions were judge-run green
-    # but have never had a DRIVER row — they must hold the window
-    # front until CORRECTNESS_r07 records them (the round-6
-    # must-prove set all went green in CORRECTNESS_r06; the rest of
-    # the window refreshes the stalest r04/r05 evidence)
-    "shingle_containment_pairs", "distinct_ngram_diversity",
+    # VERDICT r7 task 2: the 28 oracled queries whose last driver-
+    # green row is r05 (computed from committed CORRECTNESS_r0*.json;
+    # the r06 additions got their driver rows in r07) must lead the
+    # round-8 window so cumulative staleness drops to <= r06 for
+    # every oracled query.
+    "ngram_jaccard_pairs", "pivot_status_by_segment",
+    "posexplode_components", "q12_shipmode_priority",
+    "q14_promo_revenue", "q19_disjunctive", "q1_pricing_summary",
+    "q3_shipping_priority", "q4_order_priority",
+    "q5_regional_revenue", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "quantiles_per_segment", "semantic_dedup", "sequence_pack",
+    "sessionize", "simhash", "stats_per_brand", "stratified_sample",
+    "text_quality", "tfidf_top_terms", "token_count",
+    "union_all_counts", "union_distinct", "vector_norms",
+    "winnow_fingerprints",
 )
 
 
