@@ -5,18 +5,22 @@ all per-asset compute (decode, resize, feature extraction, frame
 sampling) runs as Arrow-batched ``mapInPandas`` so bytes never leave
 the executor and batches amortize Python crossing costs.
 
-Decode reality in this container: audio PCM WAV decodes for REAL via
-the stdlib ``wave`` fallback, video decodes for REAL for the RAWV
-raw-frame container (pure Python), and image decodes for REAL for
-binary netpbm (P5 grayscale / P6 RGB), non-interlaced PNG (stdlib
-zlib inflate + per-scanline unfilter, 8/16-bit gray/RGB/alpha) AND
-baseline-sequential JPEG (Huffman entropy decode, dequant, IDCT,
-chroma upsampling, YCbCr->gray) — all with no third-party codec.
-Progressive JPEG needs PIL (import-gated) and compressed audio/video
-need soundfile/ffmpeg deployments — those paths record per-row
-NotImplementedError. The Spark-side plumbing (schema,
-partitioning, batch shape, UDF signatures) is identical for every
-path and tested with the deterministic fake as well.
+Decode reality in this container (matches COVERAGE.md's table): audio
+PCM WAV decodes for REAL via the stdlib ``wave`` fallback, video
+decodes for REAL for the RAWV raw-frame container (pure Python), and
+image decodes for REAL for binary netpbm (P5 grayscale / P6 RGB),
+non-interlaced PNG (stdlib zlib inflate + per-scanline unfilter,
+8/16-bit gray/RGB/alpha), baseline-sequential JPEG (Huffman entropy
+decode, dequant, IDCT, chroma upsampling, YCbCr->gray) AND
+progressive JPEG with a DC-first scan (SOF2 spectral-selection
+decode of the DC scan — round 6) — all with no third-party codec.
+Arithmetic-coded / hierarchical JPEG, progressive streams whose
+first scan is not DC, and compressed audio/video (MP3, H.264, …)
+need system codecs this sandbox lacks — those paths record per-row
+NotImplementedError (PIL, when deployed, is the import-gated escape
+hatch). The Spark-side plumbing (schema, partitioning, batch shape,
+UDF signatures) is identical for every path and tested with the
+deterministic fake as well.
 """
 
 from __future__ import annotations

@@ -90,6 +90,13 @@ BENCH_QUERIES = [
     # round-6 addition: asymmetric shingle-containment join (quote /
     # subset detection — probe-side prefix filter, full index side)
     "shingle_containment_pairs",
+    # round-8 additions (VERDICT r7 #5): the two retuned IVF rungs —
+    # their probe counts now differ materially from the other ANN
+    # entries (ann_ivf nprobe=5 scans half the label lists;
+    # ann_ivf_kmeans runs two Lloyd passes + nprobe 3), so the next
+    # retune's cost must be a tracked number, not a claim
+    "ann_ivf",
+    "ann_ivf_kmeans",
 ]
 
 
