@@ -611,8 +611,9 @@ def cmd_validate(args) -> int:
 def cmd_lake(args) -> int:
     """TxnTable maintenance: DESCRIBE HISTORY, OPTIMIZE (bin-pack
     small files), VACUUM (drop files unreachable from the retained
-    snapshots) — the operational lifecycle of the log-structured
-    records table (sinks/txnlake.py)."""
+    snapshots), log retention, and the change-data-feed summary —
+    the operational lifecycle of the log-structured records table
+    (sinks/txnlake.py)."""
     from .sinks.txnlake import txn_table
     spark = _spark()
     t = txn_table(spark, args.path, key=args.key)
@@ -633,6 +634,22 @@ def cmd_lake(args) -> int:
     elif args.action == "cleanup-log":
         deleted = t.cleanup_log(keep_versions=args.keep_versions)
         out["deleted_log_files"] = len(deleted)
+    elif args.action == "changes":
+        # change-data-feed inspection (Delta's table_changes shape):
+        # per-change-type counts + the feed's file probe; --since/--to
+        # bound the version range ((since, to], since=-1 from birth)
+        v_hi = args.to_version if args.to_version is not None \
+            else t.version()
+        feed = t.changes(args.since_version, v_hi)
+        from pyspark.sql import functions as F
+        out["range"] = {"v_lo": args.since_version, "v_hi": v_hi}
+        out["changes"] = {
+            r["_change_type"]: r["n"] for r in
+            feed.groupBy("_change_type")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        p = t.last_changes_probe or {}
+        out["probe"] = {"files_read": len(p.get("files_read", [])),
+                        "live_files": p.get("live_files")}
     print(json.dumps(out))
     return 0
 
@@ -733,9 +750,15 @@ def main(argv=None) -> int:
     pc.set_defaults(fn=cmd_corpus)
 
     pl = sub.add_parser(
-        "lake", help="TxnTable history/compact/vacuum/cleanup-log")
+        "lake",
+        help="TxnTable history/compact/vacuum/cleanup-log/changes")
     pl.add_argument("action", choices=["history", "compact", "vacuum",
-                                       "cleanup-log"])
+                                       "cleanup-log", "changes"])
+    pl.add_argument("--since-version", type=int, default=-1,
+                    help="changes: feed starts AFTER this version")
+    pl.add_argument("--to-version", type=int, default=None,
+                    help="changes: feed ends at this version "
+                         "(default: latest)")
     pl.add_argument("--path", required=True)
     pl.add_argument("--key", default="bibcode")
     pl.add_argument("--rows-per-file", type=int, default=None)

@@ -756,8 +756,13 @@ class TxnTable:
             "files_read": sorted(files_read),
             "commits": v_hi - v_lo}
         if not per_commit:
-            empty = self._empty_like(self._snapshot())
-            return (empty
+            snap = self._snapshot()
+            if not snap.live:
+                # mirror read(): a table with no live data files has
+                # no schema to shape even an empty feed with
+                raise FileNotFoundError(
+                    f"TxnTable at {self.path} has no committed data")
+            return (self._empty_like(snap)
                     .withColumn("_change_type", F.lit(None).cast("string"))
                     .withColumn("_commit_version", F.lit(None).cast("long")))
         out = per_commit[0]

@@ -229,6 +229,15 @@ def test_cli_lake_maintenance(spark, tmp_path, capsys):
     comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert comp["files_after"] < comp["files_before"]
 
+    # change-data-feed summary BEFORE vacuum collects pre-images:
+    # 4 merges x 5 inserts each on top of the 200-row bootstrap;
+    # the compact commit contributes nothing
+    assert main(["lake", "changes", "--path", path,
+                 "--since-version", "0"]) == 0
+    ch = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ch["changes"] == {"insert": 20}
+    assert ch["probe"]["files_read"] > 0
+
     assert main(["lake", "vacuum", "--path", path,
                  "--keep-versions", "1",
                  "--min-age-seconds", "0"]) == 0

@@ -533,9 +533,34 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
     model.update({k: 0 for k in keys[:10]})
     check()
 
+    def check_feed(v_before, prev_model):
+        """The change feed for the step's transition must equal the
+        model diff (and be EMPTY for compact) — skipped only when
+        cleanup_log already removed the transition's entry (the feed
+        then refuses, which is its contract)."""
+        v_after = t.version()
+        if v_after <= v_before:
+            return
+        try:
+            feed = t.changes(v_before, v_after).collect()
+        except ValueError:
+            return
+        got = {(r["bibcode"], r["_change_type"]): r["v"] for r in feed}
+        want = {}
+        for k in model.keys() - prev_model.keys():
+            want[(k, "insert")] = model[k]
+        for k in prev_model.keys() - model.keys():
+            want[(k, "delete")] = prev_model[k]
+        for k in model.keys() & prev_model.keys():
+            if model[k] != prev_model[k]:
+                want[(k, "update_preimage")] = prev_model[k]
+                want[(k, "update_postimage")] = model[k]
+        assert got == want
+
     for step in range(10):
         op = rng.choice(["merge", "merge", "merge", "delete",
                          "compact", "vacuum", "cleanup"])
+        v_before, prev_model = t.version(), dict(model)
         if op == "merge":
             ups = {rng.choice(keys): step * 100 + i for i in range(4)}
             dels = ({rng.choice(list(model))}
@@ -563,6 +588,7 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
         else:
             t.cleanup_log()
         check()
+        check_feed(v_before, prev_model)
 
     # replaying the whole history through time travel still resolves
     # for the retained horizon
