@@ -65,8 +65,12 @@ KNOWN_BROADCAST_NESTED: dict[str, tuple[int, str]] = {
                            "baseline by design"),
     "ann_int8_quantized": (1, "int8 query set broadcast"),
     "ann_ivf": (2, "tiny centroid table broadcast (assign + probe)"),
-    "ann_ivf_kmeans": (4, "k-means centroid table broadcast per "
-                          "Lloyd step (k rows)"),
+    "ann_ivf_kmeans": (6, "k-means centroid table broadcast per "
+                          "Lloyd step (k=8 rows; round-8 retune runs "
+                          "TWO Lloyd updates + the final assignment "
+                          "= 3 crossJoins, and the shared ranked2 "
+                          "subtree appears under both cassign and "
+                          "qprobe, so the plan carries each twice)"),
     # ann_pq needs no entry since the round-5 IVFADC+R rewrite: the
     # whole search is one Arrow pass + a per-query TopK window — no
     # joins at all
