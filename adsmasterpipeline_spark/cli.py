@@ -481,7 +481,8 @@ def cmd_outbox(args) -> int:
                   .withColumn("_rn", F.row_number().over(w))
                   .where((F.col("_rn") == 1)
                          & (F.col("_change_type") != "delete"))
-                  .drop("_rn", "_change_type", "_commit_version"))
+                  .drop("_rn", "_change_type", "_commit_version",
+                        "_commit_timestamp"))
         requests = fn(latest).localCheckpoint()
         write_outbox(requests, out)
         kv.put(vk, str(v_hi))          # advance only after the write

@@ -435,9 +435,15 @@ class TxnTable:
 
     def _commit(self, version: int, adds: list, removes: list[str],
                 operation: str, app_txn_id: str | None) -> None:
+        import time
         d = self._log_dir()
         os.makedirs(d, exist_ok=True)
+        # wall-clock commit time (Delta's commitInfo timestamp):
+        # informational — surfaced by history() and the change feed's
+        # _commit_timestamp; ordering authority is always the VERSION
+        # (two writers' clocks may disagree, the CAS cannot)
         entry = {"version": version, "operation": operation,
+                 "ts_ms": int(time.time() * 1000),
                  "adds": adds, "removes": removes}
         if app_txn_id is not None:
             entry["app_txn_id"] = app_txn_id
@@ -690,8 +696,10 @@ class TxnTable:
         ``(v_lo, v_hi]`` — applying them to ``read(as_of=v_lo)`` yields
         ``read(as_of=v_hi)``. Pass ``v_lo=-1`` to include the bootstrap
         commit. Returns the table columns plus ``_change_type``
-        (insert / update_preimage / update_postimage / delete) and
-        ``_commit_version``.
+        (insert / update_preimage / update_postimage / delete),
+        ``_commit_version``, and ``_commit_timestamp`` (informational
+        wall time recorded in the entry; null for pre-round-8
+        commits — version is the ordering authority).
 
         Derived ENTIRELY from what each commit already recorded: a
         merge rewrites only its touched files, so commit ``v``'s delta
@@ -750,7 +758,8 @@ class TxnTable:
             files_read.update(removes)
             pre = self._read_files(removes) if removes else None
             post = self._read_files(adds) if adds else None
-            per_commit.append(self._commit_diff(pre, post, v))
+            per_commit.append(
+                self._commit_diff(pre, post, v, e.get("ts_ms")))
         self.last_changes_probe = {
             "live_files": len(self._snapshot().live),
             "files_read": sorted(files_read),
@@ -764,14 +773,16 @@ class TxnTable:
                     f"TxnTable at {self.path} has no committed data")
             return (self._empty_like(snap)
                     .withColumn("_change_type", F.lit(None).cast("string"))
-                    .withColumn("_commit_version", F.lit(None).cast("long")))
+                    .withColumn("_commit_version", F.lit(None).cast("long"))
+                    .withColumn("_commit_timestamp",
+                                F.lit(None).cast("timestamp")))
         out = per_commit[0]
         for df in per_commit[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
         return out
 
     def _commit_diff(self, pre: DataFrame | None, post: DataFrame | None,
-                     version: int) -> DataFrame:
+                     version: int, ts_ms: int | None = None) -> DataFrame:
         """Key-level diff of one commit's rewritten files: rows only in
         ``post`` are inserts, only in ``pre`` are deletes, on both
         sides with ANY column differing are update pre/post pairs, and
@@ -798,10 +809,15 @@ class TxnTable:
 
         pre, post = _aligned(pre), _aligned(post)
         data_cols = [c for c in cols if c != key]
+        # Delta CDF's _commit_timestamp (informational wall time from
+        # the entry; null for pre-round-8 commits)
+        ts_col = (F.timestamp_millis(F.lit(ts_ms)) if ts_ms is not None
+                  else F.lit(None).cast("timestamp"))
         tag = (lambda df, t: df.select(
             *[F.col(c) for c in cols],
             F.lit(t).alias("_change_type"),
-            F.lit(version).cast("long").alias("_commit_version")))
+            F.lit(version).cast("long").alias("_commit_version"),
+            ts_col.alias("_commit_timestamp")))
         if pre is None:
             return tag(post, "insert")
         if post is None:
@@ -828,7 +844,8 @@ class TxnTable:
                 F.col(f"{side}.{key}").alias(key),
                 *[F.col(f"{side}.{c}").alias(c) for c in data_cols],
                 F.lit(ctype).alias("_change_type"),
-                F.lit(version).cast("long").alias("_commit_version"))
+                F.lit(version).cast("long").alias("_commit_version"),
+                ts_col.alias("_commit_timestamp"))
 
         inserts = _side(pk.isNull() & qk.isNotNull(), "q", "insert")
         deletes = _side(qk.isNull() & pk.isNotNull(), "p", "delete")
@@ -1067,12 +1084,14 @@ class TxnTable:
 
 
     def history(self) -> list[dict]:
-        """Commit history, oldest first: version, operation, add/
+        """Commit history, oldest first: version, operation, commit
+        wall time (ms epoch; None for pre-round-8 entries), add/
         remove counts, app txn id — the DESCRIBE HISTORY shape."""
         out = []
         for v, p in self._entry_files():
             e = self._load_json(p)
             out.append({"version": v, "operation": e.get("operation"),
+                        "ts_ms": e.get("ts_ms"),
                         "adds": len(e.get("adds", [])),
                         "removes": len(e.get("removes", [])),
                         "app_txn_id": e.get("app_txn_id")})

@@ -1,0 +1,276 @@
+"""Structured-Streaming source over the TxnTable change-data-feed.
+
+``spark.readStream.format("txn_cdf").option("path", ...)`` turns the
+transaction log into a live stream of row-level changes — the
+subscription form of ``TxnTable.changes()`` (Delta's
+``readStream.option("readChangeFeed", "true")`` shape), built on
+PySpark 4's Python DataSource streaming API. Downstream incremental
+consumers (outbox request derivation, cache invalidation, replica
+maintenance) subscribe instead of polling versions themselves; the
+stream checkpoint IS the consumer's offset, so restarts resume
+exactly where they left off (the engine replays a failed batch's
+version range deterministically — the log is immutable).
+
+Execution shape, chosen for the 100-TB posture:
+
+- **Offsets are versions.** ``initialOffset`` = the ``startingVersion``
+  option (default -1: from table birth); ``latestOffset`` = the
+  current log head. Both are driver-side log listings — O(dirents),
+  no data files opened.
+- **One input partition per commit.** ``partitions(start, end)``
+  walks the log entries in ``(start, end]`` and emits each non-compact
+  commit's add/remove file lists as one partition; compact commits
+  reorganize bytes without changing rows and emit nothing, exactly
+  like the batch feed. A missing entry (cleanup_log) or missing data
+  file (vacuum) raises — a partial feed is never served.
+- **The diff runs executor-side, partition-locally.** Each task
+  pyarrow-reads ONLY its commit's touched files and key-diffs the
+  pre/post images in plain Python. That is bounded by the commit's
+  batch size — the per-epoch unit this table is written in — so the
+  work per task is O(touched files), never O(table). (A bootstrap
+  overwrite is one giant "commit"; feed consumers should start AFTER
+  the bootstrap version and read it via the batch ``changes()`` or a
+  plain table read instead.)
+- **Diff semantics mirror the batch feed bit-for-bit**: keys only in
+  the post-image insert, only in the pre-image delete, present in both
+  with ANY column differing emit an update_preimage/update_postimage
+  pair, and identical survivor rows cancel. Null fields compare equal
+  and NaN compares equal to NaN — the same equality Spark's struct
+  ``<=>`` uses in ``TxnTable._commit_diff`` (verified by the
+  stream-vs-batch parity test).
+
+Reference anchor: the engine's own incremental consumers re-derive
+deltas from the ``change_log`` audit table the reference writes on
+every upsert (/root/reference/adsmp/models.py:127-141); here the
+transaction log already knows every change, so the stream serves it
+without a second table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_LOG_DIR = "_txn"
+FEED_COLUMNS = ("_change_type", "_commit_version", "_commit_timestamp")
+
+
+def _entry_files(table_path: str) -> list[tuple[int, str]]:
+    """Sorted (version, path) of commit entries — pure-filesystem twin
+    of TxnTable._entry_files (this module must not need a live
+    SparkSession: driver-side planning runs in a bare Python worker)."""
+    d = os.path.join(table_path, _LOG_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if (name.endswith(".json") and not name.startswith(".")
+                and not name.startswith("checkpoint-")):
+            try:
+                out.append((int(name[:-5]), os.path.join(d, name)))
+            except ValueError:
+                continue
+    out.sort()
+    return out
+
+
+def _live_files(table_path: str) -> list[str]:
+    """Current live file list via checkpoint + tail fold (schema
+    inference needs one/all footers). Mirrors TxnTable._snapshot for
+    the CURRENT version only — no as_of, so no cleaned-window case."""
+    d = os.path.join(table_path, _LOG_DIR)
+    cp = None
+    try:
+        with open(os.path.join(d, "_last_checkpoint")) as f:
+            cp = json.load(f)["version"]
+    except (OSError, ValueError, KeyError):
+        cp = None
+    live: dict[str, None] = {}
+    if cp is not None:
+        try:
+            with open(os.path.join(d, f"checkpoint-{cp:08d}.json")) as f:
+                for a in json.load(f)["live"]:
+                    live[a["path"] if isinstance(a, dict) else a] = None
+        except (OSError, ValueError, KeyError, TypeError):
+            cp, live = None, {}
+    for v, p in _entry_files(table_path):
+        if cp is not None and v <= cp:
+            continue
+        with open(p) as f:
+            e = json.load(f)
+        for r in e.get("removes", []):
+            live.pop(r, None)
+        for a in e.get("adds", []):
+            live[a["path"] if isinstance(a, dict) else a] = None
+    return list(live)
+
+
+class CommitPartition(InputPartition):
+    """One commit's worth of feed work: everything the executor task
+    needs to diff the pre/post images without any driver state."""
+
+    def __init__(self, table_path: str, key: str, version: int,
+                 ts_ms: int | None, adds: list[str], removes: list[str],
+                 fields: list[str]):
+        self.table_path = table_path
+        self.key = key
+        self.version = version
+        self.ts_ms = ts_ms
+        self.adds = adds
+        self.removes = removes
+        self.fields = fields           # table columns, schema order
+
+
+def _eq(a, b) -> bool:
+    """Value equality matching Spark's null-safe struct comparison:
+    None == None, NaN == NaN, lists compare elementwise."""
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, float) and isinstance(b, float) \
+            and a != a and b != b:
+        return True                    # NaN <=> NaN
+    return a == b
+
+
+def _rows_by_key(table_path: str, files: list[str], key: str,
+                 fields: list[str]) -> dict:
+    """Key -> row dict for the given table-relative parquet files,
+    via pyarrow (executor-side; no SparkSession). Missing columns
+    (schema evolution: pre-widening files) surface as None."""
+    import pyarrow.parquet as pq
+    out: dict = {}
+    for f in files:
+        full = os.path.join(table_path, f)
+        if not os.path.exists(full):
+            raise ValueError(
+                f"txn_cdf: data file {f} was collected by vacuum — "
+                f"the feed below the retention horizon is not "
+                f"reconstructable")
+        for row in pq.read_table(full).to_pylist():
+            out[row[key]] = {c: row.get(c) for c in fields}
+    return out
+
+
+class TxnChangeFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, table_path: str, key: str,
+                 starting_version: int, fields: list[str]):
+        self.table_path = table_path
+        self.key = key
+        self.starting_version = starting_version
+        self.fields = fields
+
+    # ---------------------------------------------------- driver side
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        entries = _entry_files(self.table_path)
+        v = entries[-1][0] if entries else self.starting_version
+        return {"version": max(v, self.starting_version)}
+
+    def partitions(self, start: dict, end: dict) -> list[CommitPartition]:
+        lo, hi = start["version"], end["version"]
+        entries = dict(_entry_files(self.table_path))
+        missing = [v for v in range(lo + 1, hi + 1) if v not in entries]
+        if missing:
+            raise ValueError(
+                f"txn_cdf: log entries {missing} were removed by "
+                f"cleanup_log — the stream cannot serve a partial "
+                f"feed; restart from a retained version")
+        parts = []
+        for v in range(lo + 1, hi + 1):
+            with open(entries[v]) as f:
+                e = json.load(f)
+            if e.get("operation") == "compact":
+                continue           # bin-packing: zero row changes
+            adds = [a["path"] if isinstance(a, dict) else a
+                    for a in e.get("adds", [])]
+            parts.append(CommitPartition(
+                self.table_path, self.key, v, e.get("ts_ms"),
+                adds, list(e.get("removes", [])), self.fields))
+        return parts
+
+    def commit(self, end: dict) -> None:
+        pass                       # log is immutable; nothing to ack
+
+    # -------------------------------------------------- executor side
+    def read(self, partition: CommitPartition) -> Iterator[tuple]:
+        import datetime as dt
+        p = partition
+        pre = _rows_by_key(p.table_path, p.removes, p.key, p.fields)
+        post = _rows_by_key(p.table_path, p.adds, p.key, p.fields)
+        ts = (dt.datetime.fromtimestamp(p.ts_ms / 1000, dt.timezone.utc)
+              if p.ts_ms is not None else None)
+
+        def emit(row: dict, ctype: str) -> tuple:
+            return (*[row[c] for c in p.fields], ctype, p.version, ts)
+
+        for k, row in post.items():
+            if k not in pre:
+                yield emit(row, "insert")
+        for k, row in pre.items():
+            if k not in post:
+                yield emit(row, "delete")
+        for k, row in pre.items():
+            new = post.get(k)
+            if new is not None and not all(
+                    _eq(row[c], new[c]) for c in p.fields):
+                yield emit(row, "update_preimage")
+                yield emit(new, "update_postimage")
+
+
+class TxnChangeFeedDataSource(DataSource):
+    """``spark.readStream.format("txn_cdf")`` — options:
+
+    - ``path`` (required): TxnTable root
+    - ``key`` (default ``bibcode``): the table's merge key
+    - ``startingVersion`` (default -1): feed starts AFTER this version
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "txn_cdf"
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType, TimestampType)
+        import pyarrow.parquet as pq
+
+        path = self.options["path"]
+        live = _live_files(path)
+        if not live:
+            raise ValueError(
+                f"txn_cdf: TxnTable at {path} has no committed data")
+        # union all live footers so schema_evolution tables surface
+        # post-widening columns (same rule as TxnTable._empty_like)
+        fields: dict = {}
+        for f in live:
+            sch = from_arrow_schema(
+                pq.read_schema(os.path.join(path, f)))
+            for fld in sch.fields:
+                fields.setdefault(fld.name, fld)
+        return StructType(
+            list(fields.values())
+            + [StructField("_change_type", StringType()),
+               StructField("_commit_version", LongType()),
+               StructField("_commit_timestamp", TimestampType())])
+
+    def streamReader(self, schema) -> TxnChangeFeedStreamReader:
+        fields = [f.name for f in schema.fields
+                  if f.name not in FEED_COLUMNS]
+        return TxnChangeFeedStreamReader(
+            self.options["path"],
+            self.options.get("key", "bibcode"),
+            int(self.options.get("startingversion",
+                                 self.options.get("startingVersion", -1))),
+            fields)

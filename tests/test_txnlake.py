@@ -468,8 +468,10 @@ def test_txn_vacuum_and_history(spark, tmp_path):
     assert [h["version"] for h in hist] == [0, 1, 2, 3, 4]
     assert hist[0]["operation"] == "overwrite"
     assert hist[2] == {"version": 2, "operation": "merge",
+                       "ts_ms": hist[2]["ts_ms"],
                        "adds": hist[2]["adds"], "removes": 1,
                        "app_txn_id": "b1"}
+    assert isinstance(hist[2]["ts_ms"], int)   # commit wall time recorded
 
     rows_now = sorted(tuple(r) for r in t.read().collect())
     rows_v3 = sorted(tuple(r) for r in t.read(as_of=3).collect())
@@ -1305,14 +1307,19 @@ def test_txn_changes_equals_snapshot_diff(spark, tmp_path):
     t.merge(_recs(spark, [("E1", 55), ("F1", 6)]))               # v4
 
     # full-range feed (from table birth) == snapshot-pair diff
-    got = sorted(tuple(r) for r in t.changes(-1).collect())
+    full = t.changes(-1)
+    rows = full.collect()
+    got = sorted(tuple(r)[:-1] for r in rows)   # drop _commit_timestamp
     assert got == _snapshot_diff(t, -1, 4)
     # compact contributed nothing
     assert not [r for r in got if r[-1] == 3]
+    # every change row carries the commit's wall time (Delta CDF's
+    # _commit_timestamp; version stays the ordering authority)
+    assert all(r["_commit_timestamp"] is not None for r in rows)
 
     # sub-ranges agree too (the consumer's incremental contract)
     for lo, hi in [(0, 2), (1, 4), (2, 3), (3, 4)]:
-        got = sorted(tuple(r) for r in t.changes(lo, hi).collect())
+        got = sorted(tuple(r)[:-1] for r in t.changes(lo, hi).collect())
         assert got == _snapshot_diff(t, lo, hi), (lo, hi)
 
     # probe: the v4 feed read only commit 4's touched files
