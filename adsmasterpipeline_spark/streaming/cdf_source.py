@@ -100,7 +100,16 @@ def _live_files(table_path: str) -> list[str]:
                     live[a["path"] if isinstance(a, dict) else a] = None
         except (OSError, ValueError, KeyError, TypeError):
             cp, live = None, {}
-    for v, p in _entry_files(table_path):
+    entries = _entry_files(table_path)
+    if cp is None and entries and entries[0][0] > 0:
+        # same refusal as TxnTable._snapshot: cleanup_log removed the
+        # log head and no usable checkpoint exists — folding the
+        # partial tail would infer a schema from a partial live set
+        raise ValueError(
+            f"txn_cdf: log at {table_path} starts at version "
+            f"{entries[0][0]} with no usable checkpoint — cannot "
+            f"reconstruct the live file set for schema inference")
+    for v, p in entries:
         if cp is not None and v <= cp:
             continue
         with open(p) as f:
