@@ -67,8 +67,8 @@ PRIORITY: tuple[str, ...] = (
     # 22 of the 50 whose last green is r06 (alphabetical), so
     # cumulative staleness after this round is <= r06 for every
     # oracled query.
-    # -- changed oracle this round (retuned, must re-prove first) --
-    "ann_ivf_kmeans",
+    # -- changed oracles this round (retuned, must re-prove first) --
+    "ann_ivf_kmeans", "ann_sign_lsh",
     # -- last driver-green r05 (28) --
     "ngram_jaccard_pairs", "pivot_status_by_segment",
     "posexplode_components", "q12_shipmode_priority",
@@ -84,7 +84,7 @@ PRIORITY: tuple[str, ...] = (
     # -- last driver-green r06 (alphabetical fill to 50) --
     "agg_argmax_per_group", "agg_collect_sorted",
     "agg_counts_per_group", "agg_nonnull_counts",
-    "ann_int8_quantized", "ann_sign_lsh",
+    "ann_int8_quantized",
     "asof_attribution", "assign_scalable", "benchmark_contamination",
     "bigram_lm_nll", "bloom_shingle_filter", "bm25_topdf_terms",
     "bpe_learn_encode", "case_when_mapping", "char_entropy",

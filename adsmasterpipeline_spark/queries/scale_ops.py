@@ -73,7 +73,7 @@ def _hadamard_bkt_sql(planes: int = 8) -> str:
     ),
     probes AS (
       SELECT vec_id, embedding, xor(bkt, m.m) AS bkt
-      FROM b, (SELECT unnest({hamming_masks(8, 3)!r}) AS m) m
+      FROM b, (SELECT unnest({hamming_masks(8, 4)!r}) AS m) m
       WHERE vec_id < 32
     ),
     pairs AS (
@@ -100,17 +100,24 @@ def _hadamard_bkt_sql(planes: int = 8) -> str:
         "floor(x*2^20) sums — round-6 fix for the axis-aligned "
         "bucket's recall falling 0.43->0.35 from sf0.01 to sf0.1); "
         "each query probes its own bucket plus every bucket within "
-        "Hamming distance 3 (93 XOR masks). The fan-out is QUERY-side "
-        "only — candidates still shuffle to exactly one bucket — so "
-        "the 100 TB posture is unchanged while recall@3 now RISES "
-        "with corpus size (0.65/0.73/0.83 at sf0.01/0.1/stress-1, "
-        "tracked per-round in ANNRECALL_r{{N}}.json). Engine-portable "
-        "integer math -> fully oracle-checked.",
+        "Hamming distance 4 (163 XOR masks; round-8 retune from "
+        "radius 3's 93 — the last sub-0.7 recall cell was this "
+        "rung's 0.65 at sf0.01, and the wider ball lifts recall@3 "
+        "to 0.85/0.89/0.97 at sf0.01/0.1/stress-1 for <=1.4x wall). "
+        "The fan-out is QUERY-side only — candidates still shuffle "
+        "to exactly one bucket — so the 100 TB posture is unchanged; "
+        "probe rows are queries x masks, never corpus x masks. "
+        "Honest ladder note: 163/256 buckets probed means ~64% of a "
+        "UNIFORM corpus is scanned — on real clustered data the "
+        "probed-bucket occupancy is what matters, and when scan "
+        "fraction dominates cost the IVF/PQ rungs supersede this "
+        "one. Tracked per-round in ANNRECALL_r{{N}}.json. "
+        "Engine-portable integer math -> fully oracle-checked.",
 )
 def ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 32)
-    return sign_lsh_topk(q, e, k=3, planes=8, hamming=3,
+    return sign_lsh_topk(q, e, k=3, planes=8, hamming=4,
                          mix="hadamard").select(
         "query_id", "neighbor_id", "sim", "rnk")
 

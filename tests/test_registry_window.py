@@ -11,13 +11,14 @@ from adsmasterpipeline_spark.queries import (
 _load()
 
 MUST_PROVE = (
-    # VERDICT r7 task 2 + #4: ann_ivf_kmeans' oracle was RETUNED this
-    # round (two Lloyd updates, nprobe 3) so it must re-prove first;
-    # then the 28 oracled queries whose last driver-green row is r05
-    # (computed from committed CORRECTNESS_r0*.json; the r06 additions
-    # got their driver rows in r07) so cumulative staleness drops to
-    # <= r06 for every oracled query.
-    "ann_ivf_kmeans",
+    # VERDICT r7 task 2 + #4: the two RETUNED oracles this round
+    # (ann_ivf_kmeans: two Lloyd updates + nprobe 3; ann_sign_lsh:
+    # hamming-4 multiprobe) must re-prove first; then the 28 oracled
+    # queries whose last driver-green row is r05 (computed from
+    # committed CORRECTNESS_r0*.json; the r06 additions got their
+    # driver rows in r07) so cumulative staleness drops to <= r06
+    # for every oracled query.
+    "ann_ivf_kmeans", "ann_sign_lsh",
     "ngram_jaccard_pairs", "pivot_status_by_segment",
     "posexplode_components", "q12_shipmode_priority",
     "q14_promo_revenue", "q19_disjunctive", "q1_pricing_summary",
