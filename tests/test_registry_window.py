@@ -11,25 +11,23 @@ from adsmasterpipeline_spark.queries import (
 _load()
 
 MUST_PROVE = (
-    # VERDICT r7 task 2 + #4: the two RETUNED oracles this round
-    # (ann_ivf_kmeans: two Lloyd updates + nprobe 3; ann_sign_lsh:
-    # hamming-4 multiprobe) must re-prove first; then the 28 oracled
-    # queries whose last driver-green row is r05 (computed from
-    # committed CORRECTNESS_r0*.json; the r06 additions got their
-    # driver rows in r07) so cumulative staleness drops to <= r06
-    # for every oracled query.
-    "ann_ivf_kmeans", "ann_sign_lsh",
-    "ngram_jaccard_pairs", "pivot_status_by_segment",
-    "posexplode_components", "q12_shipmode_priority",
-    "q14_promo_revenue", "q19_disjunctive", "q1_pricing_summary",
-    "q3_shipping_priority", "q4_order_priority",
-    "q5_regional_revenue", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "quantiles_per_segment", "semantic_dedup", "sequence_pack",
-    "sessionize", "simhash", "stats_per_brand", "stratified_sample",
-    "text_quality", "tfidf_top_terms", "token_count",
-    "union_all_counts", "union_distinct", "vector_norms",
-    "winnow_fingerprints",
+    # VERDICT r8 task 1: no oracle changed this round, so the window
+    # is pure staleness rotation — the 28 oracled queries whose last
+    # driver-green row is r06 (computed from committed
+    # CORRECTNESS_r0{1..8}.json) lead; after this round the
+    # cumulative last-green floor advances to r07.
+    "cosine_topk", "countmin_heavy_hitters", "date_buckets",
+    "dedup_clusters", "dsir_importance_weights",
+    "duplicated_substring_runs", "embedding_cosine_neardup",
+    "embedding_cosine_neardup_gemm", "embedding_quantize",
+    "mixture_temperature_weights", "pii_scrub", "q10_returned_items",
+    "q11_important_stock", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_cnt", "q18_large_volume",
+    "q20_potential_promotion", "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity", "quality_rules_filter",
+    "range_join_bands", "repetition_quality", "salted_group_counts",
+    "source_mixture_sample", "span_dedup_docs",
+    "streaming_windowed_counts", "zorder_data_skipping",
 )
 
 
