@@ -74,8 +74,12 @@ def gen_supplier(out: str, n: int, rng: np.random.Generator) -> None:
 
 
 def gen_part(out: str, n: int, rng: np.random.Generator) -> None:
+    # "widget" mirrors the driver tables (~12% of driver part names
+    # contain it): q9_product_profit filters p_name LIKE '%widget%',
+    # and the first sf1 generator had no widget noun at all — the
+    # query hash-matched on 0 == 0 rows (r8 verdict "what's wrong" #1).
     adjs = ["large", "hot", "blue", "small", "green", "dim", "red"]
-    nouns = ["ring", "bolt", "case", "drum", "wheel", "plate"]
+    nouns = ["ring", "bolt", "case", "drum", "wheel", "plate", "widget"]
     types = np.array(["ECONOMY", "LARGE", "MEDIUM", "PROMO",
                       "SMALL", "STANDARD"])
     a = rng.integers(0, len(adjs), n)
@@ -135,9 +139,20 @@ def gen_orders_lineitem(out: str, n_orders: int, n_cust: int,
         rep = np.repeat(okey, nl)
         linenum = (np.arange(len(rep))
                    - np.repeat(np.cumsum(nl) - nl, nl) + 1)
+        # l_partkey: 90% uniform + 10% Zipf(1.5) head. Uniform draws
+        # over 10x the parts made every per-part signal vanish at sf1:
+        # no part reached q11's 0.01%-of-total-value threshold and no
+        # part pair co-occurred twice (triangle_copurchase's support-2
+        # edge floor) — both queries hash-matched on 0 == 0 rows. The
+        # head (top part ~4% of lines, share decaying k^-1.5) restores
+        # the hot-SKU reality every retail basket corpus has, and is a
+        # real skew-handling workload for the groupBy/join paths.
+        hot = rng.random(tot) < 0.10
+        zipf_head = np.minimum(rng.zipf(1.5, tot) - 1, n_part - 1)
         lw.write_table(pa.table({
             "l_orderkey": rep,
-            "l_partkey": rng.integers(0, n_part, tot),
+            "l_partkey": np.where(hot, zipf_head,
+                                  rng.integers(0, n_part, tot)),
             "l_suppkey": rng.integers(0, n_supp, tot),
             "l_linenumber": linenum.astype(np.int32),
             "l_quantity": rng.integers(1, 51, tot).astype(np.float64),
@@ -212,6 +227,7 @@ def gen_documents(out: str, n: int, rng: np.random.Generator) -> None:
     vocab = np.array([f"{wd}{i}" for wd in WORDS for i in range(250)])
     chunk = 10_000
     prev_texts: list[str] = []
+    prev_src0: str | None = None
     for start in range(0, n, chunk):
         m = min(chunk, n - start)
         texts = []
@@ -229,6 +245,22 @@ def gen_documents(out: str, n: int, rng: np.random.Generator) -> None:
                     words[int(rng.integers(0, len(words)))] = \
                         str(vocab[int(rng.integers(0, len(vocab)))])
                 texts.append(" ".join(words))           # near dup
+            elif (prev_src0 is not None and (start + i) % 20 != 0
+                  and r < 0.115):
+                # planted benchmark LEAKAGE: ~1.5% of non-src0 docs
+                # copy the most recent src0 ("benchmark") doc with 1-2
+                # word edits. The sf1 vocabulary scales with the corpus
+                # (Heaps), so unlike the driver tables no 3-gram
+                # shingle crosses sources by chance — without planted
+                # cross-source copies benchmark_contamination
+                # hash-matched on 0 == 0 rows at sf1. Real training
+                # corpora contain eval-set leakage; the stress twin
+                # now does too (~700 leaked docs at sf1).
+                words = prev_src0.split()
+                for _ in range(rng.integers(1, 3)):
+                    words[int(rng.integers(0, len(words)))] = \
+                        str(vocab[int(rng.integers(0, len(vocab)))])
+                texts.append(" ".join(words))
             else:
                 ln = int(rng.integers(8, 100))
                 idx = rng.integers(0, len(vocab), ln)
@@ -236,6 +268,8 @@ def gen_documents(out: str, n: int, rng: np.random.Generator) -> None:
             prev_texts.append(texts[-1])
             if len(prev_texts) > 20:
                 prev_texts.pop(0)
+            if (start + i) % 20 == 0:
+                prev_src0 = texts[-1]
         w.write_table(pa.table({
             "doc_id": np.arange(start, start + m, dtype=np.int64),
             "text": texts,
