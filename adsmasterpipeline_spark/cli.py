@@ -443,9 +443,19 @@ def cmd_outbox(args) -> int:
     — O(changed files), with the feed's probe in the output JSON —
     and the emitted version advances in the KV store only after the
     outbox write succeeded (same rollback contract as the reindex
-    watermark). The reference derives the same deltas by rescanning
-    + checksum suppression (adsmp/app.py:821-874); the feed makes the
-    consumer O(changed) with no checksum re-derivation."""
+    watermark). Each incremental batch lands in a per-version
+    SUBDIRECTORY ``<out>/v<lo>-<hi>/`` (reported as ``batch_dir``):
+    full-rescan mode may overwrite, because every request is
+    re-derived each run, but a delta batch is derived exactly once —
+    overwriting the shared directory would silently clobber any
+    batch the downstream adapter had not yet drained (the watermark
+    has already moved past those versions). The version range names
+    the directory, so distinct batches never collide and a crashed
+    run (write done, KV not advanced) rewrites the SAME directory
+    idempotently; the adapter deletes directories it has consumed.
+    The reference derives the same deltas by rescanning + checksum
+    suppression (adsmp/app.py:821-874); the feed makes the consumer
+    O(changed) with no checksum re-derivation."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -484,10 +494,12 @@ def cmd_outbox(args) -> int:
                   .drop("_rn", "_change_type", "_commit_version",
                         "_commit_timestamp"))
         requests = fn(latest).localCheckpoint()
-        write_outbox(requests, out)
+        batch_dir = os.path.join(out, f"v{v_lo + 1:08d}-{v_hi:08d}")
+        write_outbox(requests, batch_dir)
         kv.put(vk, str(v_hi))          # advance only after the write
         p = t.last_changes_probe or {}
         result["requests"] = requests.count()
+        result["batch_dir"] = batch_dir
         result["feed"] = {"v_lo": v_lo, "v_hi": v_hi,
                           "files_read": len(p.get("files_read", [])),
                           "live_files": p.get("live_files")}
@@ -638,10 +650,22 @@ def cmd_lake(args) -> int:
     elif args.action == "changes":
         # change-data-feed inspection (Delta's table_changes shape):
         # per-change-type counts + the feed's file probe; --since/--to
-        # bound the version range ((since, to], since=-1 from birth)
+        # bound the version range ((since, to], since=-1 from birth).
+        # Retention violations (cleaned log entries, vacuumed
+        # pre-image files, out-of-range versions) are EXPECTED
+        # operational states, not bugs: report them on the command's
+        # JSON contract with a nonzero exit instead of a traceback
+        # (ADVICE r8) — the feed itself still refuses to serve a
+        # partial answer.
         v_hi = args.to_version if args.to_version is not None \
             else t.version()
-        feed = t.changes(args.since_version, v_hi)
+        try:
+            feed = t.changes(args.since_version, v_hi)
+        except ValueError as e:
+            print(json.dumps({"error": str(e),
+                              "range": {"v_lo": args.since_version,
+                                        "v_hi": v_hi}}))
+            return 1
         from pyspark.sql import functions as F
         out["range"] = {"v_lo": args.since_version, "v_hi": v_hi}
         out["changes"] = {

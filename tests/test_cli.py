@@ -258,6 +258,16 @@ def test_cli_lake_maintenance(spark, tmp_path, capsys):
     assert cl["deleted_log_files"] > 0
     assert t.read().count() == 225           # state intact
 
+    # changes over a range whose pre-images were vacuumed / whose log
+    # entries were cleaned: an EXPECTED operational state — the CLI
+    # keeps its JSON contract (error object + nonzero exit) instead
+    # of an uncaught traceback (ADVICE r8); the feed itself still
+    # refuses to serve a partial answer
+    assert main(["lake", "changes", "--path", path,
+                 "--since-version", "0"]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err and err["range"]["v_lo"] == 0
+
 
 def _mk_events(tmp_path, name, bibs, day, full=True):
     d = tmp_path / name
@@ -334,19 +344,24 @@ def test_cli_outbox_incremental_from_change_feed(spark, tmp_path, capsys):
     feed — first run covers the bootstrap, an idle run emits zero, a
     delta run emits exactly the touched keys while reading only the
     delta commits' files (probe), and the emitted version advances
-    only after the outbox write."""
+    only after the outbox write. Each batch lands in its own
+    per-version subdirectory (ADVICE r8): a delta run must NOT
+    clobber an earlier batch the adapter has not drained yet —
+    those requests are derived exactly once and the watermark has
+    already moved past their versions."""
     data = str(tmp_path / "data")
     ev0 = _mk_events(tmp_path, "ev0", [f"K{i:03d}" for i in range(32)], 1)
     assert main(["ingest", "--events", str(ev0), "--data", data,
                  "--fmt", "txn", "--rows-per-file", "8"]) == 0
     capsys.readouterr()
 
-    out_dir = str(tmp_path / "ob1")
+    out_dir = str(tmp_path / "ob")
     assert main(["outbox", "--data", data, "--kind", "boost",
                  "--fmt", "txn", "--incremental", "--out", out_dir]) == 0
     r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r1["requests"] == 32                 # bootstrap: every record
     assert r1["feed"]["v_lo"] == -1
+    assert r1["batch_dir"].startswith(out_dir)  # per-version subdir
 
     # idle: no new commits -> zero requests, zero files read
     assert main(["outbox", "--data", data, "--kind", "boost",
@@ -360,14 +375,17 @@ def test_cli_outbox_incremental_from_change_feed(spark, tmp_path, capsys):
     assert main(["ingest", "--events", str(ev1), "--data", data,
                  "--fmt", "txn", "--rows-per-file", "8"]) == 0
     capsys.readouterr()
-    out2 = str(tmp_path / "ob2")
     assert main(["outbox", "--data", data, "--kind", "boost",
-                 "--fmt", "txn", "--incremental", "--out", out2]) == 0
+                 "--fmt", "txn", "--incremental", "--out", out_dir]) == 0
     r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r3["requests"] == 2
     assert 0 < r3["feed"]["files_read"] < r3["feed"]["live_files"]
-    reqs = {r["bibcode"] for r in spark.read.json(out2).collect()}
+    assert r3["batch_dir"] != r1["batch_dir"]   # distinct batch dirs
+    reqs = {r["bibcode"] for r in spark.read.json(r3["batch_dir"]).collect()}
     assert reqs == {"K003", "K007"}
+    # the UNDRAINED bootstrap batch survives the delta run intact —
+    # the old shared-directory overwrite silently dropped it
+    assert spark.read.json(r1["batch_dir"]).count() == 32
     # the request payload matches the full-rescan derivation for the
     # same keys (content parity, not just key parity)
     capsys.readouterr()
@@ -377,5 +395,5 @@ def test_cli_outbox_incremental_from_change_feed(spark, tmp_path, capsys):
     want = {r["bibcode"]: r["bib_data"] for r in
             spark.read.json(full).collect() if r["bibcode"] in reqs}
     got = {r["bibcode"]: r["bib_data"] for r in
-           spark.read.json(out2).collect()}
+           spark.read.json(r3["batch_dir"]).collect()}
     assert got == want
