@@ -825,13 +825,18 @@ class TxnTable:
 
         # struct comparison treats null fields as equal (verified:
         # Spark's interpreted ordering for complex types); map columns
-        # are not orderable, so compare their canonical JSON instead
+        # are not orderable, so compare the JSON of their entry list
+        # SORTED BY KEY — raw to_json(map) is insertion-order-
+        # sensitive, so equal maps written in different key orders
+        # would register as spurious update pairs (ADVICE r8). The
+        # streaming source canonicalizes the same way (cdf_source
+        # sorts map entries before its dict diff) — parity-tested.
         def _cmp(side):
             items = []
             for c in data_cols:
                 col = F.col(f"{side}.{c}")
                 if str(cols[c]).startswith("Map"):
-                    col = F.to_json(col)
+                    col = F.to_json(F.array_sort(F.map_entries(col)))
                 items.append(col.alias(c))
             return F.struct(*items) if items else F.lit(0)
 

