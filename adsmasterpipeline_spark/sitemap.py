@@ -183,6 +183,38 @@ def auto_update_selection(records: DataFrame, sitemap: DataFrame,
             .join(flagged, "bibcode", "left_anti"))
 
 
+def auto_update_selection_from_feed(feed: DataFrame,
+                                    sitemap: DataFrame) -> DataFrame:
+    """O10 fed from the TxnTable CHANGE-DATA-FEED (VERDICT r8 task 4):
+    the selection ``auto_update_selection`` derives by rescanning the
+    whole records table against a time cutoff, derived instead from
+    the row-level deltas of a version window — keys INSERTED in the
+    window, plus update pairs whose ``bib_data_updated`` or
+    ``solr_processed`` actually moved (pre vs post compared null-safe
+    per key and commit), minus keys already flagged dirty. The
+    version watermark replaces the wall-clock cutoff, so the
+    derivation reads O(changed files), never the table — the same
+    consumer shape as ``cli outbox --incremental`` (reference rescan:
+    run.py:558-628)."""
+    flagged = sitemap.where("update_flag").select("bibcode")
+    inserts = feed.where(
+        F.col("_change_type") == "insert").select("bibcode")
+    pre = feed.where(F.col("_change_type") == "update_preimage").select(
+        "bibcode", "_commit_version",
+        F.col("bib_data_updated").alias("_pre_b"),
+        F.col("solr_processed").alias("_pre_s"))
+    post = feed.where(F.col("_change_type") == "update_postimage").select(
+        "bibcode", "_commit_version",
+        F.col("bib_data_updated").alias("_post_b"),
+        F.col("solr_processed").alias("_post_s"))
+    moved = (pre.join(post, ["bibcode", "_commit_version"])
+             .where(~F.col("_pre_b").eqNullSafe(F.col("_post_b"))
+                    | ~F.col("_pre_s").eqNullSafe(F.col("_post_s")))
+             .select("bibcode"))
+    return (inserts.union(moved).distinct()
+            .join(flagged, "bibcode", "left_anti"))
+
+
 def cleanup(sitemap: DataFrame, records: DataFrame) -> tuple[DataFrame, list[str]]:
     """O9 cleanup (adsmp/tasks.py:482-583): J1 left-outer join sitemap →
     records; drop rows whose record vanished or no longer qualifies."""

@@ -269,6 +269,71 @@ def test_cli_lake_maintenance(spark, tmp_path, capsys):
     assert "error" in err and err["range"]["v_lo"] == 0
 
 
+def test_cli_sitemap_auto_incremental_from_change_feed(spark, tmp_path,
+                                                       capsys):
+    """VERDICT r8 task 4 — second wired CDF consumer: `sitemap
+    --action auto --fmt txn --incremental` selects from the records
+    change feed keyed off the KV version watermark. The selection
+    equals the rescan derivation on the same table, the feed opens
+    only the delta commits' files (probe), the touched file is
+    re-rendered, and an idle tick selects nothing."""
+    import os as _os
+
+    from adsmasterpipeline_spark import sitemap as sm
+    from adsmasterpipeline_spark.sinks.txnlake import txn_table
+
+    data = str(tmp_path / "data")
+    ev0 = _mk_events(tmp_path, "ev0", [f"K{i:03d}" for i in range(32)], 1)
+    assert main(["ingest", "--events", str(ev0), "--data", data,
+                 "--fmt", "txn", "--rows-per-file", "8"]) == 0
+    out_dir = str(tmp_path / "files")
+    assert main(["sitemap", "--data", data, "--action", "bootstrap",
+                 "--fmt", "txn", "--out", out_dir]) == 0
+    capsys.readouterr()
+
+    # baseline incremental run: covers the bootstrap window (all 32
+    # keys due — the watermark says "never emitted") and advances the
+    # watermark to the current version
+    assert main(["sitemap", "--data", data, "--action", "auto",
+                 "--fmt", "txn", "--incremental", "--out", out_dir]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["selected"] == 32 and r1["feed"]["v_lo"] == -1
+    assert r1["files"] >= 1
+
+    # delta: touch two keys (event time 2024-01-20 vs bootstrap's
+    # 2024-01-01)
+    ev1 = _mk_events(tmp_path, "ev1", ["K003", "K007"], 20, full=False)
+    assert main(["ingest", "--events", str(ev1), "--data", data,
+                 "--fmt", "txn", "--rows-per-file", "8"]) == 0
+    capsys.readouterr()
+
+    # EQUALITY on the same table state: the feed-derived selection ==
+    # the rescan selection with a cutoff between the two event times
+    t = txn_table(spark, _os.path.join(data, "records"))
+    existing = spark.read.parquet(_os.path.join(data, "sitemap"))
+    v_hi = t.version()
+    want = {r["bibcode"] for r in sm.auto_update_selection(
+        t.read(), existing, "2024-01-10").collect()}
+    got = {r["bibcode"] for r in sm.auto_update_selection_from_feed(
+        t.changes(r1["feed"]["v_hi"], v_hi), existing).collect()}
+    assert got == want == {"K003", "K007"}
+
+    # e2e: the incremental run selects exactly those two, reads only
+    # the delta commit's files, and re-renders the touched file(s)
+    assert main(["sitemap", "--data", data, "--action", "auto",
+                 "--fmt", "txn", "--incremental", "--out", out_dir]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["selected"] == 2
+    assert 0 < r2["feed"]["files_read"] < r2["feed"]["live_files"]
+    assert r2["files"] >= 1
+
+    # idle tick: watermark is current -> nothing selected, no files
+    assert main(["sitemap", "--data", data, "--action", "auto",
+                 "--fmt", "txn", "--incremental", "--out", out_dir]) == 0
+    r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r3["selected"] == 0 and r3["feed"]["files_read"] == 0
+
+
 def _mk_events(tmp_path, name, bibs, day, full=True):
     d = tmp_path / name
     d.mkdir()
