@@ -8,9 +8,10 @@ from the CLI's own output JSON, the three probes:
 - ``probes.watermark_scan`` — the ``updated >= since`` read
 - ``probes.writeback_merge``— the mark_processed writeback MERGE
 - ``probes.metrics_merge``  — the metrics-table upsert MERGE
-- ``feed``                  — the CHANGE-DATA-FEED consumer
-  (``outbox --fmt txn --incremental``, round 8): files_read is the
-  union of just the delta commits' touched files, never the table
+- ``feed``                  — the CHANGE-DATA-FEED consumers
+  (``outbox --fmt txn --incremental``, round 8, and ``sitemap
+  --action auto --fmt txn --incremental``, round 9): files_read is
+  the union of just the delta commits' touched files, never the table
 
 Done-criterion: candidate_files << live_files on every probe (the
 reference's hottest query, run.py:147-151, and its metrics upsert,
@@ -109,6 +110,15 @@ def main() -> int:
         r = _cli(["outbox", "--data", data, "--kind", "boost",
                   "--fmt", "txn", "--incremental"])
         out["steps"].append({"step": "outbox_feed_bootstrap", **r})
+        # second CDF consumer (round 9): sitemap auto-update — same
+        # bootstrap-baseline-then-delta cadence
+        sm_out = os.path.join(workdir, "sitemap_files")
+        r = _cli(["sitemap", "--data", data, "--action", "bootstrap",
+                  "--fmt", "txn", "--out", sm_out])
+        out["steps"].append({"step": "sitemap_bootstrap", **r})
+        r = _cli(["sitemap", "--data", data, "--action", "auto",
+                  "--fmt", "txn", "--incremental", "--out", sm_out])
+        out["steps"].append({"step": "sitemap_auto_bootstrap", **r})
 
         for k in range(opts["batches"]):
             start = (k * 7919) % (opts["rows"] - opts["batch"])
@@ -131,6 +141,12 @@ def main() -> int:
             r = _cli(["outbox", "--data", data, "--kind", "boost",
                       "--fmt", "txn", "--incremental"])
             out["steps"].append({"step": f"outbox_feed_{k}", **r})
+            # sitemap auto from the same feed: this batch touched only
+            # metrics + solr_processed, so the selection is exactly
+            # the keys whose solr_processed moved in the writeback
+            r = _cli(["sitemap", "--data", data, "--action", "auto",
+                      "--fmt", "txn", "--incremental", "--out", sm_out])
+            out["steps"].append({"step": f"sitemap_auto_{k}", **r})
 
         # summary: every probe must show candidates << live
         ratios = []
