@@ -293,8 +293,12 @@ _COS_SQL = """ROUND(
         "nprobe 2 measured recall@3 0.60/0.65/0.63 at sf0.01/0.1/1; the "
         "parameter sweep showed the second Lloyd step (+centroid quality) "
         "and nprobe 3 (probed fraction 3/8, scale-free) lift it to "
-        "0.75/0.77/0.73 at ~1.0x wall (the extra assignment pass costs "
-        "what the tighter cells save in the probe join). No n-scaling "
+        "0.75/0.77/0.73. Measured cost of the retune (ANNRECALL r8, "
+        "harness secs for the ANN query alone — truth-building is timed "
+        "separately): 3.19->4.12 s at sf0.01 (1.29x), 2.87->4.59 s at "
+        "sf0.1 (1.60x), 9.79->14.49 s at sf1 (1.48x) — the second "
+        "assignment pass is NOT free; it is the priced cost of the "
+        "recall lift, well clear of any perf gate. No n-scaling "
         "knob is needed on THIS rung because the probed fraction is "
         "independent of corpus size; at true 100-TB scale one grows "
         "k_coarse with n and holds nprobe/k fixed instead (the PQ rung "

@@ -53,8 +53,14 @@ def main() -> int:
     out: dict[str, dict] = {}
     for sf_dir in sf_dirs:
         sf_key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        t0 = time.time()
         exact = pairs(REGISTRY["ann_brute_force"].spark_fn(spark, sf_dir))
-        row: dict[str, dict] = {}
+        # truth-building is timed SEPARATELY from each ANN query (the
+        # per-query secs below are the ANN query harness alone), so
+        # retune cost claims can cite an unambiguous number
+        row: dict[str, dict] = {
+            "_truth_brute_force": {"secs": round(time.time() - t0, 2),
+                                   "pairs": len(exact)}}
         for name, qbound in ANN_QUERIES.items():
             t0 = time.time()
             approx = pairs(REGISTRY[name].spark_fn(spark, sf_dir))
