@@ -1146,6 +1146,14 @@ class TxnTable:
         data_root = os.path.join(self.path, "data")
         deleted = []
         for root, _dirs, files in os.walk(data_root, topdown=False):
+            # never touch a committer's in-flight staging tree: Spark's
+            # Hadoop committer stages task output under _temporary/
+            # before the job-commit rename, and those paths are (by
+            # design) referenced by no snapshot — Delta's VACUUM skips
+            # the same staging convention
+            if "_temporary" in os.path.relpath(
+                    root, data_root).split(os.sep):
+                continue
             for name in files:
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, self.path)
@@ -1154,12 +1162,22 @@ class TxnTable:
                 try:
                     if os.path.getmtime(full) > cutoff:
                         continue           # too young: maybe in flight
+                    os.unlink(full)
                 except OSError:
-                    continue
-                os.unlink(full)
+                    continue               # lost a race: another vacuum
                 deleted.append(rel)
             if root != data_root and not os.listdir(root):
-                os.rmdir(root)
+                # the SAME age guard as files: a freshly-created empty
+                # directory is a concurrent writer's commit dir or
+                # staging dir that hasn't received its first file yet —
+                # rmdir'ing it would crash that writer's tasks (found by
+                # the concurrent-maintenance race test); aged-out empty
+                # dirs are collected on the next vacuum pass instead
+                try:
+                    if os.path.getmtime(root) <= cutoff:
+                        os.rmdir(root)
+                except OSError:
+                    pass
         return sorted(deleted)
 
     def cleanup_log(self, keep_versions: int = 0,

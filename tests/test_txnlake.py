@@ -499,7 +499,7 @@ def test_txn_vacuum_and_history(spark, tmp_path):
     assert t.vacuum(keep_versions=2, min_age_seconds=0) == []
 
 
-@pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.parametrize("seed", [7, 23, 41])
 def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
     """Model-based check of the WHOLE lifecycle: a seeded random
     sequence of merge/delete/overwrite/compact/vacuum/cleanup_log ops
@@ -1259,6 +1259,149 @@ def test_txn_concurrent_writers_with_compactor(spark, tmp_path):
         for b in range(n_batches):
             expect.update({f"W{w}B{b}K{i}": w * 100 + b
                            for i in range(3)})
+    assert rows == expect
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_txn_concurrent_maintenance_feed_complete_or_raises(
+        spark, tmp_path, seed):
+    """VERDICT r8 task 7: the thread races extended to the FULL
+    lifecycle op set — merging writers race a maintenance thread that
+    interleaves compact / vacuum / cleanup_log through the version
+    CAS, while a change-feed reader polls ``changes()`` over sliding
+    windows the whole time. The property under test is the feed's
+    complete-or-refuse contract UNDER concurrency: every window the
+    feed SERVES must replay the ``v_lo`` snapshot exactly into the
+    ``v_hi`` snapshot (a partial or stale feed fails the replay);
+    windows it cannot serve (entry cleaned by cleanup_log, pre-image
+    collected by vacuum, file lost to a concurrent delete mid-scan)
+    must raise — never return silently truncated rows. Afterwards the
+    table must equal the deterministic union of all writers' batches,
+    proving maintenance never touched live data."""
+    import random
+    import threading
+    import time
+
+    path = str(tmp_path / "t")
+    t0 = txn_table(spark, path, checkpoint_every=3, rows_per_file=64)
+    t0.overwrite(_recs(spark, [("SEED", 0)]))
+
+    n_writers, n_batches = 2, 4
+    errors: list[Exception] = []
+    mismatches: list[tuple] = []
+    stats = {"served_verified": 0, "refused": 0, "unverifiable": 0}
+    stop = threading.Event()
+
+    def writer(w: int):
+        try:
+            t = txn_table(spark, path, checkpoint_every=3,
+                          rows_per_file=64)
+            for b in range(n_batches):
+                ups = [(f"W{w}S{i}", w * 1000 + b) for i in range(4)]
+                ups += [(f"W{w}B{b}N{i}", b) for i in range(2)]
+                dels = [f"W{w}B{b - 2}N0"] if b >= 2 else ["~none~"]
+                t.merge(_recs(spark, ups),
+                        deleted_keys=spark.createDataFrame(
+                            [(k,) for k in dels], "bibcode string"),
+                        app_txn_id=f"w{w}-b{b}", retries=64)
+        except Exception as exc:
+            errors.append(exc)
+
+    def maintenance():
+        # min_age_seconds=2 mirrors Delta's modification-time guard
+        # (a racing writer's written-not-yet-committed files stay
+        # protected) and keep_versions=10 keeps the horizon safely
+        # behind any in-flight op's snapshot — Delta's retention
+        # contract: vacuum below a snapshot a reader still holds can
+        # fail that reader. Early pre-images still age out mid-test,
+        # so the reader really hits the refusal path.
+        mrng = random.Random(seed + 1)
+        try:
+            t = txn_table(spark, path, checkpoint_every=3,
+                          rows_per_file=64)
+            while not stop.is_set():
+                op = mrng.choice(["compact", "vacuum", "cleanup"])
+                if op == "compact":
+                    t.compact(retries=64)
+                elif op == "vacuum":
+                    t.vacuum(keep_versions=10, min_age_seconds=2.0)
+                else:
+                    t.cleanup_log(keep_versions=8)
+                time.sleep(0.05)
+        except Exception as exc:
+            errors.append(exc)
+
+    def reader():
+        rrng = random.Random(seed + 2)
+        t = txn_table(spark, path, checkpoint_every=3,
+                      rows_per_file=64)
+
+        def state(v):
+            if v < 0:
+                return {}
+            return {r["bibcode"]: r["v"]
+                    for r in t.read(as_of=v).collect()}
+
+        while not stop.is_set():
+            v_hi = t.version()
+            if v_hi < 1:
+                continue
+            v_lo = max(-1, v_hi - rrng.randint(1, 3))
+            try:
+                feed = t.changes(v_lo, v_hi).collect()
+            except Exception:
+                # refusal (cleaned entry / vacuumed pre-image) or a
+                # mid-scan loss surfaced as a read error: the contract
+                # allows raising, never a silent partial feed
+                stats["refused"] += 1
+                continue
+            try:
+                base, post = state(v_lo), state(v_hi)
+            except Exception:
+                # an ENDPOINT snapshot itself fell below the retention
+                # horizon between serve and verify: can't judge this one
+                stats["unverifiable"] += 1
+                continue
+            replayed = dict(base)
+            for r in sorted(feed, key=lambda r: r["_commit_version"]):
+                if r["_change_type"] in ("insert", "update_postimage"):
+                    replayed[r["bibcode"]] = r["v"]
+                elif r["_change_type"] == "delete":
+                    replayed.pop(r["bibcode"], None)
+            if replayed == post:
+                stats["served_verified"] += 1
+            else:
+                mismatches.append((v_lo, v_hi, replayed, post))
+
+    writers = [threading.Thread(target=writer, args=(w,))
+               for w in range(n_writers)]
+    mth = threading.Thread(target=maintenance)
+    rth = threading.Thread(target=reader)
+    for th in writers:
+        th.start()
+    mth.start()
+    rth.start()
+    for th in writers:
+        th.join(timeout=600)
+    stop.set()
+    mth.join(timeout=600)
+    rth.join(timeout=600)
+
+    assert not errors, errors
+    assert not mismatches, mismatches[:3]
+    # the reader genuinely observed served feeds under concurrency
+    assert stats["served_verified"] >= 1, stats
+
+    t = txn_table(spark, path)
+    rows = {r["bibcode"]: r["v"] for r in t.read().collect()}
+    expect = {"SEED": 0}
+    for w in range(n_writers):
+        for i in range(4):
+            expect[f"W{w}S{i}"] = w * 1000 + (n_batches - 1)
+        for b in range(n_batches):
+            expect[f"W{w}B{b}N1"] = b
+            if b >= n_batches - 2:     # N0 of older batches deleted
+                expect[f"W{w}B{b}N0"] = b
     assert rows == expect
 
 
