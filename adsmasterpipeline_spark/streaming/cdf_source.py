@@ -229,24 +229,51 @@ def _rows_by_key(table_path: str, files: list[str], key: str,
 class TxnChangeFeedStreamReader(DataSourceStreamReader):
     def __init__(self, table_path: str, key: str,
                  starting_version: int, fields: list[str],
-                 max_rows_per_task: int = 500_000):
+                 max_rows_per_task: int = 500_000,
+                 max_commits_per_trigger: int = 0):
         self.table_path = table_path
         self.key = key
         self.starting_version = starting_version
         self.fields = fields
         self.max_rows_per_task = max_rows_per_task
+        self.max_commits_per_trigger = max_commits_per_trigger
+        # last planned batch end — the base the per-trigger commit cap
+        # advances from. None until the engine reveals a position via
+        # partitions()/initialOffset(): the engine calls latestOffset
+        # FIRST each run (observed protocol; the Python DataSource API
+        # passes no start offset — no admission-control hook), and
+        # capping blind there could return an offset BEHIND a
+        # checkpoint-recovered start, regressing the offset log and
+        # re-serving committed versions. So the FIRST batch of each
+        # run is uncapped and the limit engages from the second.
+        self._planned_end: int | None = None
 
     # ---------------------------------------------------- driver side
     def initialOffset(self) -> dict:
+        self._planned_end = self.starting_version
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         entries = _entry_files(self.table_path)
         v = entries[-1][0] if entries else self.starting_version
-        return {"version": max(v, self.starting_version)}
+        v = max(v, self.starting_version)
+        if self.max_commits_per_trigger > 0 and \
+                self._planned_end is not None:
+            # Delta's maxFilesPerTrigger analogue: bound each planned
+            # micro-batch to N commits so a stream running behind its
+            # writer (slow sink, burst of commits) drains as bounded
+            # batches instead of ever-growing ones. Compact commits
+            # count toward the cap (they plan zero partitions, so a
+            # compact-heavy window is just a fast batch); the cap
+            # never moves the offset backwards.
+            v = max(self._planned_end,
+                    min(v, self._planned_end
+                        + self.max_commits_per_trigger))
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict) -> list[CommitPartition]:
         lo, hi = start["version"], end["version"]
+        self._planned_end = hi
         entries = dict(_entry_files(self.table_path))
         missing = [v for v in range(lo + 1, hi + 1) if v not in entries]
         if missing:
@@ -320,6 +347,17 @@ class TxnChangeFeedDataSource(DataSource):
     - ``maxRowsPerTask`` (default 500000): per-task memory budget —
       commits whose recorded add-row stats exceed it are hash-sliced
       across ``ceil(rows / maxRowsPerTask)`` tasks (0 disables)
+    - ``maxCommitsPerTrigger`` (default 0 = unlimited): rate limit —
+      each micro-batch advances at most N commits (Delta's
+      ``maxFilesPerTrigger`` analogue), so a stream running behind
+      its writer drains as bounded batches. The FIRST batch of each
+      run (fresh start or checkpoint restart) is uncapped: the Python
+      DataSource API calls ``latestOffset`` with no start offset, and
+      capping blind could regress a checkpoint-recovered position and
+      re-serve committed versions; the limit engages from the second
+      batch. For a bounded FIRST catch-up over a long log, batch-read
+      the snapshot and stream from ``startingVersion`` = head — the
+      documented bootstrap pattern.
     """
 
     @classmethod
@@ -362,4 +400,7 @@ class TxnChangeFeedDataSource(DataSource):
             fields,
             int(self.options.get("maxrowspertask",
                                  self.options.get("maxRowsPerTask",
-                                                  500_000))))
+                                                  500_000))),
+            int(self.options.get("maxcommitspertrigger",
+                                 self.options.get("maxCommitsPerTrigger",
+                                                  0))))

@@ -190,6 +190,81 @@ def test_stream_cdf_struct_nan_and_map_order_parity(registered, tmp_path):
     assert post[0]["s"]["x"] == 9.9 and post[0]["m"] == {"a": 9}
 
 
+def test_stream_cdf_max_commits_per_trigger(registered, tmp_path):
+    """maxCommitsPerTrigger (Delta's maxFilesPerTrigger analogue): a
+    stream running behind its writer drains as BOUNDED micro-batches —
+    after the first batch of the run, each advances at most N commits
+    and the offset never regresses — while the union over batches
+    still equals the batch changes() feed exactly-once. (The FIRST
+    batch per run is uncapped by design: the Python DataSource API
+    calls latestOffset before revealing any start position, and
+    capping blind could regress a checkpoint-recovered offset.)"""
+    from adsmasterpipeline_spark.streaming.cdf_source import (
+        TxnChangeFeedStreamReader,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, rows_per_file=1000)
+    t.overwrite(_recs(spark, [("B1", 1)]))                       # v0
+
+    # driver-side planning, in the engine's OBSERVED call order
+    # (latestOffset first, with no position): batch 1 uncapped, every
+    # later trigger advances <= 2 commits, never backwards
+    for i in range(6):                                           # v1..v6
+        t.merge(_recs(spark, [(f"K{i}", i), ("B1", 10 + i)]))
+    r = TxnChangeFeedStreamReader(path, "bibcode", -1,
+                                  ["bibcode", "v"],
+                                  max_commits_per_trigger=2)
+    first = r.latestOffset()           # engine probes before any start
+    assert first == {"version": 6}     # uncapped: no position known yet
+    pos = r.initialOffset()
+    r.partitions(pos, first)
+    for i in range(6, 12):                                       # v7..v12
+        t.merge(_recs(spark, [(f"K{i}", i)]))
+    ends, pos = [], first
+    while True:
+        end = r.latestOffset()
+        if end == pos:
+            break
+        assert end["version"] > pos["version"]     # never regresses
+        r.partitions(pos, end)
+        ends.append(end["version"])
+        pos = end
+    assert ends == [8, 10, 12]         # capped catch-up, 2 at a time
+
+    # engine end-to-end: a burst committed from INSIDE the first
+    # batch's sink (deterministically mid-run) must drain through
+    # follow-up batches of <= 2 commits each, reassembling the full
+    # feed exactly-once
+    path2 = str(tmp_path / "t2")
+    t2 = txn_table(spark, path2, rows_per_file=1000)
+    t2.overwrite(_recs(spark, [("B1", 1)]))                      # v0
+    batches: dict[int, list] = {}
+
+    def sink(df, eid):
+        batches[eid] = df.collect()
+        if eid == 0:
+            for i in range(6):                                   # v1..v6
+                t2.merge(_recs(spark, [(f"K{i}", i)]))
+
+    q = (spark.readStream.format("txn_cdf").option("path", path2)
+         .option("maxCommitsPerTrigger", "2").load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    key = lambda row: (row["bibcode"], row["v"], row["_change_type"],
+                       row["_commit_version"])
+    got = sorted(key(row) for b in batches.values() for row in b)
+    assert got == sorted(key(row) for row in t2.changes(-1, 6).collect())
+    follow_up = [b for eid, b in batches.items() if eid > 0 and b]
+    assert len(follow_up) >= 3         # 6 commits through a 2-commit cap
+    for b in follow_up:
+        assert len({row["_commit_version"] for row in b}) <= 2
+
+
 def test_stream_cdf_refuses_partial_feed(registered, tmp_path):
     """Retention contract: a stream whose range lost a pre-image file
     to vacuum FAILS the batch (never silently serves a partial feed)."""
