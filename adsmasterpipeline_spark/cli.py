@@ -691,8 +691,9 @@ def cmd_validate(args) -> int:
 def cmd_lake(args) -> int:
     """TxnTable maintenance: DESCRIBE HISTORY, OPTIMIZE (bin-pack
     small files), VACUUM (drop files unreachable from the retained
-    snapshots), log retention, and the change-data-feed summary —
-    the operational lifecycle of the log-structured records table
+    snapshots), log retention, RESTORE (metadata-only rollback to a
+    retained version), and the change-data-feed summary — the
+    operational lifecycle of the log-structured records table
     (sinks/txnlake.py)."""
     from .sinks.txnlake import txn_table
     spark = _spark()
@@ -714,6 +715,22 @@ def cmd_lake(args) -> int:
     elif args.action == "cleanup-log":
         deleted = t.cleanup_log(keep_versions=args.keep_versions)
         out["deleted_log_files"] = len(deleted)
+    elif args.action == "restore":
+        # Delta RESTORE: one metadata-only commit re-referencing the
+        # target snapshot's files (txnlake.restore docstring). The
+        # same expected operational refusals as changes — target
+        # below the retention horizon — report on the JSON contract.
+        if args.to_version is None:
+            raise SystemExit("lake restore needs --to-version V")
+        v0 = t.version()
+        try:
+            out["version"] = t.restore(args.to_version)
+        except ValueError as e:
+            print(json.dumps({"error": str(e),
+                              "target": args.to_version}))
+            return 1
+        out["target"] = args.to_version
+        out["restored"] = out["version"] != v0
     elif args.action == "changes":
         # change-data-feed inspection (Delta's table_changes shape):
         # per-change-type counts + the feed's file probe; --since/--to
@@ -853,14 +870,17 @@ def main(argv=None) -> int:
 
     pl = sub.add_parser(
         "lake",
-        help="TxnTable history/compact/vacuum/cleanup-log/changes")
+        help="TxnTable history/compact/vacuum/cleanup-log/changes/"
+             "restore")
     pl.add_argument("action", choices=["history", "compact", "vacuum",
-                                       "cleanup-log", "changes"])
+                                       "cleanup-log", "changes",
+                                       "restore"])
     pl.add_argument("--since-version", type=int, default=-1,
                     help="changes: feed starts AFTER this version")
     pl.add_argument("--to-version", type=int, default=None,
                     help="changes: feed ends at this version "
-                         "(default: latest)")
+                         "(default: latest); restore: the target "
+                         "version to restore the table state to")
     pl.add_argument("--path", required=True)
     pl.add_argument("--key", default="bibcode")
     pl.add_argument("--rows-per-file", type=int, default=None)

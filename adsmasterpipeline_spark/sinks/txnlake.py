@@ -1088,6 +1088,70 @@ class TxnTable:
         return v
 
 
+    def restore(self, version: int, app_txn_id: str | None = None,
+                retries: int = 0) -> int:
+        """Delta RESTORE: make the CURRENT state equal
+        ``read(as_of=version)`` via ONE new commit that re-references
+        the target snapshot's files and removes the rest — no data is
+        copied or rewritten, so the cost is O(log fold), zero bytes
+        moved. History moves FORWARD (a bad merge is undone by a new
+        version whose content equals the old one, the bad version
+        stays inspectable via time travel), and the change feed serves
+        the restore commit as the row-level diff between the two
+        states — exactly Delta's RESTORE + CDF behavior.
+
+        Raises ``ValueError`` when the target is not reconstructable:
+        its log entries were removed by ``cleanup_log`` (the
+        ``_snapshot`` refusal) or any of its files were collected by
+        ``vacuum`` — committing would resurrect dangling references
+        (Delta refuses the same way unless forced). Returns the new
+        version, or the current one when the target state already
+        equals the current state (no-op: nothing to commit).
+
+        ``retries``: like ``merge``/``compact`` — on a CommitConflict
+        the whole restore re-plans against the fresh snapshot (the
+        file DELTA changes under a racing writer, the target state
+        does not).
+
+        Reference anchor: the reference undoes a bad batch by
+        replaying events from the change_log pre-images row by row
+        (/root/reference/adsmp/models.py:127-141); the log-structured
+        table answers it with a metadata-only commit."""
+        for attempt in range(retries + 1):
+            try:
+                return self._restore_once(version, app_txn_id)
+            except CommitConflict:
+                if attempt == retries:
+                    raise
+
+    def _restore_once(self, version: int,
+                      app_txn_id: str | None) -> int:
+        snap = self._snapshot()
+        if app_txn_id is not None and app_txn_id in snap.txn_ids:
+            return snap.version
+        if not (0 <= version <= snap.version):
+            raise ValueError(
+                f"restore({version}): need 0 <= version <= latest "
+                f"committed version ({snap.version})")
+        target = self._snapshot(as_of=version)   # raises if log cleaned
+        missing = [p for p in target.live
+                   if not os.path.exists(os.path.join(self.path, p))]
+        if missing:
+            raise ValueError(
+                f"restore({version}): data files {sorted(missing)} "
+                f"were collected by vacuum — the target snapshot is "
+                f"not reconstructable below the retention horizon")
+        adds = [{"path": p,
+                 **(s or {"min_key": None, "max_key": None,
+                          "rows": None})}
+                for p, s in target.live.items() if p not in snap.live]
+        removes = [p for p in snap.live if p not in target.live]
+        if not adds and not removes:
+            return snap.version        # already that state: no commit
+        v = snap.version + 1
+        self._commit(v, adds, removes, "restore", app_txn_id)
+        return v
+
     def history(self) -> list[dict]:
         """Commit history, oldest first: version, operation, commit
         wall time (ms epoch; None for pre-round-8 entries), add/

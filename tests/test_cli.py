@@ -269,6 +269,39 @@ def test_cli_lake_maintenance(spark, tmp_path, capsys):
     assert "error" in err and err["range"]["v_lo"] == 0
 
 
+def test_cli_lake_restore(spark, tmp_path, capsys):
+    """`lake restore --to-version V`: metadata-only rollback from the
+    CLI — the table reads as the target version, and a target below
+    the retention horizon reports on the JSON error contract."""
+    import json
+
+    from adsmasterpipeline_spark.cli import main
+    from adsmasterpipeline_spark.sinks.txnlake import txn_table
+
+    path = str(tmp_path / "records")
+    t = txn_table(spark, path)
+    t.overwrite(spark.createDataFrame(
+        [("B1", 1), ("B2", 2)], "bibcode string, v long"))       # v0
+    t.merge(spark.createDataFrame(
+        [("B2", 22), ("C1", 3)], "bibcode string, v long"))      # v1
+
+    assert main(["lake", "restore", "--path", path,
+                 "--to-version", "0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"version": 2, "target": 0, "restored": True}
+    assert {r["bibcode"]: r["v"] for r in t.read().collect()} \
+        == {"B1": 1, "B2": 2}
+
+    # below the retention horizon: JSON error contract, nonzero exit
+    t.merge(spark.createDataFrame(
+        [("D1", 4)], "bibcode string, v long"))                  # v3
+    t.vacuum(keep_versions=2, min_age_seconds=0)
+    assert main(["lake", "restore", "--path", path,
+                 "--to-version", "1"]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err and err["target"] == 1
+
+
 def test_cli_sitemap_auto_incremental_from_change_feed(spark, tmp_path,
                                                        capsys):
     """VERDICT r8 task 4 — second wired CDF consumer: `sitemap

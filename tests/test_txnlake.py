@@ -534,6 +534,8 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
     t.overwrite(_recs(spark, [(k, 0) for k in keys[:10]]))
     model.update({k: 0 for k in keys[:10]})
     check()
+    # every committed version's model state, for restore targets
+    models_by_version = {t.version(): dict(model)}
 
     def check_feed(v_before, prev_model):
         """The change feed for the step's transition must equal the
@@ -561,7 +563,7 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
 
     for step in range(10):
         op = rng.choice(["merge", "merge", "merge", "delete",
-                         "compact", "vacuum", "cleanup"])
+                         "compact", "vacuum", "cleanup", "restore"])
         v_before, prev_model = t.version(), dict(model)
         if op == "merge":
             ups = {rng.choice(keys): step * 100 + i for i in range(4)}
@@ -587,14 +589,77 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
             t.compact()
         elif op == "vacuum":
             t.vacuum(keep_versions=3, min_age_seconds=0)
+        elif op == "restore":
+            tgt = rng.randrange(0, t.version() + 1)
+            try:
+                t.restore(tgt)
+            except ValueError:
+                continue   # target below retention: allowed refusal
+            model = dict(models_by_version[tgt])
         else:
             t.cleanup_log()
+        models_by_version[t.version()] = dict(model)
         check()
         check_feed(v_before, prev_model)
 
     # replaying the whole history through time travel still resolves
     # for the retained horizon
     assert t.read(as_of=t.version()).count() == len(model)
+
+
+def test_txn_restore(spark, tmp_path):
+    """Delta RESTORE: one metadata-only commit makes the current state
+    equal read(as_of=target) — zero data files written or copied,
+    history moves FORWARD (the undone versions stay time-travelable),
+    the change feed serves the restore as the row-level diff between
+    the two states, and a target below the retention horizon REFUSES
+    instead of committing dangling references."""
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path)
+    t.overwrite(_recs(spark, [("B1", 1), ("B2", 2)]))            # v0
+    t.merge(_recs(spark, [("B2", 22), ("C1", 3)]))               # v1
+    t.merge(_recs(spark, [("D1", 4)]),
+            deleted_keys=spark.createDataFrame(
+                [("B1",)], "bibcode string"))                    # v2
+
+    want_v1 = sorted(tuple(r) for r in t.read(as_of=1).collect())
+    hashes_before = _file_hashes(path)
+
+    v = t.restore(1)                                             # v3
+    assert v == 3
+    assert sorted(tuple(r) for r in t.read().collect()) == want_v1
+    # metadata-only: not one data byte written, moved, or rewritten
+    assert _file_hashes(path) == hashes_before
+    assert t.history()[-1]["operation"] == "restore"
+    # the undone version is still inspectable via time travel
+    got_v2 = {r["bibcode"]: r["v"] for r in t.read(as_of=2).collect()}
+    assert got_v2 == {"B2": 22, "C1": 3, "D1": 4}
+
+    # the feed serves the restore as a row-level diff: B1 comes back,
+    # D1 goes away, untouched B2/C1 survivors cancel
+    feed = {(r["bibcode"], r["_change_type"]): r["v"]
+            for r in t.changes(2, 3).collect()}
+    assert feed == {("B1", "insert"): 1, ("D1", "delete"): 4}
+
+    # restoring to the current state is a no-op (no empty commit)
+    assert t.restore(1) == 3
+    # idempotent replay via app txn id
+    assert t.restore(2, app_txn_id="undo-undo") == 4
+    assert t.restore(2, app_txn_id="undo-undo") == 4
+
+    # a further merge on top of the restored state behaves normally
+    t.merge(_recs(spark, [("B2", 222)]))                         # v5
+    got = {r["bibcode"]: r["v"] for r in t.read().collect()}
+    assert got == {"B2": 222, "C1": 3, "D1": 4}
+
+    # refusals: out of range, and below the vacuum horizon
+    with pytest.raises(ValueError, match="restore"):
+        t.restore(99)
+    t.restore(1)                                                 # v6
+    t.merge(_recs(spark, [("E1", 5)]))                           # v7
+    t.vacuum(keep_versions=2, min_age_seconds=0)
+    with pytest.raises(ValueError, match="vacuum"):
+        t.restore(2)          # v2's files were collected
 
 
 def test_txn_bloom_prunes_hash_partitioned_files(spark, tmp_path):
