@@ -47,8 +47,8 @@ def _drain(spark, path, ckpt, **options):
 
 def test_stream_cdf_parity_and_resume(registered, tmp_path):
     """Stream output == batch changes() across overwrite / merge /
-    delete / compact; a restart on the same checkpoint serves ONLY
-    the versions committed since (exactly-once offsets)."""
+    delete / compact / restore; a restart on the same checkpoint
+    serves ONLY the versions committed since (exactly-once offsets)."""
     spark = registered
     path = str(tmp_path / "t")
     t = txn_table(spark, path, rows_per_file=1000)
@@ -60,22 +60,28 @@ def test_stream_cdf_parity_and_resume(registered, tmp_path):
                 [("B1",)], "bibcode string"))                    # v2
     assert t.compact() == 3                                      # v3
     t.merge(_recs(spark, [("E1", 55), ("F1", 6)]))               # v4
+    assert t.restore(2) == 5      # metadata-only rollback of v4
 
     ckpt = str(tmp_path / "ckpt")
     rows = _drain(spark, path, ckpt)
     key = lambda r: (r["bibcode"], r["v"], r["_change_type"],
                      r["_commit_version"])
-    want = sorted(key(r) for r in t.changes(-1, 4).collect())
+    want = sorted(key(r) for r in t.changes(-1, 5).collect())
     assert sorted(key(r) for r in rows) == want
     assert not [r for r in rows if r["_commit_version"] == 3]
+    # the restore commit streams as the row-level undo of v4
+    assert sorted((r["bibcode"], r["_change_type"]) for r in rows
+                  if r["_commit_version"] == 5) == [
+        ("E1", "update_postimage"), ("E1", "update_preimage"),
+        ("F1", "delete")]
     assert all(r["_commit_timestamp"] is not None for r in rows)
 
     # resume: new commits only
-    t.merge(_recs(spark, [("B2", 222)]))                         # v5
+    t.merge(_recs(spark, [("B2", 222)]))                         # v6
     rows2 = _drain(spark, path, ckpt)
     assert sorted((r["bibcode"], r["_change_type"],
                    r["_commit_version"]) for r in rows2) == [
-        ("B2", "update_postimage", 5), ("B2", "update_preimage", 5)]
+        ("B2", "update_postimage", 6), ("B2", "update_preimage", 6)]
 
 
 def test_stream_cdf_starting_version_and_evolution(registered, tmp_path):
