@@ -692,7 +692,8 @@ def cmd_lake(args) -> int:
     """TxnTable maintenance: DESCRIBE HISTORY, OPTIMIZE (bin-pack
     small files), VACUUM (drop files unreachable from the retained
     snapshots), log retention, RESTORE (metadata-only rollback to a
-    retained version), and the change-data-feed summary — the
+    retained version), CHECK constraints (set/drop; every write
+    validates its batch), and the change-data-feed summary — the
     operational lifecycle of the log-structured records table
     (sinks/txnlake.py)."""
     from .sinks.txnlake import txn_table
@@ -715,6 +716,28 @@ def cmd_lake(args) -> int:
     elif args.action == "cleanup-log":
         deleted = t.cleanup_log(keep_versions=args.keep_versions)
         out["deleted_log_files"] = len(deleted)
+    elif args.action == "set-constraint":
+        # Delta's ALTER TABLE ADD CONSTRAINT: existing data validated
+        # first; a violation is an expected operational state -> JSON
+        # error contract like changes/restore
+        if not args.name or not args.expr:
+            raise SystemExit(
+                "lake set-constraint needs --name N --expr SQL")
+        try:
+            out["version"] = t.set_constraint(args.name, args.expr)
+        except ValueError as e:
+            print(json.dumps({"error": str(e), "name": args.name}))
+            return 1
+        out["constraints"] = t.constraints()
+    elif args.action == "drop-constraint":
+        if not args.name:
+            raise SystemExit("lake drop-constraint needs --name N")
+        try:
+            out["version"] = t.drop_constraint(args.name)
+        except ValueError as e:
+            print(json.dumps({"error": str(e), "name": args.name}))
+            return 1
+        out["constraints"] = t.constraints()
     elif args.action == "restore":
         # Delta RESTORE: one metadata-only commit re-referencing the
         # target snapshot's files (txnlake.restore docstring). The
@@ -871,10 +894,15 @@ def main(argv=None) -> int:
     pl = sub.add_parser(
         "lake",
         help="TxnTable history/compact/vacuum/cleanup-log/changes/"
-             "restore")
+             "restore/set-constraint/drop-constraint")
     pl.add_argument("action", choices=["history", "compact", "vacuum",
                                        "cleanup-log", "changes",
-                                       "restore"])
+                                       "restore", "set-constraint",
+                                       "drop-constraint"])
+    pl.add_argument("--name", help="constraint name")
+    pl.add_argument("--expr",
+                    help="set-constraint: boolean SQL expression "
+                         "every row must satisfy")
     pl.add_argument("--since-version", type=int, default=-1,
                     help="changes: feed starts AFTER this version")
     pl.add_argument("--to-version", type=int, default=None,

@@ -90,12 +90,14 @@ class CommitConflict(RuntimeError):
 @dataclass
 class Snapshot:
     """Driver-side fold of the log at one version: the live file set
-    (path -> stats dict or None) in add order, plus the application
+    (path -> stats dict or None) in add order, the application
     txn ids visible from the checkpoint's retention window + the
-    log tail."""
+    log tail, and the table's CHECK constraints (name -> boolean SQL
+    expression, Delta's ALTER TABLE ADD CONSTRAINT state)."""
     version: int = -1
     live: dict[str, dict | None] = field(default_factory=dict)
     txn_ids: set[str] = field(default_factory=set)
+    constraints: dict[str, str] = field(default_factory=dict)
 
 
 def _as_add(a) -> tuple[str, dict | None]:
@@ -212,6 +214,11 @@ class TxnTable:
             snap.live[p] = stats
         if e.get("app_txn_id") is not None:
             snap.txn_ids.add(e["app_txn_id"])
+        # CHECK-constraint deltas (Delta's metaData action analogue)
+        for n, expr in (e.get("constraint_set") or {}).items():
+            snap.constraints[n] = expr
+        for n in e.get("constraint_drop") or []:
+            snap.constraints.pop(n, None)
 
     def _snapshot(self, as_of: int | None = None) -> Snapshot:
         """One log read per operation (the round-5 code re-read and
@@ -236,6 +243,7 @@ class TxnTable:
                 snap.version = data["version"]
                 snap.live = dict(_as_add(a) for a in data["live"])
                 snap.txn_ids = set(data["txn_ids"])
+                snap.constraints = dict(data.get("constraints") or {})
             except (OSError, ValueError, KeyError, TypeError):
                 # missing OR corrupt checkpoint: the retained log can
                 # rebuild the state — fall back rather than wedging
@@ -352,7 +360,10 @@ class TxnTable:
                 # txn_ids kept for readers of the old shape; txn_pairs
                 # is what lets the NEXT checkpoint carry forward
                 "txn_ids": sorted({t for _, t in pairs}),
-                "txn_pairs": sorted(pairs)}
+                "txn_pairs": sorted(pairs),
+                # constraint state must survive cleanup_log deleting
+                # the set_constraint entries behind this checkpoint
+                "constraints": snap.constraints}
         d = self._log_dir()
         tmp = os.path.join(d, f".tmp-cp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -434,7 +445,8 @@ class TxnTable:
         return app_txn_id in self._snapshot().txn_ids
 
     def _commit(self, version: int, adds: list, removes: list[str],
-                operation: str, app_txn_id: str | None) -> None:
+                operation: str, app_txn_id: str | None,
+                extra: dict | None = None) -> None:
         import time
         d = self._log_dir()
         os.makedirs(d, exist_ok=True)
@@ -447,6 +459,8 @@ class TxnTable:
                  "adds": adds, "removes": removes}
         if app_txn_id is not None:
             entry["app_txn_id"] = app_txn_id
+        if extra:
+            entry.update(extra)
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(entry, f, indent=1, sort_keys=True)
@@ -747,6 +761,8 @@ class TxnTable:
                 continue               # bin-packing: zero row changes
             adds = [_as_add(a)[0] for a in e.get("adds", [])]
             removes = list(e.get("removes", []))
+            if not adds and not removes:
+                continue               # metadata-only (constraints)
             for f in adds + removes:
                 if not os.path.exists(os.path.join(self.path, f)):
                     raise ValueError(
@@ -868,6 +884,8 @@ class TxnTable:
         snap = self._snapshot()
         if app_txn_id is not None and app_txn_id in snap.txn_ids:
             return snap.version
+        self._enforce_constraints(df, snap.constraints,
+                                  "the overwrite batch")
         v = snap.version + 1
         adds = self._write_data(df, v)
         self._commit(v, adds, list(snap.live), "overwrite", app_txn_id)
@@ -976,6 +994,8 @@ class TxnTable:
         snap = self._snapshot()
         if app_txn_id is not None and app_txn_id in snap.txn_ids:
             return snap.version
+        self._enforce_constraints(changed, snap.constraints,
+                                  "the merge batch")
         if deleted_keys is None:
             deleted_keys = changed.select(key).limit(0)
         deleted_keys = deleted_keys.select(key).distinct()
@@ -1088,6 +1108,79 @@ class TxnTable:
         return v
 
 
+    def constraints(self) -> dict[str, str]:
+        """Current CHECK constraints (name -> boolean SQL expr)."""
+        return dict(self._snapshot().constraints)
+
+    def _enforce_constraints(self, df: DataFrame,
+                             constraints: dict[str, str],
+                             what: str) -> None:
+        """Refuse a write whose rows violate any CHECK constraint —
+        one aggregate pass counts violations of every constraint at
+        once (a row where the expression is NULL violates, like
+        Delta: CHECK requires TRUE). An expression that no longer
+        resolves against the batch schema fails loudly too."""
+        if not constraints:
+            return
+        names = sorted(constraints)
+        row = df.agg(*[
+            F.sum(F.when(~F.expr(constraints[n]).eqNullSafe(F.lit(True)),
+                         1).otherwise(0)).alias(n)
+            for n in names]).collect()[0]
+        bad = {n: int(row[n]) for n in names if row[n]}
+        if bad:
+            detail = "; ".join(
+                f"'{n}' ({constraints[n]}): {c} row(s)"
+                for n, c in bad.items())
+            raise ValueError(
+                f"CHECK constraint violated by {what}: {detail}")
+
+    def set_constraint(self, name: str, expr: str,
+                       retries: int = 0) -> int:
+        """Delta's ALTER TABLE ADD CONSTRAINT: register a boolean SQL
+        expression every row of the table must satisfy. EXISTING data
+        is validated first (one aggregate scan — the same price Delta
+        pays) and the call refuses if any current row violates; from
+        then on every ``merge``/``overwrite`` batch is validated
+        before any file is written, and ``restore`` validates the
+        rows it would resurrect. The constraint is a metadata-only
+        commit folded like any other log entry and carried by
+        checkpoints, so it survives ``cleanup_log``."""
+        for attempt in range(retries + 1):
+            try:
+                return self._set_constraint_once(name, expr)
+            except CommitConflict:
+                if attempt == retries:
+                    raise
+
+    def _set_constraint_once(self, name: str, expr: str) -> int:
+        snap = self._snapshot()
+        if snap.live:
+            self._enforce_constraints(
+                self._read_files(list(snap.live)), {name: expr},
+                "existing table data")
+        v = snap.version + 1
+        self._commit(v, [], [], "set_constraint", None,
+                     extra={"constraint_set": {name: expr}})
+        return v
+
+    def drop_constraint(self, name: str, retries: int = 0) -> int:
+        """Delta's ALTER TABLE DROP CONSTRAINT — metadata-only."""
+        for attempt in range(retries + 1):
+            try:
+                snap = self._snapshot()
+                if name not in snap.constraints:
+                    raise ValueError(
+                        f"drop_constraint({name!r}): no such "
+                        f"constraint; have {sorted(snap.constraints)}")
+                v = snap.version + 1
+                self._commit(v, [], [], "drop_constraint", None,
+                             extra={"constraint_drop": [name]})
+                return v
+            except CommitConflict:
+                if attempt == retries:
+                    raise
+
     def restore(self, version: int, app_txn_id: str | None = None,
                 retries: int = 0) -> int:
         """Delta RESTORE: make the CURRENT state equal
@@ -1148,6 +1241,13 @@ class TxnTable:
         removes = [p for p in snap.live if p not in target.live]
         if not adds and not removes:
             return snap.version        # already that state: no commit
+        if adds and snap.constraints:
+            # a constraint added AFTER the target version may not hold
+            # for the rows restore would resurrect — validate just the
+            # re-referenced files (O(restored files), not the table)
+            self._enforce_constraints(
+                self._read_files([a["path"] for a in adds]),
+                snap.constraints, f"rows restored from version {version}")
         v = snap.version + 1
         self._commit(v, adds, removes, "restore", app_txn_id)
         return v

@@ -289,6 +289,8 @@ class TxnChangeFeedStreamReader(DataSourceStreamReader):
                 continue           # bin-packing: zero row changes
             adds = [a["path"] if isinstance(a, dict) else a
                     for a in e.get("adds", [])]
+            if not adds and not e.get("removes"):
+                continue           # metadata-only commit (constraints)
             # per-task memory bound: hash-slice the key space of a
             # commit whose recorded add-row stats exceed the budget
             # (bootstrap overwrites, compaction-adjacent merges). The

@@ -302,6 +302,41 @@ def test_cli_lake_restore(spark, tmp_path, capsys):
     assert "error" in err and err["target"] == 1
 
 
+def test_cli_lake_constraints(spark, tmp_path, capsys):
+    """`lake set-constraint / drop-constraint`: CHECK constraints are
+    operable from the CLI, with the JSON error contract when existing
+    data violates the proposed expression."""
+    import json
+
+    from adsmasterpipeline_spark.cli import main
+    from adsmasterpipeline_spark.sinks.txnlake import txn_table
+
+    path = str(tmp_path / "records")
+    t = txn_table(spark, path)
+    t.overwrite(spark.createDataFrame(
+        [("B1", 1), ("B2", 2)], "bibcode string, v long"))       # v0
+
+    assert main(["lake", "set-constraint", "--path", path,
+                 "--name", "v_pos", "--expr", "v > 0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["constraints"] == {"v_pos": "v > 0"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="v_pos"):
+        t.merge(spark.createDataFrame(
+            [("C1", -1)], "bibcode string, v long"))
+
+    # existing data violates the proposed expression -> JSON error
+    assert main(["lake", "set-constraint", "--path", path,
+                 "--name", "v_small", "--expr", "v < 2"]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err and err["name"] == "v_small"
+
+    assert main(["lake", "drop-constraint", "--path", path,
+                 "--name", "v_pos"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["constraints"] == {}
+
+
 def test_cli_sitemap_auto_incremental_from_change_feed(spark, tmp_path,
                                                        capsys):
     """VERDICT r8 task 4 — second wired CDF consumer: `sitemap

@@ -76,12 +76,14 @@ def test_stream_cdf_parity_and_resume(registered, tmp_path):
         ("F1", "delete")]
     assert all(r["_commit_timestamp"] is not None for r in rows)
 
-    # resume: new commits only
-    t.merge(_recs(spark, [("B2", 222)]))                         # v6
+    # resume: new commits only — and the metadata-only constraint
+    # commit (v6) streams NOTHING, like compact
+    assert t.set_constraint("v_pos", "v > 0") == 6
+    t.merge(_recs(spark, [("B2", 222)]))                         # v7
     rows2 = _drain(spark, path, ckpt)
     assert sorted((r["bibcode"], r["_change_type"],
                    r["_commit_version"]) for r in rows2) == [
-        ("B2", "update_postimage", 6), ("B2", "update_preimage", 6)]
+        ("B2", "update_postimage", 7), ("B2", "update_preimage", 7)]
 
 
 def test_stream_cdf_starting_version_and_evolution(registered, tmp_path):

@@ -662,6 +662,64 @@ def test_txn_restore(spark, tmp_path):
         t.restore(2)          # v2's files were collected
 
 
+def test_txn_check_constraints(spark, tmp_path):
+    """Delta CHECK constraints: set_constraint validates EXISTING data
+    before registering, every merge/overwrite batch is validated
+    before a single file is written (NULL violates, like Delta),
+    restore validates the rows it would resurrect, the constraint is
+    a metadata-only commit the change feed skips, and it survives
+    checkpoint + cleanup_log."""
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, checkpoint_every=2)
+    t.overwrite(_recs(spark, [("B1", 1), ("B2", 2)]))            # v0
+
+    # existing data violates -> refuse, nothing registered
+    with pytest.raises(ValueError, match="existing table data"):
+        t.set_constraint("v_small", "v < 2")
+    assert t.constraints() == {}
+    assert t.version() == 0
+
+    assert t.set_constraint("v_pos", "v > 0") == 1               # v1
+    assert t.constraints() == {"v_pos": "v > 0"}
+
+    # a valid batch passes; a violating one refuses BEFORE any commit
+    t.merge(_recs(spark, [("C1", 3)]))                           # v2
+    with pytest.raises(ValueError, match="v_pos"):
+        t.merge(_recs(spark, [("D1", -5)]))
+    with pytest.raises(ValueError, match="v_pos"):
+        t.merge(_recs(spark, [("D1", None)]))     # NULL violates
+    with pytest.raises(ValueError, match="v_pos"):
+        t.overwrite(_recs(spark, [("D1", -5)]))
+    assert t.version() == 2
+    assert {r["bibcode"]: r["v"] for r in t.read().collect()} == \
+        {"B1": 1, "B2": 2, "C1": 3}
+
+    # the feed skips the metadata-only commit; the window still serves
+    feed = {(r["bibcode"], r["_change_type"]) for r in
+            t.changes(0, 2).collect()}
+    assert feed == {("C1", "insert")}
+
+    # survives checkpoint + cleanup_log on a FRESH handle
+    t.merge(_recs(spark, [("E1", 5)]))                           # v3
+    t.merge(_recs(spark, [("F1", 6)]))                           # v4 -> cp
+    assert t.cleanup_log() != []
+    t2 = txn_table(spark, path, checkpoint_every=2)
+    assert t2.constraints() == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="v_pos"):
+        t2.merge(_recs(spark, [("G1", 0)]))
+
+    # restore validates resurrected rows: drop, write a violator,
+    # overwrite it away, re-add the constraint, then try to restore
+    assert t2.drop_constraint("v_pos") == 5                      # v5
+    t2.merge(_recs(spark, [("N1", -9)]))                         # v6
+    t2.merge(_recs(spark, [("N1", 9)]))                          # v7
+    t2.set_constraint("v_pos", "v > 0")                          # v8
+    with pytest.raises(ValueError, match="restored from version 6"):
+        t2.restore(6)
+    with pytest.raises(ValueError, match="no such constraint"):
+        t2.drop_constraint("nope")
+
+
 def test_txn_bloom_prunes_hash_partitioned_files(spark, tmp_path):
     """Bloom file skipping: on a HASH-partitioned table every file
     spans the full key range, so min/max pruning keeps all of them —
