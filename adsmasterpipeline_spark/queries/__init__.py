@@ -61,37 +61,34 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 # safe publish, cli txn routing) are pytest/STREAMTXN/TXNPROBE
 # surfaces, and the ann_ivf/ann_pq retunes are rows-only entries.
 PRIORITY: tuple[str, ...] = (
-    # Round-9 window (VERDICT r8 task 1): computed from committed
-    # CORRECTNESS_r0{1..8}.json — every oracled query's LAST
-    # driver-green round. No oracle changed this round (the sf1
-    # stress de-vacuification is a tools/gen_stress.py distribution
-    # fix, not a query/oracle change), so the window is pure
-    # staleness rotation: the 28 whose last green is r06 lead, then
-    # the alphabetically-first 22 of the 50 whose last green is r07,
-    # advancing the cumulative last-green floor to r07.
-    # -- last driver-green r06 (28) --
-    "cosine_topk", "countmin_heavy_hitters", "date_buckets",
-    "dedup_clusters", "dsir_importance_weights",
-    "duplicated_substring_runs", "embedding_cosine_neardup",
-    "embedding_cosine_neardup_gemm", "embedding_quantize",
-    "mixture_temperature_weights", "pii_scrub", "q10_returned_items",
-    "q11_important_stock", "q13_customer_distribution",
-    "q15_top_supplier", "q16_supplier_cnt", "q18_large_volume",
-    "q20_potential_promotion", "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity", "quality_rules_filter",
-    "range_join_bands", "repetition_quality", "salted_group_counts",
-    "source_mixture_sample", "span_dedup_docs",
-    "streaming_windowed_counts", "zorder_data_skipping",
-    # -- last driver-green r07 (alphabetical fill to 50) --
-    "checksum_dispatch", "corpus_token_stats",
-    "correlated_small_quantity", "cube_order_stats", "dedup_exact",
-    "distinct_counts_exact_vs_approx", "distinct_ngram_diversity",
-    "doc_fingerprint", "except_keys", "explode_tokens_top",
-    "first_last_value", "full_outer_diff", "funnel_conversion",
-    "gapfill_forward_fill", "has_fields", "histogram_prices",
-    "hll_distinct_tokens", "incremental_dedup",
-    "incremental_watermark_scan", "intersect_keys",
-    "inverted_index_topdf", "join_anti",
+    # Round-10 window (VERDICT r9 task 1): computed from committed
+    # CORRECTNESS_r0{1..9}.json — every oracled query's LAST
+    # driver-green round. Last-green distribution after r9 was
+    # {r9: 50, r8: 50, r7: 28}; this window = all 28 whose last
+    # green is r07, then the alphabetically-first 22 of the 50
+    # whose last green is r08 (through corpus_train_split),
+    # advancing the cumulative last-green floor to r08.
+    # -- last driver-green r07 (28) --
+    "join_left_outer", "join_semi", "json_payload_extract",
+    "label_centroid_distance", "langid_heuristic",
+    "levenshtein_similarity", "merge_last_writer_wins",
+    "min_cost_supplier", "minhash_signatures", "native_max_by",
+    "ntile_rank_scalable", "pagerank_supplier_customer",
+    "path_transitions", "regexp_rewrite", "rollup_revenue",
+    "shingle_containment_pairs", "sliding_window_counts",
+    "string_agg_ordered", "string_hier_facet", "topk_per_group",
+    "triangle_copurchase", "vocab_encode_docs", "window_bucket_assign",
+    "window_flag_first", "window_lag_lead", "window_ntile_rank",
+    "window_range_frame", "window_running_total",
+    # -- last driver-green r08 (alphabetical fill to 50) --
+    "agg_argmax_per_group", "agg_collect_sorted",
+    "agg_counts_per_group", "agg_nonnull_counts", "ann_int8_quantized",
+    "ann_ivf_kmeans", "ann_sign_lsh", "asof_attribution",
+    "assign_scalable", "benchmark_contamination", "bigram_lm_nll",
+    "bloom_shingle_filter", "bm25_topdf_terms", "bpe_learn_encode",
+    "case_when_mapping", "char_entropy", "chunk_documents",
+    "cluster_keeper_quality", "cohort_retention", "corpus_clean",
+    "corpus_dedup_pipeline", "corpus_train_split",
 )
 
 
