@@ -446,7 +446,8 @@ class TxnTable:
 
     def _commit(self, version: int, adds: list, removes: list[str],
                 operation: str, app_txn_id: str | None,
-                extra: dict | None = None) -> None:
+                extra: dict | None = None,
+                prior_live: dict[str, dict | None] | None = None) -> None:
         import time
         d = self._log_dir()
         os.makedirs(d, exist_ok=True)
@@ -457,6 +458,21 @@ class TxnTable:
         entry = {"version": version, "operation": operation,
                  "ts_ms": int(time.time() * 1000),
                  "adds": adds, "removes": removes}
+        if prior_live is not None and removes:
+            # per-file row counts of the REMOVED files, copied from the
+            # prior snapshot's add stats (known at commit time, free).
+            # The CDF stream sizes its per-task key-hash slicing from
+            # max(add rows, remove rows): a delete-heavy merge or a
+            # restore writes few add rows but its tasks must hold every
+            # removed file's pre-image, so sizing from adds alone
+            # silently broke the per-task memory bound (VERDICT r9 #1).
+            # Stat-less removed files are omitted (legacy adds-only
+            # estimate remains the floor, never an overcount).
+            rs = {p: (prior_live.get(p) or {}).get("rows")
+                  for p in removes}
+            rs = {p: r for p, r in rs.items() if isinstance(r, int)}
+            if rs:
+                entry["remove_stats"] = rs
         if app_txn_id is not None:
             entry["app_txn_id"] = app_txn_id
         if extra:
@@ -888,7 +904,8 @@ class TxnTable:
                                   "the overwrite batch")
         v = snap.version + 1
         adds = self._write_data(df, v)
-        self._commit(v, adds, list(snap.live), "overwrite", app_txn_id)
+        self._commit(v, adds, list(snap.live), "overwrite", app_txn_id,
+                     prior_live=snap.live)
         return v
 
     def _prune_candidates(self, live: dict[str, dict | None],
@@ -1047,7 +1064,8 @@ class TxnTable:
         # read-own-input hazard, so no checkpoint needed
         v = snap.version + 1
         adds = self._write_data(new_rows, v)
-        self._commit(v, adds, touched, "merge", app_txn_id)
+        self._commit(v, adds, touched, "merge", app_txn_id,
+                     prior_live=snap.live)
         return v
 
     def compact(self, small_rows_threshold: int | None = None,
@@ -1104,7 +1122,8 @@ class TxnTable:
             adds = self._write_data(packed, v)
         finally:
             self.cluster_writes = cw
-        self._commit(v, adds, sorted(small), "compact", None)
+        self._commit(v, adds, sorted(small), "compact", None,
+                     prior_live=snap.live)
         return v
 
 
@@ -1227,8 +1246,23 @@ class TxnTable:
                 f"restore({version}): need 0 <= version <= latest "
                 f"committed version ({snap.version})")
         target = self._snapshot(as_of=version)   # raises if log cleaned
-        missing = [p for p in target.live
-                   if not os.path.exists(os.path.join(self.path, p))]
+        missing = []
+        for p in target.live:
+            full = os.path.join(self.path, p)
+            try:
+                # touch-to-refresh BEFORE the existence check: the
+                # files restore resurrects are old and referenced by
+                # no retained snapshot until the restore commit lands,
+                # so vacuum's min_age guard (built for fresh writer
+                # output) did not protect them — a vacuum that
+                # computed its protected set before this commit could
+                # unlink them mid-restore (ADVICE r9). A fresh mtime
+                # puts them inside any honest vacuum's age window;
+                # vacuum(min_age_seconds=0) already documents
+                # "only when no other writer can be in flight".
+                os.utime(full, None)
+            except OSError:
+                missing.append(p)
         if missing:
             raise ValueError(
                 f"restore({version}): data files {sorted(missing)} "
@@ -1249,7 +1283,35 @@ class TxnTable:
                 self._read_files([a["path"] for a in adds]),
                 snap.constraints, f"rows restored from version {version}")
         v = snap.version + 1
-        self._commit(v, adds, removes, "restore", app_txn_id)
+        self._commit(v, adds, removes, "restore", app_txn_id,
+                     prior_live=snap.live)
+        # post-commit re-verify (detection arm of the same race): a
+        # vacuum pass that ignored the age guard can still have
+        # unlinked a resurrected file between the check and the
+        # commit, leaving a committed version with dangling
+        # references. Roll FORWARD with a compensating commit that
+        # re-references the pre-restore state (those files were live
+        # a moment ago — every retained snapshot still protects
+        # them), then raise so the caller knows the restore did not
+        # stick.
+        gone = [a["path"] for a in adds
+                if not os.path.exists(os.path.join(self.path, a["path"]))]
+        if gone:
+            comp_adds = [{"path": p,
+                          **(s or {"min_key": None, "max_key": None,
+                                   "rows": None})}
+                         for p, s in snap.live.items()
+                         if p not in target.live]
+            comp_removes = [a["path"] for a in adds]
+            try:
+                self._commit(v + 1, comp_adds, comp_removes,
+                             "restore", None, prior_live=target.live)
+            except CommitConflict:
+                pass     # a later writer owns v+1; surface the loss
+            raise ValueError(
+                f"restore({version}): data files {sorted(gone)} were "
+                f"collected by a concurrent vacuum after the commit — "
+                f"rolled forward to the pre-restore state")
         return v
 
     def history(self) -> list[dict]:

@@ -662,6 +662,141 @@ def test_txn_restore(spark, tmp_path):
         t.restore(2)          # v2's files were collected
 
 
+def test_txn_restore_vacuum_toctou(spark, tmp_path):
+    """ADVICE r9 (medium): the files restore resurrects are old and
+    unreferenced by any retained snapshot until the restore commit
+    lands, so vacuum's min_age guard did not protect them — a vacuum
+    that computed its protected set before the restore commit could
+    unlink them after the existence check, committing dangling refs.
+    Two arms: (1) prevention — restore touch-refreshes its targets'
+    mtimes, so an age-guarded vacuum interleaved right before the
+    commit skips them and the restore lands readable; (2) detection —
+    a vacuum that ignores the age guard still unlinks them, and the
+    post-commit re-verify rolls FORWARD with a compensating commit to
+    the pre-restore state and raises, never leaving a dangling head."""
+    import os
+
+    def build(path):
+        t = txn_table(spark, path, rows_per_file=1000)
+        t.overwrite(_recs(spark, [("B1", 1), ("B2", 2)]))        # v0
+        t.merge(_recs(spark, [("B1", 11), ("B2", 22)]))          # v1
+        t.merge(_recs(spark, [("B1", 111)]))                     # v2
+        # age v0/v1's files well past any test-scale min_age window
+        for root, _d, files in os.walk(os.path.join(path, "data")):
+            for n in files:
+                old = 1_000_000_000
+                os.utime(os.path.join(root, n), (old, old))
+        return t
+
+    def interleave_vacuum(t, min_age):
+        """Patch _commit so a vacuum (whose protected set is computed
+        INSIDE the call — i.e. before the restore entry exists) runs
+        between restore's existence check and its commit publish."""
+        orig = t._commit
+
+        def patched(version, adds, removes, operation, app_txn_id,
+                    extra=None, prior_live=None):
+            if operation == "restore" and not getattr(
+                    patched, "fired", False):
+                patched.fired = True
+                txn_table(spark, t.path, rows_per_file=1000).vacuum(
+                    keep_versions=1, min_age_seconds=min_age)
+            return orig(version, adds, removes, operation,
+                        app_txn_id, extra=extra, prior_live=prior_live)
+
+        t._commit = patched
+
+    # arm 1: honest vacuum (min_age guard) — touch-refresh protects
+    # the resurrected files, the restore lands and reads clean
+    p1 = str(tmp_path / "t1")
+    t1 = build(p1)
+    interleave_vacuum(t1, min_age=3600.0)
+    v = t1.restore(0)
+    assert v == 3
+    got = {r["bibcode"]: r["v"] for r in t1.read().collect()}
+    assert got == {"B1": 1, "B2": 2}
+
+    # arm 2: age-guard-ignoring vacuum (the documented "only when no
+    # writer can be in flight" contract violated) — the re-verify
+    # detects the loss, compensates, and raises; the table head is
+    # the PRE-restore state with zero dangling references
+    p2 = str(tmp_path / "t2")
+    t2 = build(p2)
+    interleave_vacuum(t2, min_age=0.0)
+    with pytest.raises(ValueError, match="concurrent vacuum"):
+        t2.restore(0)
+    t2b = txn_table(spark, p2, rows_per_file=1000)
+    assert t2b.history()[-2:][0]["operation"] == "restore"   # v3: lost
+    assert t2b.history()[-1]["operation"] == "restore"       # v4: comp
+    got = {r["bibcode"]: r["v"] for r in t2b.read().collect()}
+    assert got == {"B1": 111, "B2": 22}
+
+
+def test_txn_restore_races_vacuum_threads(spark, tmp_path):
+    """Restore added to the concurrent-maintenance races (ADVICE r9):
+    a restorer thread flip-flops the table between two states while a
+    vacuum thread loops with keep_versions=1 — so the state NOT
+    currently live is always below the horizon and only the
+    touch-refresh window protects it. Invariant: every restore either
+    returns a version whose snapshot reads completely, or raises the
+    documented refusal — and the final head always reads with zero
+    dangling file references."""
+    import threading
+
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, rows_per_file=1000)
+    t.overwrite(_recs(spark, [("B1", 1), ("B2", 2)]))            # v0
+    t.merge(_recs(spark, [("B1", 11), ("B3", 3)]))               # v1
+    state_a = sorted(tuple(r) for r in t.read(as_of=0).collect())
+    state_b = sorted(tuple(r) for r in t.read(as_of=1).collect())
+
+    errors: list[Exception] = []
+    ok = {"restores": 0, "refusals": 0}
+    stop = threading.Event()
+
+    def restorer():
+        tr = txn_table(spark, path, rows_per_file=1000)
+        want = [(0, state_a), (1, state_b)]
+        i = 0
+        try:
+            while not stop.is_set() and ok["restores"] < 8:
+                target, want_rows = want[i % 2]
+                i += 1
+                try:
+                    v = tr.restore(target, retries=16)
+                except ValueError:
+                    ok["refusals"] += 1      # documented refusal path
+                    continue
+                got = sorted(tuple(r)
+                             for r in tr.read(as_of=v).collect())
+                assert got == want_rows, (v, target, got)
+                ok["restores"] += 1
+        except Exception as exc:
+            errors.append(exc)
+
+    def vacuumer():
+        tv = txn_table(spark, path, rows_per_file=1000)
+        try:
+            while not stop.is_set():
+                tv.vacuum(keep_versions=1, min_age_seconds=2.0)
+        except Exception as exc:
+            errors.append(exc)
+
+    rth = threading.Thread(target=restorer)
+    vth = threading.Thread(target=vacuumer)
+    rth.start()
+    vth.start()
+    rth.join(timeout=600)
+    stop.set()
+    vth.join(timeout=600)
+
+    assert not errors, errors
+    assert ok["restores"] >= 8, ok
+    final = sorted(tuple(r)
+                   for r in txn_table(spark, path).read().collect())
+    assert final in (state_a, state_b)
+
+
 def test_txn_check_constraints(spark, tmp_path):
     """Delta CHECK constraints: set_constraint validates EXISTING data
     before registering, every merge/overwrite batch is validated
