@@ -322,6 +322,45 @@ def cmd_sitemap(args) -> int:
         # heuristic and would skip those).
         table = sm.add_records(existing, incoming,
                                force=args.force or kv_advance is not None)
+    elif args.action == "cleanup":
+        # O9 — the reference's sitemap cleanup rescans the FULL records
+        # table per run (adsmp/tasks.py:482-583; the rescan branch
+        # keeps that shape as the equality oracle). With ``--fmt txn
+        # --incremental`` the invalidation set comes from the change
+        # feed instead, keyed off its own KV version watermark — the
+        # last rescanning consumer now reads O(changed files) per tick
+        # (VERDICT r9 task 3).
+        existing = spark.read.parquet(table_path)
+        if fmt == "txn" and args.incremental:
+            from .storage import KeyValueStore
+            t = _records_txn(spark, args.data)
+            kv = KeyValueStore(spark, os.path.join(args.data, "kv"))
+            vk = "last.sitemap.cleanup.version"
+            v_lo = int(kv.get(vk) or -1)
+            v_hi = t.version()
+            if v_hi <= v_lo:
+                print(json.dumps({
+                    "rows": existing.count(), "files": 0,
+                    "removed": 0, "emptied": [],
+                    "feed": {"v_lo": v_lo, "v_hi": v_hi,
+                             "files_read": 0, "live_files": None}}))
+                return 0
+            feed = t.changes(v_lo, v_hi)
+            sel = sm.cleanup_selection_from_feed(feed, existing) \
+                .localCheckpoint()
+            p = t.last_changes_probe or {}
+            extra["feed"] = {"v_lo": v_lo, "v_hi": v_hi,
+                             "files_read": len(p.get("files_read", [])),
+                             "live_files": p.get("live_files")}
+            extra["removed"] = sel.count()
+            table, emptied = sm.remove_records(existing, sel)
+            kv_advance = (kv, vk, v_hi)
+        else:
+            records = (_records_txn(spark, args.data).read()
+                       if fmt == "txn" else _load_records(spark, args.data))
+            table, emptied = sm.cleanup(existing, records)
+            extra["removed"] = existing.count() - table.count()
+        extra["emptied"] = emptied
     elif args.action == "bootstrap":
         records = (_records_txn(spark, args.data).read()
                    if fmt == "txn" else _load_records(spark, args.data))
@@ -367,6 +406,15 @@ def cmd_sitemap(args) -> int:
     cleared = cleared.withColumn("update_flag", F.lit(False)) \
         .select(*table.columns)
     cleared.write.mode("overwrite").parquet(table_path)
+    if args.action == "cleanup":
+        # removal can EMPTY whole sitemap files: their XML must go too
+        # (the reference deletes the emptied file rows + regenerates,
+        # adsmp/tasks.py:545-583)
+        for site in sm.SITES:
+            for fname in extra.get("emptied", []):
+                fp = os.path.join(out, site, fname)
+                if os.path.exists(fp):
+                    os.remove(fp)
     if kv_advance is not None:
         kv, vk, v_hi = kv_advance      # only after the table write
         kv.put(vk, str(v_hi))
@@ -824,16 +872,17 @@ def main(argv=None) -> int:
     ps = sub.add_parser("sitemap", help="sitemap table + XML generation")
     ps.add_argument("--data", required=True)
     ps.add_argument("--out")
-    ps.add_argument("--action", choices=("bootstrap", "update", "auto"),
+    ps.add_argument("--action",
+                    choices=("bootstrap", "update", "auto", "cleanup"),
                     default="update")
     ps.add_argument("--force", action="store_true")
     ps.add_argument("--fmt", choices=("parquet", "txn"),
                     default="parquet",
                     help="records storage the selection reads from")
     ps.add_argument("--incremental", action="store_true",
-                    help="auto + txn: select from the records change "
-                    "feed since the KV version watermark instead of "
-                    "rescanning (O(changed files))")
+                    help="auto/cleanup + txn: select from the records "
+                    "change feed since the KV version watermark "
+                    "instead of rescanning (O(changed files))")
     ps.add_argument("--since",
                     help="auto rescan mode: ISO cutoff for "
                     "bib_data_updated/solr_processed")

@@ -126,6 +126,6 @@ def _load() -> None:
     from . import (  # noqa: F401
         analytics, corpus, relational, relational2, relational3,
         pipeline, text, tpch_more, tpch_full, vectors, scale_ops,
-        temporal, training, graph, scrub, layout, sketch,
+        temporal, training, graph, scrub, layout, sketch, txnops,
     )
     _LOADED = True

@@ -900,10 +900,10 @@ class TxnTable:
         snap = self._snapshot()
         if app_txn_id is not None and app_txn_id in snap.txn_ids:
             return snap.version
-        self._enforce_constraints(df, snap.constraints,
-                                  "the overwrite batch")
         v = snap.version + 1
         adds = self._write_data(df, v)
+        self._validate_staged(adds, snap.constraints,
+                              "the overwrite batch")
         self._commit(v, adds, list(snap.live), "overwrite", app_txn_id,
                      prior_live=snap.live)
         return v
@@ -1011,8 +1011,6 @@ class TxnTable:
         snap = self._snapshot()
         if app_txn_id is not None and app_txn_id in snap.txn_ids:
             return snap.version
-        self._enforce_constraints(changed, snap.constraints,
-                                  "the merge batch")
         if deleted_keys is None:
             deleted_keys = changed.select(key).limit(0)
         deleted_keys = deleted_keys.select(key).distinct()
@@ -1064,6 +1062,8 @@ class TxnTable:
         # read-own-input hazard, so no checkpoint needed
         v = snap.version + 1
         adds = self._write_data(new_rows, v)
+        self._validate_staged(adds, snap.constraints,
+                              "the merge batch")
         self._commit(v, adds, touched, "merge", app_txn_id,
                      prior_live=snap.live)
         return v
@@ -1138,21 +1138,62 @@ class TxnTable:
         one aggregate pass counts violations of every constraint at
         once (a row where the expression is NULL violates, like
         Delta: CHECK requires TRUE). An expression that no longer
-        resolves against the batch schema fails loudly too."""
+        resolves against the batch schema fails loudly too.
+        Aggregates use POSITIONAL aliases (_c0.._cN) mapped back to
+        constraint names: a constraint name is user data (dots,
+        backticks, spaces) and must never be parsed as a column
+        alias (ADVICE r9)."""
         if not constraints:
             return
         names = sorted(constraints)
         row = df.agg(*[
             F.sum(F.when(~F.expr(constraints[n]).eqNullSafe(F.lit(True)),
-                         1).otherwise(0)).alias(n)
-            for n in names]).collect()[0]
-        bad = {n: int(row[n]) for n in names if row[n]}
+                         1).otherwise(0)).alias(f"_c{i}")
+            for i, n in enumerate(names)]).collect()[0]
+        bad = {n: int(row[f"_c{i}"])
+               for i, n in enumerate(names) if row[f"_c{i}"]}
         if bad:
             detail = "; ".join(
                 f"'{n}' ({constraints[n]}): {c} row(s)"
                 for n, c in bad.items())
             raise ValueError(
                 f"CHECK constraint violated by {what}: {detail}")
+
+    def _validate_staged(self, adds: list[dict],
+                         constraints: dict[str, str],
+                         what: str) -> None:
+        """CHECK-validate the files ``_write_data`` just staged, so
+        validation and write see ONE materialization: the round-9
+        shape validated the input DataFrame and then recomputed it
+        for the write, letting a non-deterministic source (rand(),
+        re-read of a mutating upstream) land rows that were never
+        validated (ADVICE r9). Reading the staged parquet back costs
+        one O(batch) pass straight out of page cache — the same
+        price the stats pass already pays — and replaces the extra
+        full input-plan execution the pre-write check cost. A
+        refusal deletes the staged files (and their commit dir)
+        before raising: the failed write leaves no orphans."""
+        if not constraints or not adds:
+            return
+        try:
+            self._enforce_constraints(
+                self._read_files([a["path"] for a in adds]),
+                constraints, what)
+        except ValueError:
+            dirs = set()
+            for a in adds:
+                full = os.path.join(self.path, a["path"])
+                dirs.add(os.path.dirname(full))
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
+            for d in dirs:
+                try:
+                    os.rmdir(d)
+                except OSError:
+                    pass
+            raise
 
     def set_constraint(self, name: str, expr: str,
                        retries: int = 0) -> int:
@@ -1174,6 +1215,30 @@ class TxnTable:
 
     def _set_constraint_once(self, name: str, expr: str) -> int:
         snap = self._snapshot()
+        if not name or not isinstance(name, str):
+            raise ValueError(
+                "set_constraint: name must be a non-empty string")
+        # eager parse + analysis: a malformed or unresolvable
+        # expression must fail HERE on the ValueError contract, not
+        # escape as a raw Spark traceback from some later write's
+        # validation aggregate (ADVICE r9). Parsing is local; the
+        # resolution probe analyzes against a ZERO-ROW frame of the
+        # table schema (footers only, no data read).
+        try:
+            from pyspark.errors import AnalysisException
+        except ImportError:                    # pragma: no cover
+            from pyspark.sql.utils import AnalysisException
+        try:
+            col = F.expr(expr)
+            if snap.live:
+                _ = self._empty_like(snap).select(
+                    col.cast("boolean")).schema
+        except AnalysisException as e:
+            raise ValueError(
+                f"set_constraint({name!r}): expression {expr!r} does "
+                f"not parse/resolve against the table schema: "
+                f"{e.getMessage() if hasattr(e, 'getMessage') else e}"
+            ) from e
         if snap.live:
             self._enforce_constraints(
                 self._read_files(list(snap.live)), {name: expr},

@@ -223,6 +223,38 @@ def cleanup(sitemap: DataFrame, records: DataFrame) -> tuple[DataFrame, list[str
     return remove_records(sitemap, invalid.select("bibcode"))
 
 
+def cleanup_selection_from_feed(feed: DataFrame,
+                                sitemap: DataFrame) -> DataFrame:
+    """O9 fed from the TxnTable CHANGE-DATA-FEED (VERDICT r9 task 3):
+    the invalidation set ``cleanup`` derives by anti-joining the FULL
+    records table every run (reference rescan: adsmp/tasks.py:482-583),
+    derived instead from the row-level deltas of a version window —
+    the last consumer that still paid O(table) per tick. A sitemap row
+    is invalid iff its key's FINAL image in the window is a delete
+    (the record vanished) or a post-image that fails the inclusion
+    predicate (``should_include``). Keys untouched in the window were
+    validated by the previous cleanup tick, so the window selection
+    equals the rescan on the same table (equality-tested in
+    tests/test_cli.py). The per-key latest-image window partitions by
+    bibcode — no global exchange — and the feed reads O(changed
+    files), never the table (the same consumer shape as ``--action
+    auto --incremental`` and ``outbox --incremental``)."""
+    finals = feed.where(F.col("_change_type").isin(
+        "insert", "delete", "update_postimage"))
+    w = W.partitionBy("bibcode").orderBy(F.col("_commit_version").desc())
+    latest = (finals.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1).drop("_rn"))
+    gone = latest.where(
+        F.col("_change_type") == "delete").select("bibcode")
+    present = latest.where(F.col("_change_type") != "delete")
+    no_longer = present.join(
+        should_include(present).select("bibcode"),
+        "bibcode", "left_anti").select("bibcode")
+    invalid = gone.union(no_longer).distinct()
+    return (sitemap.join(invalid, "bibcode", "left_semi")
+            .select("bibcode").distinct())
+
+
 # ---------------------------------------------------------------------------
 # XML generation (S9/S10) — fully distributed: one output row per file.
 # ---------------------------------------------------------------------------

@@ -331,6 +331,17 @@ def test_cli_lake_constraints(spark, tmp_path, capsys):
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "error" in err and err["name"] == "v_small"
 
+    # malformed / unresolvable expressions fail on the SAME JSON
+    # contract, not a raw Spark traceback (ADVICE r9)
+    assert main(["lake", "set-constraint", "--path", path,
+                 "--name", "bad", "--expr", "v >< 1"]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err and "parse" in err["error"]
+    assert main(["lake", "set-constraint", "--path", path,
+                 "--name", "bad", "--expr", "nope_col > 0"]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err and "resolve" in err["error"]
+
     assert main(["lake", "drop-constraint", "--path", path,
                  "--name", "v_pos"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -400,6 +411,85 @@ def test_cli_sitemap_auto_incremental_from_change_feed(spark, tmp_path,
                  "--fmt", "txn", "--incremental", "--out", out_dir]) == 0
     r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r3["selected"] == 0 and r3["feed"]["files_read"] == 0
+
+
+def test_cli_sitemap_cleanup_incremental_from_change_feed(
+        spark, tmp_path, capsys):
+    """VERDICT r9 task 3 — third wired CDF consumer: `sitemap --action
+    cleanup --fmt txn --incremental` derives the invalidation set
+    (records deleted OR no longer should_include) from the records
+    change feed keyed off its own KV version watermark, instead of
+    the reference's full-table rescan per run (adsmp/tasks.py:482-583).
+    Selection equality with the rescan cleanup on the same table,
+    O(changed files) probe, and idle-tick no-op are all asserted."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from adsmasterpipeline_spark import sitemap as sm
+    from adsmasterpipeline_spark.sinks.txnlake import txn_table
+
+    data = str(tmp_path / "data")
+    ev0 = _mk_events(tmp_path, "ev0", [f"K{i:03d}" for i in range(32)], 1)
+    assert main(["ingest", "--events", str(ev0), "--data", data,
+                 "--fmt", "txn", "--rows-per-file", "8"]) == 0
+    out_dir = str(tmp_path / "files")
+    assert main(["sitemap", "--data", data, "--action", "bootstrap",
+                 "--fmt", "txn", "--out", out_dir]) == 0
+    capsys.readouterr()
+
+    # baseline incremental cleanup: everything valid, nothing removed,
+    # watermark advances to current
+    assert main(["sitemap", "--data", data, "--action", "cleanup",
+                 "--fmt", "txn", "--incremental", "--out", out_dir]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["removed"] == 0 and r1["rows"] == 32
+    assert r1["feed"]["v_lo"] == -1
+
+    # delta 1: delete two records via tombstone events
+    d = tmp_path / "ev_del"
+    d.mkdir()
+    rows = [{"bibcode": b, "type": "bib_data", "status": "deleted",
+             "payload": "{}", "event_ts": "2024-01-20T00:00:00.000Z"}
+            for b in ("K003", "K007")]
+    (d / "del.json").write_text("\n".join(json.dumps(r) for r in rows))
+    assert main(["ingest", "--events", str(d), "--data", data,
+                 "--fmt", "txn", "--rows-per-file", "8"]) == 0
+    # delta 2: flip one record to a non-included status
+    t = txn_table(spark, _os.path.join(data, "records"))
+    t.merge(t.read().where("bibcode = 'K005'")
+            .withColumn("status", F.lit("solr-failed"))
+            .localCheckpoint())
+    capsys.readouterr()
+
+    # EQUALITY on the same table state: feed-derived invalidation ==
+    # rescan cleanup's removal set
+    existing = spark.read.parquet(_os.path.join(data, "sitemap"))
+    survivors_rescan, _ = sm.cleanup(existing, t.read())
+    want = ({r["bibcode"] for r in existing.select("bibcode").collect()}
+            - {r["bibcode"] for r in
+               survivors_rescan.select("bibcode").collect()})
+    got = {r["bibcode"] for r in sm.cleanup_selection_from_feed(
+        t.changes(r1["feed"]["v_hi"], t.version()), existing).collect()}
+    assert got == want == {"K003", "K005", "K007"}
+
+    # e2e: the incremental run removes exactly those three, reads only
+    # the delta commits' files, and re-renders the affected file
+    assert main(["sitemap", "--data", data, "--action", "cleanup",
+                 "--fmt", "txn", "--incremental", "--out", out_dir]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["removed"] == 3 and r2["rows"] == 29
+    assert 0 < r2["feed"]["files_read"] < r2["feed"]["live_files"]
+    assert r2["files"] >= 1
+    left = {r["bibcode"] for r in spark.read.parquet(
+        _os.path.join(data, "sitemap")).select("bibcode").collect()}
+    assert not left & {"K003", "K005", "K007"} and len(left) == 29
+
+    # idle tick: watermark current -> no-op, zero files opened
+    assert main(["sitemap", "--data", data, "--action", "cleanup",
+                 "--fmt", "txn", "--incremental", "--out", out_dir]) == 0
+    r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r3["removed"] == 0 and r3["feed"]["files_read"] == 0
 
 
 def _mk_events(tmp_path, name, bibs, day, full=True):

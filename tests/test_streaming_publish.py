@@ -167,3 +167,56 @@ def test_txn_stream_auto_cleanup_bounds_log_listing(spark, tmp_path):
     # keeps only the post-checkpoint tail
     assert len(entries) <= 6, sorted(entries)
     assert t.version() >= 10
+
+
+def test_txn_stream_constraint_epoch_fails_clean_then_retries(
+        spark, tmp_path):
+    """VERDICT r9 task 5: streaming ingest routes through
+    TxnTable.merge, so a CHECK-constraint violation fails the epoch
+    MID-STREAM. The failure must be clean — the table version, live
+    rows and on-disk data files are untouched (the staged files of
+    the refused write are deleted, not orphaned) — and a corrected
+    retry of the SAME epoch (same offsets, same app txn id) commits
+    exactly once."""
+    ing, events_dir = _make_ingest(spark, tmp_path, "txn")
+    _write_events(events_dir, "boot.json",
+                  [_event(f"G{i}", i) for i in range(4)])
+    ing.run_available_now()                                      # v0
+    t = ing._txn()
+    assert t.set_constraint("no_bad", "bibcode NOT LIKE 'BAD%'") == 1
+
+    def data_files():
+        out = []
+        for root, _d, files in os.walk(
+                os.path.join(ing.records_path, "data")):
+            out += sorted(os.path.join(root, n) for n in files
+                          if n.endswith(".parquet"))
+        return sorted(out)
+
+    committed = data_files()
+    bad_path = os.path.join(events_dir, "next.json")
+    _write_events(events_dir, "next.json",
+                  [_event("BAD1", 9), _event("G9", 9)])
+    with pytest.raises(Exception, match="no_bad"):
+        ing.run_available_now()
+
+    # clean failure: no commit landed, no partial/orphan files live
+    assert t.version() == 1
+    assert data_files() == committed
+    assert {r["bibcode"] for r in t.read().collect()} == \
+        {f"G{i}" for i in range(4)}
+
+    # operational fix: correct the event file IN PLACE — the replayed
+    # epoch re-reads the same source path with the same epoch id, so
+    # the retry carries the SAME app txn id and commits exactly once
+    _write_events(events_dir, "next.json",
+                  [_event("OK1", 9), _event("G9", 9)])
+    ing.run_available_now()
+    assert t.version() == 2
+    rows = {r["bibcode"] for r in t.read().collect()}
+    assert rows == {f"G{i}" for i in range(4)} | {"OK1", "G9"}
+
+    # nothing replays on a further tick (txn-id idempotence intact)
+    ing.run_available_now()
+    assert t.version() == 2
+    assert os.path.exists(bad_path)

@@ -818,6 +818,8 @@ def test_txn_check_constraints(spark, tmp_path):
     assert t.constraints() == {"v_pos": "v > 0"}
 
     # a valid batch passes; a violating one refuses BEFORE any commit
+    # (validated against the STAGED files post-write — see
+    # test_txn_constraint_validation_is_write_side)
     t.merge(_recs(spark, [("C1", 3)]))                           # v2
     with pytest.raises(ValueError, match="v_pos"):
         t.merge(_recs(spark, [("D1", -5)]))
@@ -853,6 +855,82 @@ def test_txn_check_constraints(spark, tmp_path):
         t2.restore(6)
     with pytest.raises(ValueError, match="no such constraint"):
         t2.drop_constraint("nope")
+
+
+def test_txn_constraint_validation_is_write_side(spark, tmp_path):
+    """ADVICE r9: validation must see the SAME materialization as the
+    write. The round-9 shape validated the input plan and then
+    recomputed it for the write — a non-deterministic source could
+    land rows that were never validated. Now the staged parquet files
+    themselves are validated before the commit: (1) a
+    non-deterministic batch whose WRITTEN rows violate is refused
+    even if a fresh recompute might pass; (2) a refusal deletes the
+    staged files — no orphans; (3) a passing write costs no extra
+    input-plan execution."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path)
+    t.overwrite(_recs(spark, [("B1", 1)]))                       # v0
+    t.set_constraint("v_pos", "v > 0")                           # v1
+
+    def data_files():
+        out = []
+        for root, _d, files in os.walk(os.path.join(path, "data")):
+            out += [os.path.join(root, n) for n in files
+                    if n.endswith(".parquet")]
+        return sorted(out)
+
+    committed = data_files()
+
+    # non-deterministic batch: rand() makes ~half the rows violate on
+    # ANY materialization — the written rows are what gets checked,
+    # so the refusal is decided by the actual staged bytes
+    nd = (spark.range(200)
+          .select(F.concat(F.lit("N"), F.col("id")).alias("bibcode"),
+                  F.when(F.rand(seed=7) > 0.5, F.lit(5))
+                  .otherwise(F.lit(-5)).cast("long").alias("v")))
+    with pytest.raises(ValueError, match="v_pos"):
+        t.merge(nd)
+    # ... and the staged files were cleaned up, not orphaned
+    assert data_files() == committed
+    assert t.version() == 1
+
+    # a violating overwrite cleans up too
+    with pytest.raises(ValueError, match="v_pos"):
+        t.overwrite(_recs(spark, [("Z1", -1)]))
+    assert data_files() == committed
+
+
+def test_txn_set_constraint_error_contract_and_names(spark, tmp_path):
+    """ADVICE r9: set_constraint validates the expression EAGERLY —
+    malformed SQL and unresolvable columns raise ValueError (the JSON
+    error contract's exception), never a raw Spark ParseException /
+    AnalysisException from a later write; and a constraint NAME that
+    is not a legal column alias (dots, backticks, spaces) must not
+    break validation aggregates for subsequent writes."""
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path)
+    t.overwrite(_recs(spark, [("B1", 1)]))                       # v0
+
+    with pytest.raises(ValueError, match="parse"):
+        t.set_constraint("bad_syntax", "v >< 1")
+    with pytest.raises(ValueError, match="resolve"):
+        t.set_constraint("bad_col", "no_such_column > 0")
+    with pytest.raises(ValueError, match="non-empty"):
+        t.set_constraint("", "v > 0")
+    assert t.constraints() == {} and t.version() == 0
+
+    # hostile alias names: positional aggregate aliases keep every
+    # later write's validation working
+    weird = "chk.v`x` pos"
+    assert t.set_constraint(weird, "v > 0") == 1                 # v1
+    t.merge(_recs(spark, [("C1", 3)]))                           # v2
+    with pytest.raises(ValueError, match=r"chk\.v"):
+        t.merge(_recs(spark, [("D1", -5)]))
+    assert t.drop_constraint(weird) == 3
 
 
 def test_txn_bloom_prunes_hash_partitioned_files(spark, tmp_path):

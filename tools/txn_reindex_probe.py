@@ -9,9 +9,11 @@ from the CLI's own output JSON, the three probes:
 - ``probes.writeback_merge``— the mark_processed writeback MERGE
 - ``probes.metrics_merge``  — the metrics-table upsert MERGE
 - ``feed``                  — the CHANGE-DATA-FEED consumers
-  (``outbox --fmt txn --incremental``, round 8, and ``sitemap
-  --action auto --fmt txn --incremental``, round 9): files_read is
-  the union of just the delta commits' touched files, never the table
+  (``outbox --fmt txn --incremental``, round 8; ``sitemap --action
+  auto --fmt txn --incremental``, round 9; ``sitemap --action
+  cleanup --fmt txn --incremental``, round 10 — the last rescanning
+  consumer now feed-driven): files_read is the union of just the
+  delta commits' touched files, never the table
 
 Done-criterion: candidate_files << live_files on every probe (the
 reference's hottest query, run.py:147-151, and its metrics upsert,
@@ -119,9 +121,17 @@ def main() -> int:
         r = _cli(["sitemap", "--data", data, "--action", "auto",
                   "--fmt", "txn", "--incremental", "--out", sm_out])
         out["steps"].append({"step": "sitemap_auto_bootstrap", **r})
+        # third CDF consumer (round 10): sitemap cleanup — baseline
+        # covers the bootstrap window (nothing invalid yet)
+        r = _cli(["sitemap", "--data", data, "--action", "cleanup",
+                  "--fmt", "txn", "--incremental", "--out", sm_out])
+        out["steps"].append({"step": "sitemap_cleanup_bootstrap", **r})
 
+        # reserve a tail slice for per-batch tombstones so cleanup has
+        # real invalidations; touch batches stay off it
+        del_pool = bibs[opts["rows"] - 512:]
         for k in range(opts["batches"]):
-            start = (k * 7919) % (opts["rows"] - opts["batch"])
+            start = (k * 7919) % (opts["rows"] - opts["batch"] - 512)
             touched = bibs[start:start + opts["batch"]]
             ev = os.path.join(workdir, f"ev_{k}")
             _write_events(ev, _touch_events(touched, k + 1, f"b{k}"))
@@ -147,6 +157,24 @@ def main() -> int:
             r = _cli(["sitemap", "--data", data, "--action", "auto",
                       "--fmt", "txn", "--incremental", "--out", sm_out])
             out["steps"].append({"step": f"sitemap_auto_{k}", **r})
+            # tombstone a small reserved slice, then feed-driven
+            # cleanup drops exactly those keys from the sitemap at
+            # O(changed files) (the reference rescans the table,
+            # adsmp/tasks.py:482-583)
+            dels = del_pool[k * 8:(k + 1) * 8]
+            ev_d = os.path.join(workdir, f"ev_del_{k}")
+            _write_events(ev_d, [
+                {"bibcode": b, "type": "bib_data", "status": "deleted",
+                 "payload": "{}",
+                 "event_ts": f"2024-03-{k + 1:02d}T00:00:00.000Z"}
+                for b in dels])
+            r = _cli(["ingest", "--events", ev_d, "--data", data,
+                      "--fmt", "txn", "--rows-per-file", rpf])
+            out["steps"].append({"step": f"tombstone_ingest_{k}", **r})
+            r = _cli(["sitemap", "--data", data, "--action", "cleanup",
+                      "--fmt", "txn", "--incremental", "--out", sm_out])
+            assert r.get("removed") == len(dels), r
+            out["steps"].append({"step": f"sitemap_cleanup_{k}", **r})
 
         # summary: every probe must show candidates << live
         ratios = []
