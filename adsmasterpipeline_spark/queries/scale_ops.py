@@ -194,10 +194,11 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nprobe=3 measured 0.46-0.63, nprobe=5 0.77/0.74/0.79 at "
         "sf0.01/sf0.1/sf1 with 0.74 the weakest tier-rung of "
         "ANNRECALL_r09; the round-10 retune to nprobe=6 (probed "
-        "fraction 6/10) oracle-replayed 0.80/0.875 at sf0.01/sf0.1 "
-        "at equal query wall time (split truth/query timer: 1.9-2.4s "
-        "either way — the +20% candidate scan is noise-level at "
-        "these SFs; every rung >= 0.75 at every tier is the r10 "
+        "fraction 6/10) oracle-replayed 0.80/0.875/0.885 at "
+        "sf0.01/sf0.1/sf1 at equal query wall time (split "
+        "truth/query timer: 1.9-2.4s at the small tiers, 9.4s query "
+        "vs 21.4s truth at sf1 — the +20% candidate scan is "
+        "noise-level; every rung >= 0.75 at every tier is the r10 "
         "floor, tracked in ANNRECALL_r10). When recall per scanned "
         "row matters, ann_ivf_kmeans (learned centroids, same probe "
         "cost) supersedes this; ann_ivf exists as the fallback when "

@@ -18,7 +18,11 @@ EXECUTES for real in tests and in this container:
 - **Log**: ``<path>/_txn/<version>.json`` entries list data files
   added/removed plus an optional application transaction id. Each
   ``add`` carries the file's key min/max and row count (Delta's
-  per-file ``stats``) collected at write time. The current snapshot
+  per-file ``stats``) collected at write time; entries with removes
+  also carry ``remove_stats`` (removed path -> row count, copied from
+  the prior snapshot) so the change-feed stream can size its per-task
+  slicing from max(add rows, remove rows) — a delete-heavy merge or a
+  restore is add-light but its pre-image is not. The current snapshot
   is the ordered fold of the log: ``adds - removes``.
 - **Atomic commit**: the entry is staged to a temp file and published
   with ``os.link`` (fails with EEXIST if the version was taken) — the

@@ -11,23 +11,21 @@ from adsmasterpipeline_spark.queries import (
 _load()
 
 MUST_PROVE = (
-    # VERDICT r8 task 1: no oracle changed this round, so the window
-    # is pure staleness rotation — the 28 oracled queries whose last
-    # driver-green row is r06 (computed from committed
-    # CORRECTNESS_r0{1..8}.json) lead; after this round the
-    # cumulative last-green floor advances to r07.
-    "cosine_topk", "countmin_heavy_hitters", "date_buckets",
-    "dedup_clusters", "dsir_importance_weights",
-    "duplicated_substring_runs", "embedding_cosine_neardup",
-    "embedding_cosine_neardup_gemm", "embedding_quantize",
-    "mixture_temperature_weights", "pii_scrub", "q10_returned_items",
-    "q11_important_stock", "q13_customer_distribution",
-    "q15_top_supplier", "q16_supplier_cnt", "q18_large_volume",
-    "q20_potential_promotion", "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity", "quality_rules_filter",
-    "range_join_bands", "repetition_quality", "salted_group_counts",
-    "source_mixture_sample", "span_dedup_docs",
-    "streaming_windowed_counts", "zorder_data_skipping",
+    # VERDICT r9 task 1: pure staleness rotation — the 28 oracled
+    # queries whose last driver-green row is r07 (computed from
+    # committed CORRECTNESS_r0{1..9}.json) lead; after this round the
+    # cumulative last-green floor advances to r08.
+    "join_left_outer", "join_semi", "json_payload_extract",
+    "label_centroid_distance", "langid_heuristic",
+    "levenshtein_similarity", "merge_last_writer_wins",
+    "min_cost_supplier", "minhash_signatures", "native_max_by",
+    "ntile_rank_scalable", "pagerank_supplier_customer",
+    "path_transitions", "regexp_rewrite", "rollup_revenue",
+    "shingle_containment_pairs", "sliding_window_counts",
+    "string_agg_ordered", "string_hier_facet", "topk_per_group",
+    "triangle_copurchase", "vocab_encode_docs", "window_bucket_assign",
+    "window_flag_first", "window_lag_lead", "window_ntile_rank",
+    "window_range_frame", "window_running_total",
 )
 
 

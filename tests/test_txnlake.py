@@ -502,13 +502,18 @@ def test_txn_vacuum_and_history(spark, tmp_path):
 @pytest.mark.parametrize("seed", [7, 23, 41])
 def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
     """Model-based check of the WHOLE lifecycle: a seeded random
-    sequence of merge/delete/overwrite/compact/vacuum/cleanup_log ops
-    (checkpoints firing every 3 commits) must keep the table equal to
-    a plain dict model after every step — the same style of test that
-    caught the round-5 order-proxy byte bug. Vacuum keeps enough
-    versions that the current snapshot is always intact; cleanup_log
-    interleaving proves retention + vacuum's horizon fallback never
-    touch live data (the ADVICE r7 loss scenario)."""
+    sequence of merge/delete/overwrite/compact/vacuum/cleanup_log/
+    restore/set_constraint/drop_constraint ops (checkpoints firing
+    every 3 commits) must keep the table equal to a plain dict model
+    after every step — the same style of test that caught the
+    round-5 order-proxy byte bug. Vacuum keeps enough versions that
+    the current snapshot is always intact; cleanup_log interleaving
+    proves retention + vacuum's horizon fallback never touch live
+    data (the ADVICE r7 loss scenario); CHECK constraints gate the
+    model's merges exactly like the table's (round 10: a violating
+    merge must refuse and change NOTHING, a violating set_constraint
+    must refuse registration, restore may refuse when resurrected
+    rows violate a later constraint)."""
     import random
 
     rng = random.Random(seed)
@@ -561,22 +566,52 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
                 want[(k, "update_postimage")] = model[k]
         assert got == want
 
+    constraints: dict[str, int] = {}       # name -> lim for "v < lim"
     for step in range(10):
         op = rng.choice(["merge", "merge", "merge", "delete",
-                         "compact", "vacuum", "cleanup", "restore"])
+                         "compact", "vacuum", "cleanup", "restore",
+                         "constraint"])
         v_before, prev_model = t.version(), dict(model)
         if op == "merge":
             ups = {rng.choice(keys): step * 100 + i for i in range(4)}
             dels = ({rng.choice(list(model))}
                     if model and rng.random() < 0.5 else set())
             ups = {k: v for k, v in ups.items() if k not in dels}
-            t.merge(_recs(spark, list(ups.items())),
-                    deleted_keys=spark.createDataFrame(
-                        [(k,) for k in dels] or [("~none~",)],
-                        "bibcode string"))
-            model.update(ups)
-            for k in dels:
-                model.pop(k, None)
+            if any(v >= lim for lim in constraints.values()
+                   for v in ups.values()):
+                # the model says this batch violates a CHECK: the
+                # merge must refuse and commit NOTHING (version and
+                # state both unchanged)
+                with pytest.raises(ValueError, match="CHECK"):
+                    t.merge(_recs(spark, list(ups.items())),
+                            deleted_keys=spark.createDataFrame(
+                                [(k,) for k in dels] or [("~none~",)],
+                                "bibcode string"))
+                assert t.version() == v_before
+            else:
+                t.merge(_recs(spark, list(ups.items())),
+                        deleted_keys=spark.createDataFrame(
+                            [(k,) for k in dels] or [("~none~",)],
+                            "bibcode string"))
+                model.update(ups)
+                for k in dels:
+                    model.pop(k, None)
+        elif op == "constraint":
+            if constraints and rng.random() < 0.5:
+                name = rng.choice(sorted(constraints))
+                t.drop_constraint(name)
+                constraints.pop(name)
+            else:
+                lim = (step + rng.choice([1, 4])) * 100
+                name = f"cap{step}"
+                if any(v >= lim for v in model.values()):
+                    with pytest.raises(ValueError,
+                                       match="existing table data"):
+                        t.set_constraint(name, f"v < {lim}")
+                    assert t.version() == v_before
+                else:
+                    t.set_constraint(name, f"v < {lim}")
+                    constraints[name] = lim
         elif op == "delete":
             if not model:
                 continue
