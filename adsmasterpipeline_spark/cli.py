@@ -339,8 +339,9 @@ def cmd_sitemap(args) -> int:
             v_lo = int(kv.get(vk) or -1)
             v_hi = t.version()
             if v_hi <= v_lo:
+                # idle tick: nothing to derive, nothing to scan
                 print(json.dumps({
-                    "rows": existing.count(), "files": 0,
+                    "rows": None, "files": 0,
                     "removed": 0, "emptied": [],
                     "feed": {"v_lo": v_lo, "v_hi": v_hi,
                              "files_read": 0, "live_files": None}}))
@@ -358,8 +359,15 @@ def cmd_sitemap(args) -> int:
         else:
             records = (_records_txn(spark, args.data).read()
                        if fmt == "txn" else _load_records(spark, args.data))
-            table, emptied = sm.cleanup(existing, records)
-            extra["removed"] = existing.count() - table.count()
+            # one materialized selection, one remove pass (the naive
+            # existing.count() - table.count() executed the whole
+            # cleanup join pipeline twice) — identical to sm.cleanup
+            valid = sm.should_include(records).select("bibcode")
+            sel = (existing.select("bibcode")
+                   .join(valid, "bibcode", "left_anti")
+                   .distinct().localCheckpoint())
+            extra["removed"] = sel.count()
+            table, emptied = sm.remove_records(existing, sel)
         extra["emptied"] = emptied
     elif args.action == "bootstrap":
         records = (_records_txn(spark, args.data).read()
@@ -405,16 +413,21 @@ def cmd_sitemap(args) -> int:
                                    F.current_timestamp())
     cleared = cleared.withColumn("update_flag", F.lit(False)) \
         .select(*table.columns)
-    cleared.write.mode("overwrite").parquet(table_path)
     if args.action == "cleanup":
         # removal can EMPTY whole sitemap files: their XML must go too
         # (the reference deletes the emptied file rows + regenerates,
-        # adsmp/tasks.py:545-583)
+        # adsmp/tasks.py:545-583). Deleted BEFORE the table overwrite
+        # so a crash between the two is retryable: the rerun
+        # re-derives the same emptied set from the unchanged table
+        # (the watermark only advances after the write), whereas
+        # deleting after the write would orphan the XML forever on a
+        # crash between write and delete (code-review r10).
         for site in sm.SITES:
             for fname in extra.get("emptied", []):
                 fp = os.path.join(out, site, fname)
                 if os.path.exists(fp):
                     os.remove(fp)
+    cleared.write.mode("overwrite").parquet(table_path)
     if kv_advance is not None:
         kv, vk, v_hi = kv_advance      # only after the table write
         kv.put(vk, str(v_hi))

@@ -31,10 +31,14 @@ from . import query
 
 
 def _scratch(sf_dir: str, name: str) -> str:
-    """Deterministic per-(sf, query) scratch root, rebuilt per call.
-    The dir is NOT deleted on return: the returned DataFrame reads it
-    lazily (the caller collects after we return)."""
-    d = os.path.join("/tmp", "txnq",
+    """Deterministic per-(process, sf, query) scratch root, rebuilt
+    per call. Keyed by PID so two concurrent harness processes (the
+    gate and a sweep, say) can't rmtree each other's staged table out
+    from under an in-flight collect; within one process calls are
+    sequential by construction. The dir is NOT deleted on return: the
+    returned DataFrame reads it lazily (the caller collects after we
+    return)."""
+    d = os.path.join("/tmp", "txnq", f"pid{os.getpid()}",
                      os.path.basename(os.path.normpath(sf_dir)), name)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
@@ -44,15 +48,16 @@ def _scratch(sf_dir: str, name: str) -> str:
 @query(
     "txn_restore_diff",
     """
-    WITH b AS (SELECT c_custkey, c_acctbal FROM customer
-               WHERE c_mktsegment = 'BUILDING')
+    WITH mx AS (SELECT MAX(c_custkey) + 1 AS off FROM customer),
+    b AS (SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_mktsegment = 'BUILDING')
     SELECT c_custkey, c_acctbal + 100 AS acctbal,
            'update_preimage' AS change_type, 2 AS commit_version
     FROM b
     UNION ALL
     SELECT c_custkey, c_acctbal, 'update_postimage', 2 FROM b
     UNION ALL
-    SELECT c_custkey + 10000000, c_acctbal, 'delete', 2
+    SELECT c_custkey + (SELECT off FROM mx), c_acctbal, 'delete', 2
     FROM customer WHERE c_mktsegment = 'MACHINERY'
     """,
     "txn", "restore", "cdf",
@@ -72,10 +77,13 @@ def txn_restore_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                   key="c_custkey", cluster_writes=True,
                   rows_per_file=100_000)
     t.overwrite(base)                                            # v0
+    # clone-key offset derived from the data (max key + 1) so the
+    # inserts can never collide with real keys at ANY scale factor
+    off = base.agg(F.max("c_custkey")).collect()[0][0] + 1
     upd = base.where(F.col("c_mktsegment") == "BUILDING") \
         .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
     ins = base.where(F.col("c_mktsegment") == "MACHINERY") \
-        .withColumn("c_custkey", F.col("c_custkey") + F.lit(10_000_000))
+        .withColumn("c_custkey", F.col("c_custkey") + F.lit(int(off)))
     assert t.merge(upd.unionByName(ins)) == 1                    # v1
     assert t.restore(0) == 2                                     # v2
     return t.changes(1, 2).select(

@@ -1183,7 +1183,13 @@ class TxnTable:
             self._enforce_constraints(
                 self._read_files([a["path"] for a in adds]),
                 constraints, what)
-        except ValueError:
+        except Exception as e:
+            # ANY validation failure must clean up the staged files —
+            # not just a counted violation: a constraint expression
+            # that no longer resolves against the written schema
+            # raises AnalysisException here, and letting it escape
+            # uncleaned would orphan the staged commit dir AND break
+            # the ValueError error contract (code-review r10)
             dirs = set()
             for a in adds:
                 full = os.path.join(self.path, a["path"])
@@ -1197,7 +1203,11 @@ class TxnTable:
                     os.rmdir(d)
                 except OSError:
                     pass
-            raise
+            if isinstance(e, ValueError):
+                raise
+            raise ValueError(
+                f"CHECK constraint validation failed for {what}: "
+                f"{e}") from e
 
     def set_constraint(self, name: str, expr: str,
                        retries: int = 0) -> int:
@@ -1331,7 +1341,13 @@ class TxnTable:
                 # "only when no other writer can be in flight".
                 os.utime(full, None)
             except OSError:
-                missing.append(p)
+                # utime can fail for reasons other than absence (a
+                # file another writer owns on a strict-permission
+                # mount) — only a genuinely MISSING file refuses; a
+                # present-but-untouchable one proceeds unrefreshed
+                # and relies on the post-commit re-verify arm below
+                if not os.path.exists(full):
+                    missing.append(p)
         if missing:
             raise ValueError(
                 f"restore({version}): data files {sorted(missing)} "
@@ -1371,16 +1387,32 @@ class TxnTable:
                                    "rows": None})}
                          for p, s in snap.live.items()
                          if p not in target.live]
+            # the compensation must not itself publish dangling refs:
+            # once the restore commit became the head, snap.live's
+            # dropped files stopped being live-protected too, so the
+            # same rogue vacuum may have taken them. Verify before
+            # committing; if the pre-restore files are also gone the
+            # table has genuinely lost data to a guard-ignoring
+            # vacuum and the only honest move is to say so.
+            comp_gone = [a["path"] for a in comp_adds
+                         if not os.path.exists(
+                             os.path.join(self.path, a["path"]))]
             comp_removes = [a["path"] for a in adds]
-            try:
-                self._commit(v + 1, comp_adds, comp_removes,
-                             "restore", None, prior_live=target.live)
-            except CommitConflict:
-                pass     # a later writer owns v+1; surface the loss
+            if not comp_gone:
+                try:
+                    self._commit(v + 1, comp_adds, comp_removes,
+                                 "restore", None, prior_live=target.live)
+                except CommitConflict:
+                    pass     # a later writer owns v+1; surface the loss
+                raise ValueError(
+                    f"restore({version}): data files {sorted(gone)} "
+                    f"were collected by a concurrent vacuum after the "
+                    f"commit — rolled forward to the pre-restore state")
             raise ValueError(
-                f"restore({version}): data files {sorted(gone)} were "
-                f"collected by a concurrent vacuum after the commit — "
-                f"rolled forward to the pre-restore state")
+                f"restore({version}): a concurrent vacuum collected "
+                f"restored files {sorted(gone)} AND pre-restore files "
+                f"{sorted(comp_gone)} — both states lost data below "
+                f"the retention guards; manual repair required")
         return v
 
     def history(self) -> list[dict]:

@@ -377,8 +377,10 @@ class TxnChangeFeedDataSource(DataSource):
     - ``key`` (default ``bibcode``): the table's merge key
     - ``startingVersion`` (default -1): feed starts AFTER this version
     - ``maxRowsPerTask`` (default 500000): per-task memory budget —
-      commits whose recorded add-row stats exceed it are hash-sliced
-      across ``ceil(rows / maxRowsPerTask)`` tasks (0 disables)
+      commits whose recorded row stats (the max of add rows and the
+      removed files' rows from ``remove_stats``) exceed it are
+      hash-sliced across ``ceil(rows / maxRowsPerTask)`` tasks
+      (0 disables)
     - ``maxCommitsPerTrigger`` (default 0 = unlimited): rate limit —
       each micro-batch advances at most N commits (Delta's
       ``maxFilesPerTrigger`` analogue), so a stream running behind

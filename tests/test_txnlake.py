@@ -938,6 +938,16 @@ def test_txn_constraint_validation_is_write_side(spark, tmp_path):
         t.overwrite(_recs(spark, [("Z1", -1)]))
     assert data_files() == committed
 
+    # a constraint that no longer RESOLVES against the written batch
+    # (overwrite never compares schemas) must also land on the
+    # ValueError contract AND clean up the staged files — not escape
+    # as a raw AnalysisException with orphans (code-review r10)
+    other = spark.createDataFrame([("Z1", 1)], "bibcode string, w long")
+    with pytest.raises(ValueError, match="validation failed"):
+        t.overwrite(other)
+    assert data_files() == committed
+    assert t.version() == 1
+
 
 def test_txn_set_constraint_error_contract_and_names(spark, tmp_path):
     """ADVICE r9: set_constraint validates the expression EAGERLY —

@@ -128,10 +128,13 @@ def main() -> int:
         out["steps"].append({"step": "sitemap_cleanup_bootstrap", **r})
 
         # reserve a tail slice for per-batch tombstones so cleanup has
-        # real invalidations; touch batches stay off it
-        del_pool = bibs[opts["rows"] - 512:]
+        # real invalidations; touch batches stay off it. Small --rows
+        # configs that can't spare the tail skip the tombstone steps
+        # instead of going modulo-by-zero.
+        reserve = 512 if opts["rows"] > opts["batch"] + 1024 else 0
+        del_pool = bibs[opts["rows"] - reserve:] if reserve else []
         for k in range(opts["batches"]):
-            start = (k * 7919) % (opts["rows"] - opts["batch"] - 512)
+            start = (k * 7919) % (opts["rows"] - opts["batch"] - reserve)
             touched = bibs[start:start + opts["batch"]]
             ev = os.path.join(workdir, f"ev_{k}")
             _write_events(ev, _touch_events(touched, k + 1, f"b{k}"))
@@ -162,6 +165,8 @@ def main() -> int:
             # O(changed files) (the reference rescans the table,
             # adsmp/tasks.py:482-583)
             dels = del_pool[k * 8:(k + 1) * 8]
+            if not dels:
+                continue           # --rows too small for a tail pool
             ev_d = os.path.join(workdir, f"ev_del_{k}")
             _write_events(ev_d, [
                 {"bibcode": b, "type": "bib_data", "status": "deleted",
