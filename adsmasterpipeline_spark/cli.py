@@ -815,6 +815,50 @@ def cmd_lake(args) -> int:
             return 1
         out["target"] = args.to_version
         out["restored"] = out["version"] != v0
+    elif args.action == "delete":
+        # merge-on-read DELETE via deletion vectors (Delta's
+        # deletionVectors shape): writes only the deleted row
+        # positions, zero data files rewritten. --expr is the
+        # predicate; a CHECK-style parse failure or an empty table
+        # report on the JSON contract.
+        if not args.expr:
+            raise SystemExit("lake delete needs --expr SQL_PREDICATE")
+        v0 = t.version()
+        try:
+            from pyspark.sql import functions as F
+            # eager parse/resolve, same contract as set-constraint
+            try:
+                from pyspark.errors import AnalysisException
+            except ImportError:                  # pragma: no cover
+                from pyspark.sql.utils import AnalysisException
+            try:
+                _ = t.read().limit(0).select(
+                    F.expr(args.expr).cast("boolean")).schema
+            except AnalysisException as e:
+                raise ValueError(
+                    f"delete predicate {args.expr!r} does not parse/"
+                    f"resolve against the table schema: "
+                    f"{e.getMessage() if hasattr(e, 'getMessage') else e}")
+            out["version"] = t.delete(where=args.expr)
+        except (ValueError, FileNotFoundError) as e:
+            print(json.dumps({"error": str(e), "expr": args.expr}))
+            return 1
+        entry: dict = {}
+        if out["version"] != v0:
+            import os as _os
+            with open(_os.path.join(
+                    args.path, "_txn",
+                    f"{out['version']:08d}.json")) as f:
+                entry = json.load(f)
+        out["deleted_rows"] = (
+            sum(d["new"] for d in (entry.get("dvs") or {}).values())
+            + sum((entry.get("remove_stats") or {}).values()))
+        out["files_rewritten"] = 0
+        out["files_dropped"] = len(entry.get("removes") or [])
+        p_ = t.last_delete_probe or {}
+        out["probe"] = {
+            "live_files": p_.get("live_files"),
+            "candidate_files": len(p_.get("candidate_files") or [])}
     elif args.action == "changes":
         # change-data-feed inspection (Delta's table_changes shape):
         # per-change-type counts + the feed's file probe; --since/--to
@@ -956,15 +1000,17 @@ def main(argv=None) -> int:
     pl = sub.add_parser(
         "lake",
         help="TxnTable history/compact/vacuum/cleanup-log/changes/"
-             "restore/set-constraint/drop-constraint")
+             "restore/set-constraint/drop-constraint/delete")
     pl.add_argument("action", choices=["history", "compact", "vacuum",
                                        "cleanup-log", "changes",
                                        "restore", "set-constraint",
-                                       "drop-constraint"])
+                                       "drop-constraint", "delete"])
     pl.add_argument("--name", help="constraint name")
     pl.add_argument("--expr",
                     help="set-constraint: boolean SQL expression "
-                         "every row must satisfy")
+                         "every row must satisfy; delete: SQL "
+                         "predicate selecting the rows to mask "
+                         "(merge-on-read, no data files rewritten)")
     pl.add_argument("--since-version", type=int, default=-1,
                     help="changes: feed starts AFTER this version")
     pl.add_argument("--to-version", type=int, default=None,

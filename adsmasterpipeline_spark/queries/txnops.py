@@ -158,3 +158,84 @@ def txn_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_parts"),
                  F.sum("cents").alias("sum_cents"))
             .withColumn("refused_violating_batch", F.lit(refused)))
+
+
+@query(
+    "txn_dv_delete_feed",
+    """
+    SELECT c_custkey, c_acctbal AS acctbal,
+           'delete' AS change_type, 1 AS commit_version
+    FROM customer WHERE c_mktsegment = 'FURNITURE'
+    UNION ALL
+    SELECT c_custkey, c_acctbal, 'delete', 2
+    FROM customer WHERE c_acctbal < 0 AND c_mktsegment <> 'FURNITURE'
+    """,
+    "txn", "dv", "cdf",
+    doc="Deletion-vector DELETE served on the change feed, "
+        "exactly-once: bootstrap customers, DV-delete the FURNITURE "
+        "segment by predicate (v1, zero data files rewritten), then "
+        "DV-delete all negative balances by KEY BATCH (v2) — the "
+        "overlap (negative-balance FURNITURE rows) is already masked "
+        "and must NOT re-report. The oracle recomputes both commits' "
+        "deletes from the customer table alone, so a double-reported "
+        "or missed deletion hash-mismatches.")
+def txn_dv_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.txnlake import txn_table
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    t = txn_table(spark, _scratch(sf_dir, "dv_delete_feed"),
+                  key="c_custkey", cluster_writes=True,
+                  rows_per_file=100_000)
+    t.overwrite(base)                                            # v0
+    assert t.delete(where="c_mktsegment = 'FURNITURE'") == 1     # v1
+    neg = base.where(F.col("c_acctbal") < 0).select("c_custkey")
+    t.delete(keys=neg)       # v2 (or no-op at an SF with no matches)
+    # the headline property, asserted at every SF: a DV delete
+    # commits ZERO data files (adds empty unless a whole file died,
+    # which cluster_writes' 100k-row files make impossible here)
+    e = t._load_json(dict(t._entry_files())[1])
+    assert e["adds"] == [] and e["operation"] == "delete"
+    return t.changes(0, t.version()).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").cast("int").alias("commit_version"))
+
+
+@query(
+    "txn_dv_restore_state",
+    """
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM customer WHERE c_mktsegment <> 'FURNITURE'
+    GROUP BY c_mktsegment
+    """,
+    "txn", "dv", "restore",
+    doc="Reads THROUGH deletion vectors after a DV-aware RESTORE: "
+        "DV-delete FURNITURE (v1), DV-delete negative balances (v2), "
+        "RESTORE to v1 (v3 — a metadata-only commit that rolls the "
+        "vector pointers back, resurrecting exactly v2's masked "
+        "rows), then aggregate the live state per segment in integer "
+        "cents. The oracle recomputes v1's state from the customer "
+        "table, so a read that leaks masked rows or loses restored "
+        "ones hash-mismatches.")
+def txn_dv_restore_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.txnlake import txn_table
+
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", cents.alias("cents"))
+    t = txn_table(spark, _scratch(sf_dir, "dv_restore_state"),
+                  key="c_custkey", cluster_writes=True,
+                  rows_per_file=100_000)
+    t.overwrite(base)                                            # v0
+    assert t.delete(where="c_mktsegment = 'FURNITURE'") == 1     # v1
+    t.delete(where="cents < 0")  # v2 (no-op at an SF with no matches)
+    t.restore(1)                 # v3: rolls v2's pointers back
+    return (t.read().groupBy(
+        F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_cust"),
+             F.sum("cents").alias("sum_cents")))

@@ -51,6 +51,21 @@ EXECUTES for real in tests and in this container:
   the ids of the trailing ``txn_retention_commits`` commits only
   (Delta's txn expiry), so replay-detection state stops growing with
   total epochs.
+- **Deletion vectors (merge-on-read DELETE)**: ``delete(keys=... |
+  where=...)`` masks row positions instead of rewriting files — a
+  commit that writes only a small (file, position, version) parquet
+  and repoints per-file DV pointers. Readers apply the mask with a
+  broadcast anti-join on (file, pos) built from Spark's
+  ``_metadata.row_index``; merges/compactions materialize the
+  vectors of the files they rewrite; ``compact()`` force-rewrites
+  files >= 20% masked (the pressure valve bounding the mask
+  broadcast); the change feed serves each masked position's delete
+  exactly once (entries carry ``dvs`` + ``dv_prior`` + ``remove_dvs``
+  pointers, so each commit's position delta is self-contained);
+  restore rolls pointers back, resurrecting masked rows. This is the
+  public Delta deletionVectors shape: at 100 TB a purge of 0.01% of
+  keys writes O(deleted positions), not a rewrite of every touched
+  file.
 - **Lifecycle**: ``read_for_keys`` (stat-pruned point reads),
   optional ``cluster_writes`` (range-partition every written batch —
   what makes min/max pruning effective) and ``bloom_bits`` per-file
@@ -97,11 +112,15 @@ class Snapshot:
     (path -> stats dict or None) in add order, the application
     txn ids visible from the checkpoint's retention window + the
     log tail, and the table's CHECK constraints (name -> boolean SQL
-    expression, Delta's ALTER TABLE ADD CONSTRAINT state)."""
+    expression, Delta's ALTER TABLE ADD CONSTRAINT state), plus the
+    per-file DELETION VECTOR pointers (data path -> {"dir", "card"}):
+    merge-on-read deletes that mask rows of a live file without
+    rewriting it (Delta's deletionVectors table feature)."""
     version: int = -1
     live: dict[str, dict | None] = field(default_factory=dict)
     txn_ids: set[str] = field(default_factory=set)
     constraints: dict[str, str] = field(default_factory=dict)
+    dvs: dict[str, dict] = field(default_factory=dict)
 
 
 def _as_add(a) -> tuple[str, dict | None]:
@@ -169,6 +188,7 @@ class TxnTable:
         self.last_merge_probe: dict | None = None
         self.last_read_probe: dict | None = None
         self.last_changes_probe: dict | None = None
+        self.last_delete_probe: dict | None = None
 
     # ------------------------------------------------------------ log
     def _log_dir(self) -> str:
@@ -213,9 +233,20 @@ class TxnTable:
         snap.version = e["version"]
         for f in e.get("removes", []):
             snap.live.pop(f, None)
+            snap.dvs.pop(f, None)
         for a in e.get("adds", []):
             p, stats = _as_add(a)
             snap.live[p] = stats
+            snap.dvs.pop(p, None)      # a fresh add masks nothing
+        # deletion-vector pointer deltas, AFTER adds/removes so a
+        # restore that re-references a file AND re-attaches its old
+        # DV in one entry folds to the attached state (null clears —
+        # a restore to a pre-delete version detaches the pointer)
+        for p, dv in (e.get("dvs") or {}).items():
+            if dv is None:
+                snap.dvs.pop(p, None)
+            elif p in snap.live:
+                snap.dvs[p] = {"dir": dv["dir"], "card": dv["card"]}
         if e.get("app_txn_id") is not None:
             snap.txn_ids.add(e["app_txn_id"])
         # CHECK-constraint deltas (Delta's metaData action analogue)
@@ -248,6 +279,7 @@ class TxnTable:
                 snap.live = dict(_as_add(a) for a in data["live"])
                 snap.txn_ids = set(data["txn_ids"])
                 snap.constraints = dict(data.get("constraints") or {})
+                snap.dvs = dict(data.get("dvs") or {})
             except (OSError, ValueError, KeyError, TypeError):
                 # missing OR corrupt checkpoint: the retained log can
                 # rebuild the state — fall back rather than wedging
@@ -367,7 +399,10 @@ class TxnTable:
                 "txn_pairs": sorted(pairs),
                 # constraint state must survive cleanup_log deleting
                 # the set_constraint entries behind this checkpoint
-                "constraints": snap.constraints}
+                "constraints": snap.constraints,
+                # deletion-vector pointers likewise outlive their
+                # delete entries once the log head is cleaned
+                "dvs": snap.dvs}
         d = self._log_dir()
         tmp = os.path.join(d, f".tmp-cp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -451,7 +486,8 @@ class TxnTable:
     def _commit(self, version: int, adds: list, removes: list[str],
                 operation: str, app_txn_id: str | None,
                 extra: dict | None = None,
-                prior_live: dict[str, dict | None] | None = None) -> None:
+                prior_live: dict[str, dict | None] | None = None,
+                prior_dvs: dict[str, dict] | None = None) -> None:
         import time
         d = self._log_dir()
         os.makedirs(d, exist_ok=True)
@@ -474,9 +510,28 @@ class TxnTable:
             # estimate remains the floor, never an overcount).
             rs = {p: (prior_live.get(p) or {}).get("rows")
                   for p in removes}
+            # a removed file carrying a deletion vector has card rows
+            # already masked: its pre-image (what the change feed must
+            # stream) is rows - card, so sizing from the raw count
+            # would only over-slice — but recording effective rows
+            # keeps the estimate honest
+            if prior_dvs:
+                rs = {p: (max(0, r - prior_dvs[p]["card"])
+                          if isinstance(r, int) and p in prior_dvs
+                          else r)
+                      for p, r in rs.items()}
             rs = {p: r for p, r in rs.items() if isinstance(r, int)}
             if rs:
                 entry["remove_stats"] = rs
+        if prior_dvs and removes:
+            # the removed files' DV pointers at commit time: the feed
+            # reads each removed file MINUS these positions as the
+            # commit's pre-image (already-deleted rows must not
+            # re-report as deletes)
+            rdv = {p: prior_dvs[p]["dir"] for p in removes
+                   if p in prior_dvs}
+            if rdv:
+                entry["remove_dvs"] = rdv
         if app_txn_id is not None:
             entry["app_txn_id"] = app_txn_id
         if extra:
@@ -602,6 +657,97 @@ class TxnTable:
             r = r.option("mergeSchema", "true")
         return r.parquet(*[os.path.join(self.path, f) for f in files])
 
+    # ------------------------------------------------ deletion vectors
+    # Merge-on-read DELETE (the public Delta deletionVectors feature):
+    # a delete commit writes only the deleted ROW POSITIONS — a tiny
+    # parquet of (_dv_file, _dv_pos, _dv_commit) under data/dv-* —
+    # and repoints the touched files' DV pointers, instead of
+    # rewriting the files (copy-on-write merge rewrites O(touched
+    # rows); a DV delete writes O(deleted positions): at 100 TB,
+    # deleting 0.1% of a wide table stops costing a rewrite of every
+    # touched file's full width). Readers mask the positions with a
+    # BROADCAST hash anti-join on (file, pos) — the scan itself never
+    # shuffles, and the broadcast is bounded by the un-purged DV
+    # cardinality, which compact() (the materializer) keeps small by
+    # rewriting heavily-masked files. DV parquets are CUMULATIVE per
+    # file (each position tagged with the version that deleted it),
+    # so one pointer per file serves reads and each commit entry
+    # stays self-contained for the change feed (``dvs`` new pointer +
+    # ``dv_prior`` old pointer = exact per-commit position delta).
+
+    @staticmethod
+    def _rel_file_col():
+        """Table-relative path of each scanned row's source file —
+        the last three path components of ``_metadata.file_path``
+        (``data/<commit-or-dv dir>/<part file>``), which are plain
+        ASCII by construction (uuid-hex dirs, Spark part names), so
+        the extraction is URI-encoding-proof and matches the log's
+        literal rel paths bit-for-bit."""
+        return F.regexp_extract(F.col("_metadata.file_path"),
+                                r"(data/[^/]+/[^/]+)$", 1)
+
+    def _with_pos(self, df: DataFrame) -> DataFrame:
+        """Tag each row with its source file's rel path and its
+        stable in-file row position (parquet row order is immutable;
+        Spark's hidden ``_metadata.row_index`` exposes it)."""
+        return (df.withColumn("_dv_file", self._rel_file_col())
+                .withColumn("_dv_pos", F.col("_metadata.row_index")))
+
+    def _dv_positions(self, pairs: dict[str, str],
+                      with_commit: bool = False) -> DataFrame | None:
+        """(_dv_file, _dv_pos) rows for the given file -> DV-dir
+        pointers. Each distinct dir is read once, filtered to the
+        files whose CURRENT pointer is that dir — a dir may also hold
+        stale rows for files whose pointer has since moved (or been
+        restored backwards), and those must not leak in."""
+        if not pairs:
+            return None
+        cols = ["_dv_file", "_dv_pos"] + \
+            (["_dv_commit"] if with_commit else [])
+        parts = []
+        for dd in sorted({d for d in pairs.values()}):
+            files = sorted(p for p, d in pairs.items() if d == dd)
+            parts.append(
+                self.spark.read.parquet(os.path.join(self.path, dd))
+                .where(F.col("_dv_file").isin(files)).select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_live(self, files: list[str],
+                   dvs: dict[str, dict]) -> DataFrame:
+        """Scan data files with their deletion vectors applied: the
+        masked positions anti-join out via a broadcast hash join on
+        (file, pos) — no shuffle of the data side, whole-stage
+        codegen intact. Identical plan to a bare ``_read_files`` when
+        none of the files carries a DV."""
+        df = self._read_files(files)
+        sel = {p: d["dir"] for p, d in dvs.items() if p in set(files)}
+        if not sel:
+            return df
+        dvu = self._dv_positions(sel)
+        return (self._with_pos(df)
+                .join(F.broadcast(dvu), ["_dv_file", "_dv_pos"],
+                      "left_anti")
+                .drop("_dv_file", "_dv_pos"))
+
+    def _rows_at(self, positions: DataFrame | None) -> DataFrame | None:
+        """Data rows at the given (_dv_file, _dv_pos) positions —
+        the change feed's way of materializing a DV delta's pre/post
+        images. O(touched files) scan, broadcast semi-join."""
+        if positions is None:
+            return None
+        positions = positions.localCheckpoint()
+        files = sorted(r[0] for r in
+                       positions.select("_dv_file").distinct().collect())
+        if not files:
+            return None
+        return (self._with_pos(self._read_files(files))
+                .join(F.broadcast(positions), ["_dv_file", "_dv_pos"],
+                      "left_semi")
+                .drop("_dv_file", "_dv_pos"))
+
     def _empty_like(self, snap: Snapshot) -> DataFrame:
         """Zero-row frame with the TABLE schema. In strict mode every
         live file shares one schema, so any single footer suffices;
@@ -686,7 +832,7 @@ class TxnTable:
                                 "candidate_files": sorted(cands)}
         if not cands:
             return self._empty_like(snap)
-        df = self._read_files(cands)
+        df = self._read_live(cands, snap.dvs)
         if lo is not None:
             df = df.where(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -714,15 +860,15 @@ class TxnTable:
         if not cands:
             # no file can contain any key: empty frame, table schema
             return self._empty_like(snap)
-        return (self._read_files(cands)
+        return (self._read_live(cands, snap.dvs)
                 .join(keys, self.key, "left_semi"))
 
     def read(self, as_of: int | None = None) -> DataFrame:
-        files = self.live_files(as_of)
-        if not files:
+        snap = self._snapshot(as_of)
+        if not snap.live:
             raise FileNotFoundError(
                 f"TxnTable at {self.path} has no committed data")
-        return self._read_files(files)
+        return self._read_live(list(snap.live), snap.dvs)
 
     def changes(self, v_lo: int, v_hi: int | None = None) -> DataFrame:
         """Change-data-feed (Delta CDF's ``table_changes`` shape,
@@ -781,19 +927,86 @@ class TxnTable:
                 continue               # bin-packing: zero row changes
             adds = [_as_add(a)[0] for a in e.get("adds", [])]
             removes = list(e.get("removes", []))
-            if not adds and not removes:
+            dvs_e = e.get("dvs") or {}
+            prior_e = e.get("dv_prior") or {}
+            rdvs = e.get("remove_dvs") or {}
+            if not adds and not removes and not dvs_e:
                 continue               # metadata-only (constraints)
-            for f in adds + removes:
+            add_set = set(adds)
+            kept_dv = {p: d for p, d in dvs_e.items()
+                       if p not in add_set}
+            dv_dirs = ({d["dir"] for d in dvs_e.values() if d}
+                       | {d["dir"] for d in prior_e.values() if d}
+                       | set(rdvs.values()))
+            for f in adds + removes + sorted(kept_dv):
                 if not os.path.exists(os.path.join(self.path, f)):
                     raise ValueError(
                         f"changes({v_lo}, {v_hi}): data file {f} from "
                         f"commit {v} was collected by vacuum — "
                         f"pre-images below the retention horizon are "
                         f"not reconstructable")
+            for dd in dv_dirs:
+                if not os.path.isdir(os.path.join(self.path, dd)):
+                    raise ValueError(
+                        f"changes({v_lo}, {v_hi}): deletion-vector "
+                        f"dir {dd} from commit {v} was collected by "
+                        f"vacuum — the feed below the retention "
+                        f"horizon is not reconstructable")
             files_read.update(adds)
             files_read.update(removes)
+            files_read.update(kept_dv)
+            # pre-image: removed files MINUS their already-masked
+            # positions (remove_dvs — those rows' deletions were
+            # served by the earlier delete commit's feed)
             pre = self._read_files(removes) if removes else None
+            rsel = {p: rdvs[p] for p in removes if p in rdvs}
+            if pre is not None and rsel:
+                pos = self._dv_positions(rsel)
+                pre = (self._with_pos(pre)
+                       .join(F.broadcast(pos),
+                             ["_dv_file", "_dv_pos"], "left_anti")
+                       .drop("_dv_file", "_dv_pos"))
+            # post-image: added files minus the DVs this entry
+            # attaches to them (a restore re-adding a file together
+            # with its historical vector)
             post = self._read_files(adds) if adds else None
+            add_dv = {p: d["dir"] for p, d in dvs_e.items()
+                      if d and p in add_set}
+            if post is not None and add_dv:
+                pos = self._dv_positions(add_dv)
+                post = (self._with_pos(post)
+                        .join(F.broadcast(pos),
+                              ["_dv_file", "_dv_pos"], "left_anti")
+                        .drop("_dv_file", "_dv_pos"))
+            # kept-live files whose DV pointer moved: the position
+            # DELTA is the row-level change — newly masked positions
+            # are deletes (a delete commit), unmasked ones re-insert
+            # (a restore to a pre-delete version)
+            if kept_dv:
+                new_pos = self._dv_positions(
+                    {p: d["dir"] for p, d in kept_dv.items() if d})
+                old_pos = self._dv_positions(
+                    {p: prior_e[p]["dir"] for p in kept_dv
+                     if prior_e.get(p)})
+
+                def _minus(a, b):
+                    if a is None or b is None:
+                        return a
+                    return a.join(b, ["_dv_file", "_dv_pos"],
+                                  "left_anti")
+
+                del_rows = self._rows_at(_minus(new_pos, old_pos))
+                res_rows = self._rows_at(_minus(old_pos, new_pos))
+                if del_rows is not None:
+                    pre = (del_rows if pre is None else
+                           pre.unionByName(del_rows,
+                                           allowMissingColumns=True))
+                if res_rows is not None:
+                    post = (res_rows if post is None else
+                            post.unionByName(res_rows,
+                                             allowMissingColumns=True))
+            if pre is None and post is None:
+                continue   # DV pointer churn with zero position delta
             per_commit.append(
                 self._commit_diff(pre, post, v, e.get("ts_ms")))
         self.last_changes_probe = {
@@ -909,7 +1122,7 @@ class TxnTable:
         self._validate_staged(adds, snap.constraints,
                               "the overwrite batch")
         self._commit(v, adds, list(snap.live), "overwrite", app_txn_id,
-                     prior_live=snap.live)
+                     prior_live=snap.live, prior_dvs=snap.dvs)
         return v
 
     def _prune_candidates(self, live: dict[str, dict | None],
@@ -1023,7 +1236,25 @@ class TxnTable:
                     .unionByName(deleted_keys).distinct()
                     .localCheckpoint())
         candidates = self._prune_candidates(snap.live, affected)
-        if candidates:
+        dv_cands = any(p in snap.dvs for p in candidates)
+        if candidates and dv_cands:
+            # DV-masked candidates: probe over the LIVE rows only (a
+            # file whose every affected row is already masked is not
+            # touched). The _dv_file tag from the position join IS
+            # the log's literal rel path — no URI decode or
+            # cache-empty fallback needed. (_metadata only resolves
+            # directly on the scan, so tag before the anti-join.)
+            base = self._with_pos(self._read_files(candidates))
+            dvu = self._dv_positions(
+                {p: snap.dvs[p]["dir"] for p in candidates
+                 if p in snap.dvs})
+            live_rows = base.join(F.broadcast(dvu),
+                                  ["_dv_file", "_dv_pos"], "left_anti")
+            touched = sorted(
+                r["_dv_file"] for r in
+                live_rows.join(affected, key, "left_semi")
+                .select("_dv_file").distinct().collect())
+        elif candidates:
             tagged = (self._read_files(candidates)
                       .withColumn("_file", F.input_file_name()))
             # file list is bounded by file count (driver-side by
@@ -1032,21 +1263,21 @@ class TxnTable:
             touched_uris = [r["_file"] for r in
                             tagged.join(affected, key, "left_semi")
                             .select("_file").distinct().collect()]
+            if any(not u for u in touched_uris):
+                # input_file_name() came back EMPTY: a caller has the
+                # same files CACHED (Spark's cache manager matches the
+                # probe scan by canonical plan and serves rows from the
+                # in-memory relation, which has no file context).
+                # Correctness must not depend on caller cache state —
+                # degrade to rewriting every candidate (a superset of
+                # touched; still stat-pruned, just less tightly).
+                touched = sorted(candidates)
+            else:
+                touched = sorted(
+                    os.path.relpath(_decode_uri(u), self.path)
+                    for u in touched_uris)
         else:
-            touched_uris = []          # first merge == pure insert
-        if any(not u for u in touched_uris):
-            # input_file_name() came back EMPTY: a caller has the
-            # same files CACHED (Spark's cache manager matches the
-            # probe scan by canonical plan and serves rows from the
-            # in-memory relation, which has no file context).
-            # Correctness must not depend on caller cache state —
-            # degrade to rewriting every candidate (a superset of
-            # touched; still stat-pruned, just less tightly).
-            touched = sorted(candidates)
-        else:
-            touched = sorted(
-                os.path.relpath(_decode_uri(u), self.path)
-                for u in touched_uris)
+            touched = []               # first merge == pure insert
         self.last_merge_probe = {
             "live_files": len(snap.live),
             "candidate_files": sorted(candidates),
@@ -1054,7 +1285,11 @@ class TxnTable:
         }
         upserts = changed.join(deleted_keys, key, "left_anti")
         if touched:
-            survivors = (self._read_files(touched)
+            # survivors read through the deletion vectors: a rewrite
+            # MATERIALIZES the touched files' DVs (masked rows do not
+            # survive into the new files), and the commit's removes
+            # drop their pointers
+            survivors = (self._read_live(touched, snap.dvs)
                          .join(affected, key, "left_anti"))
             # schema evolution: a widening batch unions by name with
             # nulls on the narrow side; strict mode fails loudly
@@ -1069,7 +1304,141 @@ class TxnTable:
         self._validate_staged(adds, snap.constraints,
                               "the merge batch")
         self._commit(v, adds, touched, "merge", app_txn_id,
-                     prior_live=snap.live)
+                     prior_live=snap.live, prior_dvs=snap.dvs)
+        return v
+
+    def delete(self, keys: DataFrame | None = None,
+               where=None, app_txn_id: str | None = None,
+               retries: int = 0) -> int:
+        """Merge-on-read DELETE via deletion vectors (the public
+        Delta deletionVectors feature, enabled there with
+        ``delta.enableDeletionVectors``): instead of rewriting every
+        touched file minus the deleted rows (what ``merge(...,
+        deleted_keys=...)`` does — copy-on-write, O(touched rows)
+        written), this records the deleted ROW POSITIONS in a small
+        parquet and repoints the files' DV pointers in one atomic
+        commit — O(deleted positions) written, zero data files
+        rewritten. At 100 TB, a GDPR-style purge of 0.01% of keys
+        stops costing a rewrite of every file that holds one.
+
+        Exactly one of:
+
+        - ``keys``: DataFrame of key values — stat/bloom-pruned like
+          a merge (files that cannot hold an affected key are never
+          opened);
+        - ``where``: SQL predicate string or Column — evaluated over
+          every live file (no pruning; the win is still writing no
+          data files).
+
+        A file whose every remaining row dies is dropped from the
+        snapshot outright (no pointer to an all-masked file). Rows
+        already masked by an earlier delete do not re-delete (the
+        change feed reports each row's deletion exactly once).
+        Readers mask positions with a broadcast anti-join;
+        ``compact()`` materializes heavily-masked files (>= 20%) and
+        is the pressure valve that keeps that broadcast bounded.
+        Returns the committed version — unchanged when nothing
+        matched (no empty commits)."""
+        for attempt in range(retries + 1):
+            try:
+                return self._delete_once(keys, where, app_txn_id)
+            except CommitConflict:
+                if attempt == retries:
+                    raise
+
+    def _delete_once(self, keys: DataFrame | None, where,
+                     app_txn_id: str | None) -> int:
+        from pyspark.sql import Column
+        key = self.key
+        if (keys is None) == (where is None):
+            raise ValueError(
+                "delete: exactly one of keys= / where= is required")
+        snap = self._snapshot()
+        if app_txn_id is not None and app_txn_id in snap.txn_ids:
+            return snap.version
+        if not snap.live:
+            raise FileNotFoundError(
+                f"TxnTable at {self.path} has no committed data")
+        if keys is not None:
+            keys = keys.select(key).distinct().localCheckpoint()
+            candidates = self._prune_candidates(snap.live, keys)
+        else:
+            candidates = list(snap.live)
+        self.last_delete_probe = {
+            "live_files": len(snap.live),
+            "candidate_files": sorted(candidates)}
+        if not candidates:
+            return snap.version
+        live_rows = self._with_pos(self._read_files(candidates))
+        old_sel = {p: d["dir"] for p, d in snap.dvs.items()
+                   if p in set(candidates)}
+        old_pos = self._dv_positions(old_sel)
+        if old_pos is not None:
+            live_rows = live_rows.join(F.broadcast(old_pos),
+                                       ["_dv_file", "_dv_pos"],
+                                       "left_anti")
+        if keys is not None:
+            matched = live_rows.join(keys, key, "left_semi")
+        else:
+            cond = where if isinstance(where, Column) else F.expr(where)
+            matched = live_rows.where(cond)
+        # sever the lineage once: the positions are counted per file,
+        # classified, and written — three consumers of one O(deleted)
+        # frame
+        matched = matched.select("_dv_file", "_dv_pos").localCheckpoint()
+        per_file = {r["_dv_file"]: r["n"] for r in
+                    matched.groupBy("_dv_file")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+        if not per_file:
+            return snap.version        # nothing matched: no commit
+        v = snap.version + 1
+        dead, dv_files = [], []
+        for p, n_new in sorted(per_file.items()):
+            rows = (snap.live.get(p) or {}).get("rows")
+            old_card = snap.dvs.get(p, {}).get("card", 0)
+            if isinstance(rows, int) and old_card + n_new >= rows:
+                dead.append(p)         # every remaining row died
+            else:
+                dv_files.append(p)
+        dvs_entry: dict = {}
+        extra: dict = {}
+        if dv_files:
+            # CUMULATIVE vector per file: old positions (with their
+            # original _dv_commit tags) + this commit's, in one new
+            # dir — one pointer per file serves every future read,
+            # and (new dir minus prior dir) is exactly this commit's
+            # delta for the change feed
+            new_pos = (matched
+                       .where(F.col("_dv_file").isin(dv_files))
+                       .withColumn("_dv_commit",
+                                   F.lit(v).cast("long")))
+            carry_sel = {p: d for p, d in old_sel.items()
+                         if p in set(dv_files)}
+            carry = self._dv_positions(carry_sel, with_commit=True)
+            all_pos = (new_pos if carry is None
+                       else new_pos.unionByName(carry))
+            rel_dir = os.path.join(
+                "data", f"dv-{v:08d}-{uuid.uuid4().hex[:8]}")
+            total = sum(per_file[p] + snap.dvs.get(p, {}).get("card", 0)
+                        for p in dv_files)
+            nparts = max(1, -(-total // self.rows_per_file))
+            (all_pos.repartition(nparts, "_dv_file")
+             .write.mode("error")
+             .parquet(os.path.join(self.path, rel_dir)))
+            for p in dv_files:
+                card = per_file[p] + snap.dvs.get(p, {}).get("card", 0)
+                dvs_entry[p] = {"dir": rel_dir, "card": card,
+                                "new": per_file[p]}
+            extra["dvs"] = dvs_entry
+            # prior pointers make the entry self-contained for the
+            # feed (new minus prior = this commit's deleted positions)
+            extra["dv_prior"] = {p: snap.dvs.get(p) for p in dvs_entry}
+            # exact per-file changed-row counts for the streaming
+            # source's per-task slicing
+            extra["dv_stats"] = {p: per_file[p] for p in dvs_entry}
+        self._commit(v, [], dead, "delete", app_txn_id,
+                     extra=extra or None,
+                     prior_live=snap.live, prior_dvs=snap.dvs)
         return v
 
     def compact(self, small_rows_threshold: int | None = None,
@@ -1110,11 +1479,25 @@ class TxnTable:
         thr = (self.rows_per_file // 2 if small_rows_threshold is None
                else small_rows_threshold)
         snap = self._snapshot()
+
+        def _masked(p) -> int:
+            return snap.dvs.get(p, {}).get("card", 0)
+
+        # "small" by EFFECTIVE rows (stats count minus DV-masked), so
+        # a file whittled down by merge-on-read deletes qualifies for
+        # bin-packing; additionally any file with >= 20% of its rows
+        # masked is rewritten outright — compact is the DV
+        # MATERIALIZER (Delta's REORG/purge), the pressure valve that
+        # keeps the read path's broadcast of masked positions bounded
         small = [p for p, s in snap.live.items()
-                 if not s or s.get("rows") is None or s["rows"] <= thr]
-        if len(small) < 2:
+                 if not s or s.get("rows") is None
+                 or s["rows"] - _masked(p) <= thr
+                 or (_masked(p) > 0 and _masked(p) * 5 >= s["rows"])]
+        # a single DV-carrying file is still worth rewriting (the
+        # rewrite drops its vector); plain bin-packing needs >= 2
+        if len(small) < 2 and not any(_masked(p) for p in small):
             return snap.version
-        df = self._read_files(small)
+        df = self._read_live(small, snap.dvs)
         n = df.count()
         nfiles = max(1, -(-n // self.rows_per_file))
         packed = df.repartitionByRange(nfiles, self.key) \
@@ -1127,7 +1510,7 @@ class TxnTable:
         finally:
             self.cluster_writes = cw
         self._commit(v, adds, sorted(small), "compact", None,
-                     prior_live=snap.live)
+                     prior_live=snap.live, prior_dvs=snap.dvs)
         return v
 
 
@@ -1254,9 +1637,11 @@ class TxnTable:
                 f"{e.getMessage() if hasattr(e, 'getMessage') else e}"
             ) from e
         if snap.live:
+            # through the deletion vectors: rows already masked are
+            # logically deleted and must not fail a new constraint
             self._enforce_constraints(
-                self._read_files(list(snap.live)), {name: expr},
-                "existing table data")
+                self._read_live(list(snap.live), snap.dvs),
+                {name: expr}, "existing table data")
         v = snap.version + 1
         self._commit(v, [], [], "set_constraint", None,
                      extra={"constraint_set": {name: expr}})
@@ -1326,7 +1711,19 @@ class TxnTable:
                 f"committed version ({snap.version})")
         target = self._snapshot(as_of=version)   # raises if log cleaned
         missing = []
-        for p in target.live:
+        # resurrected DELETION-VECTOR dirs get the same treatment as
+        # data files: touch-to-refresh + existence check (a DV dir
+        # vacuumed below the horizon makes the target state
+        # unreconstructable — its masked positions are unknowable)
+        dv_paths: list[str] = []
+        for d in sorted({dv["dir"] for dv in target.dvs.values()}):
+            full_d = os.path.join(self.path, d)
+            if not os.path.isdir(full_d):
+                missing.append(d)
+                continue
+            dv_paths.extend(os.path.join(d, n)
+                            for n in os.listdir(full_d))
+        for p in list(target.live) + dv_paths:
             full = os.path.join(self.path, p)
             try:
                 # touch-to-refresh BEFORE the existence check: the
@@ -1358,18 +1755,69 @@ class TxnTable:
                           "rows": None})}
                 for p, s in target.live.items() if p not in snap.live]
         removes = [p for p in snap.live if p not in target.live]
-        if not adds and not removes:
+        # DV pointer delta: every file live in the TARGET whose
+        # pointer differs from the current one — including clears
+        # (null: restoring to a pre-delete version detaches the
+        # vector, resurrecting its masked rows) and re-attachments on
+        # files the restore re-adds (fold order: adds pop, dvs set)
+        dvs_delta: dict = {}
+        for p in target.live:
+            tgt, cur = target.dvs.get(p), snap.dvs.get(p)
+            if p not in snap.live:
+                if tgt is not None:
+                    dvs_delta[p] = dict(tgt)
+            elif (tgt or {}).get("dir") != (cur or {}).get("dir"):
+                dvs_delta[p] = dict(tgt) if tgt is not None else None
+        if not adds and not removes and not dvs_delta:
             return snap.version        # already that state: no commit
-        if adds and snap.constraints:
+        if snap.constraints:
             # a constraint added AFTER the target version may not hold
             # for the rows restore would resurrect — validate just the
-            # re-referenced files (O(restored files), not the table)
-            self._enforce_constraints(
-                self._read_files([a["path"] for a in adds]),
-                snap.constraints, f"rows restored from version {version}")
+            # re-referenced files (through the TARGET's vectors: the
+            # masked rows do not come back) plus the rows a pointer
+            # clear unmasks; O(restored delta), not the table
+            frames = []
+            if adds:
+                frames.append(self._read_live(
+                    [a["path"] for a in adds], target.dvs))
+            kept = {p: d for p, d in dvs_delta.items()
+                    if p in snap.live}
+            if kept:
+                old_pos = self._dv_positions(
+                    {p: snap.dvs[p]["dir"] for p in kept
+                     if p in snap.dvs})
+                new_pos = self._dv_positions(
+                    {p: d["dir"] for p, d in kept.items()
+                     if d is not None})
+                if old_pos is not None:
+                    diff = (old_pos if new_pos is None else
+                            old_pos.join(new_pos,
+                                         ["_dv_file", "_dv_pos"],
+                                         "left_anti"))
+                    res = self._rows_at(diff)
+                    if res is not None:
+                        frames.append(res)
+            if frames:
+                un = frames[0]
+                for fr in frames[1:]:
+                    un = un.unionByName(fr, allowMissingColumns=True)
+                self._enforce_constraints(
+                    un, snap.constraints,
+                    f"rows restored from version {version}")
+        extra: dict = {}
+        if dvs_delta:
+            extra["dvs"] = dvs_delta
+            extra["dv_prior"] = {p: snap.dvs.get(p) for p in dvs_delta}
+            # slicing upper bound for the streaming feed: the position
+            # delta can't exceed the union of both vectors
+            extra["dv_stats"] = {
+                p: ((d or {}).get("card", 0)
+                    + (snap.dvs.get(p) or {}).get("card", 0))
+                for p, d in dvs_delta.items()}
         v = snap.version + 1
         self._commit(v, adds, removes, "restore", app_txn_id,
-                     prior_live=snap.live)
+                     extra=extra or None,
+                     prior_live=snap.live, prior_dvs=snap.dvs)
         # post-commit re-verify (detection arm of the same race): a
         # vacuum pass that ignored the age guard can still have
         # unlinked a resurrected file between the check and the
@@ -1381,6 +1829,9 @@ class TxnTable:
         # stick.
         gone = [a["path"] for a in adds
                 if not os.path.exists(os.path.join(self.path, a["path"]))]
+        gone += [d for d in sorted({dv["dir"]
+                                    for dv in target.dvs.values()})
+                 if not os.path.isdir(os.path.join(self.path, d))]
         if gone:
             comp_adds = [{"path": p,
                           **(s or {"min_key": None, "max_key": None,
@@ -1397,11 +1848,38 @@ class TxnTable:
             comp_gone = [a["path"] for a in comp_adds
                          if not os.path.exists(
                              os.path.join(self.path, a["path"]))]
+            comp_gone += [d for d in sorted({dv["dir"] for dv
+                                             in snap.dvs.values()})
+                          if not os.path.isdir(
+                              os.path.join(self.path, d))]
             comp_removes = [a["path"] for a in adds]
+            # the roll-forward must also restore the PRE-restore DV
+            # pointers (inverse of dvs_delta, same fold semantics)
+            comp_dvs: dict = {}
+            for p in snap.live:
+                pre_dv, now_dv = snap.dvs.get(p), target.dvs.get(p)
+                if p not in target.live:
+                    if pre_dv is not None:
+                        comp_dvs[p] = dict(pre_dv)
+                elif (pre_dv or {}).get("dir") != (now_dv or {}).get("dir"):
+                    comp_dvs[p] = (dict(pre_dv)
+                                   if pre_dv is not None else None)
+            comp_extra: dict = {}
+            if comp_dvs:
+                comp_extra["dvs"] = comp_dvs
+                comp_extra["dv_prior"] = {p: target.dvs.get(p)
+                                          for p in comp_dvs}
+                comp_extra["dv_stats"] = {
+                    p: ((d or {}).get("card", 0)
+                        + (target.dvs.get(p) or {}).get("card", 0))
+                    for p, d in comp_dvs.items()}
             if not comp_gone:
                 try:
                     self._commit(v + 1, comp_adds, comp_removes,
-                                 "restore", None, prior_live=target.live)
+                                 "restore", None,
+                                 extra=comp_extra or None,
+                                 prior_live=target.live,
+                                 prior_dvs=target.dvs)
                 except CommitConflict:
                     pass     # a later writer owns v+1; surface the loss
                 raise ValueError(
@@ -1426,6 +1904,7 @@ class TxnTable:
                         "ts_ms": e.get("ts_ms"),
                         "adds": len(e.get("adds", [])),
                         "removes": len(e.get("removes", [])),
+                        "dvs": len(e.get("dvs") or {}),
                         "app_txn_id": e.get("app_txn_id")})
         return out
 
@@ -1454,8 +1933,7 @@ class TxnTable:
             return []
         horizon = max(0, latest - keep_versions + 1)
         try:
-            protected: set[str] = set(
-                self._snapshot(as_of=horizon).live)
+            hsnap = self._snapshot(as_of=horizon)
         except ValueError:
             # cleanup_log removed the entries needed to reconstruct
             # the horizon version: protect from the oldest version
@@ -1463,12 +1941,28 @@ class TxnTable:
             # already raises, so nothing reachable loses files)
             vs = [v for v in self._checkpoint_versions()
                   if v >= horizon]
-            protected = set(self._snapshot(
-                as_of=vs[0] if vs else None).live)
+            hsnap = self._snapshot(as_of=vs[0] if vs else None)
+        protected: set[str] = set(hsnap.live)
+        # deletion-vector dirs are referenced state too: a collected
+        # DV would UNDELETE its masked rows on every future read of a
+        # still-live file — protect every dir referenced by the
+        # horizon snapshot or by any retained entry (incl. the prior/
+        # removed pointers the change feed needs for pre-images)
+        protected_dirs: set[str] = {dv["dir"]
+                                    for dv in hsnap.dvs.values()}
         for v, p in self._entry_files():
             if v > horizon:
-                for a in self._load_json(p).get("adds", []):
+                e = self._load_json(p)
+                for a in e.get("adds", []):
                     protected.add(_as_add(a)[0])
+                for dv in (e.get("dvs") or {}).values():
+                    if dv:
+                        protected_dirs.add(dv["dir"])
+                for dv in (e.get("dv_prior") or {}).values():
+                    if dv:
+                        protected_dirs.add(dv["dir"])
+                protected_dirs.update(
+                    (e.get("remove_dvs") or {}).values())
         cutoff = time.time() - min_age_seconds
         data_root = os.path.join(self.path, "data")
         deleted = []
@@ -1486,6 +1980,8 @@ class TxnTable:
                 rel = os.path.relpath(full, self.path)
                 if rel in protected:
                     continue
+                if os.path.dirname(rel) in protected_dirs:
+                    continue           # live deletion-vector dir
                 try:
                     if os.path.getmtime(full) > cutoff:
                         continue           # too young: maybe in flight

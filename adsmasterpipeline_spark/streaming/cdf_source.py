@@ -146,7 +146,9 @@ class CommitPartition(InputPartition):
 
     def __init__(self, table_path: str, key: str, version: int,
                  ts_ms: int | None, adds: list[str], removes: list[str],
-                 fields: list[str], slice_idx: int = 0, n_slices: int = 1):
+                 fields: list[str], slice_idx: int = 0, n_slices: int = 1,
+                 dvs: dict | None = None, dv_prior: dict | None = None,
+                 remove_dvs: dict | None = None):
         self.table_path = table_path
         self.key = key
         self.version = version
@@ -156,6 +158,13 @@ class CommitPartition(InputPartition):
         self.fields = fields           # table columns, schema order
         self.slice_idx = slice_idx
         self.n_slices = n_slices
+        # deletion-vector state copied verbatim from the commit entry
+        # (self-contained: new pointers, prior pointers, and the
+        # removed files' pointers — everything the position-delta
+        # diff needs without folding any other entry)
+        self.dvs = dvs or {}
+        self.dv_prior = dv_prior or {}
+        self.remove_dvs = remove_dvs or {}
 
 
 def _eq(a, b) -> bool:
@@ -186,9 +195,40 @@ def _slice_of(key_val, n_slices: int) -> int:
     return zlib.crc32(repr(key_val).encode("utf-8")) % n_slices
 
 
+def _dv_position_sets(table_path: str,
+                      pairs: dict[str, str]) -> dict[str, set]:
+    """data file -> set of masked row positions, for the given
+    file -> deletion-vector-dir pointers (executor-side pyarrow; a
+    dir may hold stale rows for files whose pointer has moved, so
+    each dir is filtered to the files that point at it). Missing dirs
+    raise the same vacuumed-feed refusal as missing data files."""
+    import pyarrow.parquet as pq
+    out: dict[str, set] = {}
+    for dd in sorted({d for d in pairs.values()}):
+        want = {f for f, d in pairs.items() if d == dd}
+        full = os.path.join(table_path, dd)
+        if not os.path.isdir(full):
+            raise ValueError(
+                f"txn_cdf: deletion-vector dir {dd} was collected by "
+                f"vacuum — the feed below the retention horizon is "
+                f"not reconstructable")
+        for name in sorted(os.listdir(full)):
+            if not name.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(full, name),
+                              columns=["_dv_file", "_dv_pos"])
+            for f, pos in zip(t.column("_dv_file").to_pylist(),
+                              t.column("_dv_pos").to_pylist()):
+                if f in want:
+                    out.setdefault(f, set()).add(pos)
+    return out
+
+
 def _rows_by_key(table_path: str, files: list[str], key: str,
                  fields: list[str], slice_idx: int = 0,
-                 n_slices: int = 1) -> dict:
+                 n_slices: int = 1,
+                 skip: dict[str, set] | None = None,
+                 only: dict[str, set] | None = None) -> dict:
     """Key -> row dict for the given table-relative parquet files,
     via pyarrow (executor-side; no SparkSession). Missing columns
     (schema evolution: pre-widening files) surface as None. Files
@@ -200,7 +240,14 @@ def _rows_by_key(table_path: str, files: list[str], key: str,
     in ``_eq`` is order-insensitive — the same canonical-by-key
     semantics as the batch feed's ``array_sort(map_entries(...))``
     (and the dict form is what Spark's DataSource row conversion
-    expects for MapType output)."""
+    expects for MapType output).
+
+    ``skip``/``only`` are per-file row-POSITION filters for
+    deletion-vector commits: ``skip`` drops masked positions (a
+    removed file's already-deleted rows must not re-report), ``only``
+    keeps just the listed positions (materializing one commit's
+    position delta). Positions are tracked as the running row index
+    across the file's batches — parquet row order is stable."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     out: dict = {}
@@ -211,12 +258,21 @@ def _rows_by_key(table_path: str, files: list[str], key: str,
                 f"txn_cdf: data file {f} was collected by vacuum — "
                 f"the feed below the retention horizon is not "
                 f"reconstructable")
+        f_skip = (skip or {}).get(f)
+        f_only = (only or {}).get(f)
         pf = pq.ParquetFile(full)
+        pos = 0
         try:
             map_cols = [fld.name for fld in pf.schema_arrow
                         if pa.types.is_map(fld.type)]
             for batch in pf.iter_batches():
-                for row in batch.to_pylist():
+                rows = batch.to_pylist()
+                for i, row in enumerate(rows):
+                    p = pos + i
+                    if f_skip is not None and p in f_skip:
+                        continue
+                    if f_only is not None and p not in f_only:
+                        continue
                     if n_slices > 1 and \
                             _slice_of(row[key], n_slices) != slice_idx:
                         continue
@@ -224,6 +280,7 @@ def _rows_by_key(table_path: str, files: list[str], key: str,
                         if row.get(c) is not None:
                             row[c] = dict(row[c])
                     out[row[key]] = {c: row.get(c) for c in fields}
+                pos += len(rows)
         finally:
             pf.close()
     return out
@@ -309,7 +366,7 @@ class TxnChangeFeedStreamReader(DataSourceStreamReader):
                 continue           # bin-packing: zero row changes
             adds = [a["path"] if isinstance(a, dict) else a
                     for a in e.get("adds", [])]
-            if not adds and not e.get("removes"):
+            if not adds and not e.get("removes") and not e.get("dvs"):
                 continue           # metadata-only commit (constraints)
             # per-task memory bound: hash-slice the key space of a
             # commit whose recorded row stats exceed the budget
@@ -329,14 +386,22 @@ class TxnChangeFeedStreamReader(DataSourceStreamReader):
             remove_rows = sum(
                 r for r in (e.get("remove_stats") or {}).values()
                 if isinstance(r, int))
-            est_rows = max(add_rows, remove_rows)
+            # deletion-vector commits: dv_stats is the per-file
+            # changed-position count (exact for deletes, a safe upper
+            # bound for restores) — the rows this commit's tasks must
+            # materialize from otherwise-untouched files
+            dv_rows = sum(r for r in (e.get("dv_stats") or {}).values()
+                          if isinstance(r, int))
+            est_rows = max(add_rows, remove_rows, dv_rows)
             n_slices = max(1, -(-est_rows // self.max_rows_per_task)) \
                 if self.max_rows_per_task > 0 else 1
             for s in range(n_slices):
                 parts.append(CommitPartition(
                     self.table_path, self.key, v, e.get("ts_ms"),
                     adds, list(e.get("removes", [])), self.fields,
-                    slice_idx=s, n_slices=n_slices))
+                    slice_idx=s, n_slices=n_slices,
+                    dvs=e.get("dvs"), dv_prior=e.get("dv_prior"),
+                    remove_dvs=e.get("remove_dvs")))
         return parts
 
     def commit(self, end: dict) -> None:
@@ -346,10 +411,50 @@ class TxnChangeFeedStreamReader(DataSourceStreamReader):
     def read(self, partition: CommitPartition) -> Iterator[tuple]:
         import datetime as dt
         p = partition
+        add_set = set(p.adds)
+        # removed files read MINUS their masked positions (those
+        # rows' deletions were served by the earlier delete commit)
+        skip_rm = (_dv_position_sets(
+            p.table_path, {f: d for f, d in p.remove_dvs.items()
+                           if f in set(p.removes)})
+            if p.remove_dvs else None)
+        # added files minus the vectors this entry attaches to them
+        # (a restore re-adding a file with its historical vector)
+        add_dv = {f: d["dir"] for f, d in p.dvs.items()
+                  if d and f in add_set}
+        skip_add = (_dv_position_sets(p.table_path, add_dv)
+                    if add_dv else None)
         pre = _rows_by_key(p.table_path, p.removes, p.key, p.fields,
-                           p.slice_idx, p.n_slices)
+                           p.slice_idx, p.n_slices, skip=skip_rm)
         post = _rows_by_key(p.table_path, p.adds, p.key, p.fields,
-                            p.slice_idx, p.n_slices)
+                            p.slice_idx, p.n_slices, skip=skip_add)
+        # kept-live files whose DV pointer moved: the position delta
+        # IS the row change — newly masked positions join the
+        # pre-image (deletes), unmasked ones join the post-image
+        # (restore re-inserts); the key-level diff below then treats
+        # them exactly like rewritten-file rows
+        kept = {f: d for f, d in p.dvs.items() if f not in add_set}
+        if kept:
+            new_sets = _dv_position_sets(
+                p.table_path,
+                {f: d["dir"] for f, d in kept.items() if d})
+            old_sets = _dv_position_sets(
+                p.table_path,
+                {f: p.dv_prior[f]["dir"] for f in kept
+                 if p.dv_prior.get(f)})
+            for f in kept:
+                new_s = new_sets.get(f, set())
+                old_s = old_sets.get(f, set())
+                masked = new_s - old_s
+                unmasked = old_s - new_s
+                if masked:
+                    pre.update(_rows_by_key(
+                        p.table_path, [f], p.key, p.fields,
+                        p.slice_idx, p.n_slices, only={f: masked}))
+                if unmasked:
+                    post.update(_rows_by_key(
+                        p.table_path, [f], p.key, p.fields,
+                        p.slice_idx, p.n_slices, only={f: unmasked}))
         ts = (dt.datetime.fromtimestamp(p.ts_ms / 1000, dt.timezone.utc)
               if p.ts_ms is not None else None)
 

@@ -348,6 +348,45 @@ def test_cli_lake_constraints(spark, tmp_path, capsys):
     assert out["constraints"] == {}
 
 
+def test_cli_lake_delete_deletion_vectors(spark, tmp_path, capsys):
+    """`lake delete --expr P`: merge-on-read delete from the CLI —
+    reports deleted_rows and files_rewritten: 0 (the headline DV
+    property), and a malformed predicate reports on the JSON error
+    contract instead of a raw Spark traceback."""
+    import json
+
+    from adsmasterpipeline_spark.cli import main
+    from adsmasterpipeline_spark.sinks.txnlake import txn_table
+
+    path = str(tmp_path / "records")
+    t = txn_table(spark, path)
+    t.overwrite(spark.createDataFrame(
+        [("B1", 1), ("B2", 2), ("C1", 3)], "bibcode string, v long"))
+
+    assert main(["lake", "delete", "--path", path,
+                 "--expr", "v >= 2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1 and out["deleted_rows"] == 2
+    assert out["files_rewritten"] == 0
+    assert {r["bibcode"] for r in t.read().collect()} == {"B1"}
+
+    # nothing matched: no commit, zero rows reported
+    assert main(["lake", "delete", "--path", path,
+                 "--expr", "v >= 99"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1 and out["deleted_rows"] == 0
+
+    # malformed / unresolvable predicates: JSON contract, exit 1
+    assert main(["lake", "delete", "--path", path,
+                 "--expr", "nope_col > ("]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err
+    assert main(["lake", "delete", "--path", path,
+                 "--expr", "nope_col > 0"]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err and "resolve" in err["error"]
+
+
 def test_cli_sitemap_auto_incremental_from_change_feed(spark, tmp_path,
                                                        capsys):
     """VERDICT r8 task 4 — second wired CDF consumer: `sitemap

@@ -429,3 +429,67 @@ def test_stream_cdf_refuses_partial_feed(registered, tmp_path):
     assert sorted((r["bibcode"], r["v"], r["_change_type"])
                   for r in rows) == [
         ("B1", 2, "update_preimage"), ("B1", 3, "update_postimage")]
+
+
+def test_stream_cdf_deletion_vector_parity(registered, tmp_path):
+    """Deletion-vector commits on the stream: a DV delete (zero data
+    files rewritten) feeds exactly the masked rows as deletes; a
+    second overlapping delete re-reports nothing; a full-file death
+    excludes the already-masked positions from its remove pre-image;
+    a restore that detaches a vector feeds re-inserts. The slice
+    union at a small maxRowsPerTask equals batch changes()
+    bit-for-bit, and dv_stats sizes the slicing."""
+    from adsmasterpipeline_spark.streaming.cdf_source import (
+        TxnChangeFeedStreamReader,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, key="id", rows_per_file=25,
+                  cluster_writes=True)
+    from pyspark.sql import functions as F
+    t.overwrite(spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")))              # v0
+    t.delete(keys=spark.createDataFrame(
+        [(int(i),) for i in range(0, 20)], "id long"))           # v1
+    t.delete(where="id < 30")                                    # v2: 10 new
+    t.delete(where="id < 25")                                    # v3: no-op
+    assert t.version() == 2        # nothing matched: no commit
+    t.merge(spark.createDataFrame([(0, 999)], "id long, v long"))  # v3
+    assert t.restore(2) == 4       # undo the merge (re-mask id 0)
+
+    r = TxnChangeFeedStreamReader(path, "id", -1, ["id", "v"],
+                                  max_rows_per_task=6)
+    by_commit: dict[int, list] = {}
+    for p in r.partitions({"version": -1}, {"version": 4}):
+        by_commit.setdefault(p.version, []).append(p)
+    # v1 masks 20 positions -> dv_stats sizes ceil(20/6) = 4 slices
+    assert len(by_commit[1]) == 4
+    for v in (1, 2, 3, 4):
+        got = sorted(
+            (row[0], row[1], row[2], row[3])
+            for p in by_commit[v] for row in r.read(p))
+        want = sorted(
+            (row["id"], row["v"], row["_change_type"],
+             row["_commit_version"])
+            for row in t.changes(v - 1, v).collect())
+        assert got == want, f"v{v} slice union != batch changes()"
+    v1_types = {row[2] for p in by_commit[1] for row in r.read(p)}
+    assert v1_types == {"delete"}
+    v2_ids = sorted(row[0] for p in by_commit[2] for row in r.read(p))
+    assert v2_ids == list(range(20, 30))    # exactly-once, no overlap
+
+    # end-to-end engine drain matches batch across the whole range
+    rows = _drain(spark, path, str(tmp_path / "ckpt"), key="id")
+    key = lambda r_: (r_["id"], r_["v"], r_["_change_type"],
+                      r_["_commit_version"])
+    assert sorted(key(x) for x in rows) == sorted(
+        key(x) for x in t.changes(-1, 4).collect())
+
+    # a vacuumed DV dir refuses the feed instead of serving it partial
+    import shutil as _sh
+    dv_dir = next(iter({d["dir"] for d in t._snapshot().dvs.values()}))
+    _sh.rmtree(os.path.join(path, dv_dir))
+    with pytest.raises(Exception, match="deletion-vector|vacuum"):
+        for p in r.partitions({"version": -1}, {"version": 4}):
+            list(r.read(p))

@@ -470,7 +470,7 @@ def test_txn_vacuum_and_history(spark, tmp_path):
     assert hist[2] == {"version": 2, "operation": "merge",
                        "ts_ms": hist[2]["ts_ms"],
                        "adds": hist[2]["adds"], "removes": 1,
-                       "app_txn_id": "b1"}
+                       "dvs": 0, "app_txn_id": "b1"}
     assert isinstance(hist[2]["ts_ms"], int)   # commit wall time recorded
 
     rows_now = sorted(tuple(r) for r in t.read().collect())
@@ -502,7 +502,8 @@ def test_txn_vacuum_and_history(spark, tmp_path):
 @pytest.mark.parametrize("seed", [7, 23, 41])
 def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
     """Model-based check of the WHOLE lifecycle: a seeded random
-    sequence of merge/delete/overwrite/compact/vacuum/cleanup_log/
+    sequence of merge/delete/dv_delete (deletion vectors)/overwrite/
+    compact/vacuum/cleanup_log/
     restore/set_constraint/drop_constraint ops (checkpoints firing
     every 3 commits) must keep the table equal to a plain dict model
     after every step — the same style of test that caught the
@@ -569,8 +570,8 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
     constraints: dict[str, int] = {}       # name -> lim for "v < lim"
     for step in range(10):
         op = rng.choice(["merge", "merge", "merge", "delete",
-                         "compact", "vacuum", "cleanup", "restore",
-                         "constraint"])
+                         "dv_delete", "compact", "vacuum", "cleanup",
+                         "restore", "constraint"])
         v_before, prev_model = t.version(), dict(model)
         if op == "merge":
             ups = {rng.choice(keys): step * 100 + i for i in range(4)}
@@ -620,6 +621,24 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
                     deleted_keys=spark.createDataFrame(
                         [(k,)], "bibcode string"))
             model.pop(k)
+        elif op == "dv_delete":
+            # merge-on-read delete (deletion vectors): by key batch
+            # or by predicate, interleaved with every other op — the
+            # read, the feed, restore targets, and constraints must
+            # all see through the vectors
+            if not model:
+                continue
+            if rng.random() < 0.5:
+                picked = rng.sample(sorted(model),
+                                    k=min(3, len(model)))
+                t.delete(keys=spark.createDataFrame(
+                    [(k,) for k in picked], "bibcode string"))
+                for k in picked:
+                    model.pop(k)
+            else:
+                cut = rng.choice(sorted(model.values()))
+                t.delete(where=f"v >= {cut}")
+                model = {k: v for k, v in model.items() if v < cut}
         elif op == "compact":
             t.compact()
         elif op == "vacuum":
@@ -730,14 +749,14 @@ def test_txn_restore_vacuum_toctou(spark, tmp_path):
         orig = t._commit
 
         def patched(version, adds, removes, operation, app_txn_id,
-                    extra=None, prior_live=None):
+                    **kw):
             if operation == "restore" and not getattr(
                     patched, "fired", False):
                 patched.fired = True
                 txn_table(spark, t.path, rows_per_file=1000).vacuum(
                     keep_versions=1, min_age_seconds=min_age)
             return orig(version, adds, removes, operation,
-                        app_txn_id, extra=extra, prior_live=prior_live)
+                        app_txn_id, **kw)
 
         t._commit = patched
 

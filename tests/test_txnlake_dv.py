@@ -1,0 +1,255 @@
+"""Deletion vectors: merge-on-read DELETE for TxnTable (the public
+Delta deletionVectors feature, VLDB'20 + public Delta docs). A delete
+commit writes only the deleted ROW POSITIONS and repoints per-file DV
+pointers — zero data files rewritten — and every reader (read,
+read_for_keys/range, merge survivors, compact, constraints, the
+change feed, restore) masks the positions.
+
+Reference analogue: the reference deletes rows one at a time through
+the ORM (/root/reference/adsmp/app.py:242-259); at 100 TB the
+copy-on-write form rewrites every touched file, the DV form writes
+O(deleted positions).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from adsmasterpipeline_spark.sinks.txnlake import txn_table
+
+from test_txnlake import _file_hashes
+
+
+def _ids(spark, vals):
+    return spark.createDataFrame([(int(v),) for v in vals], "id long")
+
+
+def _table(spark, tmp_path, n=100, rows_per_file=25, **kw):
+    t = txn_table(spark, str(tmp_path / "t"), key="id",
+                  cluster_writes=True, rows_per_file=rows_per_file,
+                  **kw)
+    df = spark.range(n).select(F.col("id"),
+                               (F.col("id") * 2).alias("v"))
+    assert t.overwrite(df) == 0
+    return t
+
+
+def test_dv_delete_writes_no_data_files(spark, tmp_path):
+    """The headline property: a key-batch delete leaves every data
+    file byte-identical (only a small DV parquet appears), the commit
+    has zero adds, and the candidate pruning still engages."""
+    t = _table(spark, tmp_path)
+    before = _file_hashes(t.path)
+    v = t.delete(keys=_ids(spark, [3, 42, 77]))
+    assert v == 1
+    after = _file_hashes(t.path)
+    # every pre-existing file untouched; only dv-* files were added
+    assert {p: h for p, h in after.items() if p in before} == before
+    new = [p for p in after if p not in before]
+    assert new and all(p.startswith("data/dv-") for p in new)
+    e = t._load_json(dict(t._entry_files())[1])
+    assert e["operation"] == "delete" and e["adds"] == []
+    assert sum(d["new"] for d in e["dvs"].values()) == 3
+    # stat-pruned: clustered 25-row files, 3 keys -> not every file
+    probe = t.last_delete_probe
+    assert len(probe["candidate_files"]) < probe["live_files"]
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == sorted(set(range(100)) - {3, 42, 77})
+    # time travel still sees the masked rows
+    assert t.read(as_of=0).count() == 100
+
+
+def test_dv_overlapping_deletes_and_feed_exactly_once(spark, tmp_path):
+    """A second delete overlapping the first must not re-delete
+    masked rows: the cumulative vector grows by the NEW positions
+    only, and the change feed reports each row's deletion exactly
+    once, at the version that masked it."""
+    t = _table(spark, tmp_path)
+    t.delete(keys=_ids(spark, range(0, 20)))            # v1
+    t.delete(where="id < 30")                           # v2: 10 new
+    # v2 kills file 0 outright (20 masked + its last 5 die -> moves
+    # to removes with effective pre-image 5) and masks 5 in file 1:
+    # the NEW deletions total exactly 10, never re-counting v1's 20
+    e = t._load_json(dict(t._entry_files())[2])
+    n_new = (sum(d["new"] for d in e["dvs"].values())
+             + sum(e.get("remove_stats", {}).values()))
+    assert n_new == 10
+    assert t.read().count() == 70
+    per = {(r["_commit_version"], r["_change_type"]): r["n"]
+           for r in t.changes(0).groupBy(
+               "_commit_version", "_change_type")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {(1, "delete"): 20, (2, "delete"): 10}
+    ids_v2 = sorted(r["id"] for r in t.changes(1, 2).collect())
+    assert ids_v2 == list(range(20, 30))
+
+
+def test_dv_full_file_death_drops_the_file(spark, tmp_path):
+    """When every remaining row of a file dies the file is REMOVED
+    from the snapshot (no pointer to an all-masked file) and its
+    pre-masked rows don't re-report in the feed."""
+    t = _table(spark, tmp_path, n=50, rows_per_file=25)  # 2 files
+    t.delete(keys=_ids(spark, range(0, 10)))             # v1: mask
+    v = t.delete(where="id < 25")                        # v2: file 0 dies
+    e = t._load_json(dict(t._entry_files())[2])
+    assert len(e["removes"]) == 1
+    assert e.get("remove_dvs")              # old pointer recorded
+    # effective pre-image rows recorded, not the raw stat
+    assert list(e["remove_stats"].values()) == [15]
+    assert t.read().count() == 25
+    assert len(t.live_files()) == 1
+    per = {(r["_commit_version"], r["_change_type"]): r["n"]
+           for r in t.changes(0).groupBy(
+               "_commit_version", "_change_type")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {(1, "delete"): 10, (2, "delete"): 15}
+    assert v == 2
+
+
+def test_dv_merge_materializes_touched_vectors(spark, tmp_path):
+    """A merge over DV'd files must not resurrect masked rows: the
+    survivors read through the vectors, the touched files' pointers
+    drop, and an upsert of a masked key re-inserts it."""
+    t = _table(spark, tmp_path)
+    t.delete(keys=_ids(spark, [0, 1, 50]))               # v1
+    upd = spark.createDataFrame([(0, 999), (2, 222)], "id long, v long")
+    assert t.merge(upd) == 2
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[0] == 999 and rows[2] == 222
+    assert 1 not in rows and 50 not in rows
+    assert len(rows) == 98
+    # pointer for the rewritten file is gone; untouched file 50's
+    # vector survives
+    dvs = t._snapshot().dvs
+    assert all("commit-" in p for p in dvs)
+    ch = {(r["_change_type"], r["id"]): r["v"]
+          for r in t.changes(1, 2).collect()}
+    assert ("insert", 0) in ch and ("update_preimage", 2) in ch
+    assert not any(k == 1 or k == 50 for (_, k) in ch)
+
+
+def test_dv_compact_purges_heavily_masked_file(spark, tmp_path):
+    """compact() is the materializer: a file with >= 20% of its rows
+    masked is rewritten even when it isn't small, the vector pointer
+    drops, row-level state is unchanged, and the feed (which skips
+    compacts) stays consistent."""
+    t = _table(spark, tmp_path, n=50, rows_per_file=25)
+    t.delete(keys=_ids(spark, range(0, 7)))              # 28% of file 0
+    before = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert t._snapshot().dvs
+    v = t.compact()
+    assert v == 2
+    assert not t._snapshot().dvs
+    after = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert before == after
+    # a single masked file qualifies even though plain bin-packing
+    # needs two smalls; the feed skips the compact commit entirely
+    assert t.changes(1, 2).count() == 0
+
+
+def test_dv_restore_unmasks_and_feeds_reinserts(spark, tmp_path):
+    """RESTORE to a pre-delete version detaches the vector (metadata
+    only) and the feed serves the restore as re-inserts of exactly
+    the masked rows; restoring forward re-attaches the pointer."""
+    t = _table(spark, tmp_path)
+    t.delete(keys=_ids(spark, range(0, 5)))              # v1
+    assert t.restore(0) == 2                             # unmask
+    assert t.read().count() == 100
+    ins = sorted(r["id"] for r in t.changes(1, 2).collect())
+    assert ins == [0, 1, 2, 3, 4]
+    assert t.changes(1, 2).select("_change_type").distinct() \
+        .collect()[0][0] == "insert"
+    # forward again: re-attach the same vector, feed = deletes
+    assert t.restore(1) == 3
+    assert t.read().count() == 95
+    dels = sorted(r["id"] for r in t.changes(2, 3).collect())
+    assert dels == [0, 1, 2, 3, 4]
+    # pointer state equals v1's exactly
+    assert t._snapshot().dvs == t._snapshot(as_of=1).dvs
+
+
+def test_dv_vacuum_protects_referenced_dirs(spark, tmp_path):
+    """A DV dir referenced by any retained snapshot (or by a
+    retained entry's prior/remove pointers) must survive vacuum —
+    collecting it would UNDELETE rows on the next read. Outside the
+    horizon it is collected, and the feed then refuses."""
+    t = _table(spark, tmp_path, checkpoint_every=2)
+    t.delete(keys=_ids(spark, range(0, 5)))              # v1: dv A
+    t.delete(keys=_ids(spark, range(5, 10)))             # v2: dv B
+    dv_dirs = {d["dir"] for d in t._snapshot().dvs.values()}
+    assert len(dv_dirs) == 2 - 1 or len(dv_dirs) >= 1
+    deleted = t.vacuum(keep_versions=10, min_age_seconds=0)
+    assert not any(p.startswith("data/dv-") for p in deleted)
+    assert t.read().count() == 90
+    # push every delete below a 1-version horizon: the superseded
+    # v1 dir (no longer any file's pointer, not referenced above the
+    # horizon) is collectable; the CURRENT pointers stay protected
+    t.merge(spark.createDataFrame([(200, 1)], "id long, v long"))
+    t.merge(spark.createDataFrame([(201, 1)], "id long, v long"))
+    t.merge(spark.createDataFrame([(202, 1)], "id long, v long"))
+    deleted = t.vacuum(keep_versions=1, min_age_seconds=0)
+    assert t.read().count() == 93
+    live_dirs = {d["dir"] for d in t._snapshot().dvs.values()}
+    gone_dirs = {os.path.dirname(p) for p in deleted
+                 if p.startswith("data/dv-")}
+    assert not (gone_dirs & live_dirs)
+    with pytest.raises(ValueError, match="vacuum"):
+        t.changes(0, 2).count()
+
+
+def test_dv_checkpoint_carries_pointers_past_cleanup(spark, tmp_path):
+    """DV pointers live in checkpoints: after cleanup_log removes the
+    delete entries, a FRESH handle folds the checkpoint and still
+    masks the rows."""
+    t = _table(spark, tmp_path, checkpoint_every=2)
+    t.delete(keys=_ids(spark, range(0, 10)))             # v1
+    t.merge(spark.createDataFrame([(300, 1)], "id long, v long"))  # v2 cp
+    assert t.cleanup_log(keep_versions=0)
+    t2 = txn_table(spark, t.path, key="id")
+    assert t2.read().count() == 91
+    assert t2._snapshot().dvs
+
+
+def test_dv_idempotent_replay_and_noop(spark, tmp_path):
+    """app_txn_id replay is a no-op, and a delete that matches
+    nothing commits nothing (no empty commits)."""
+    t = _table(spark, tmp_path)
+    v = t.delete(keys=_ids(spark, [1, 2]), app_txn_id="epoch-9")
+    assert v == 1
+    assert t.delete(keys=_ids(spark, [3, 4]), app_txn_id="epoch-9") == 1
+    assert t.read().count() == 98
+    assert t.delete(keys=_ids(spark, [100000])) == 1     # no match
+    assert t.version() == 1
+    with pytest.raises(ValueError, match="exactly one"):
+        t.delete()
+    with pytest.raises(ValueError, match="exactly one"):
+        t.delete(keys=_ids(spark, [1]), where="v > 0")
+
+
+def test_dv_constraints_ignore_masked_rows(spark, tmp_path):
+    """set_constraint validates existing data THROUGH the vectors: a
+    constraint violated only by masked rows is accepted (they are
+    logically deleted), and merges validate as before."""
+    t = _table(spark, tmp_path)
+    t.delete(where="v >= 190")                           # ids 95..99
+    # every live row now has v < 190 — constraint must pass even
+    # though masked rows violate it
+    assert t.set_constraint("v_cap", "v < 190") == 2
+    with pytest.raises(ValueError, match="v_cap"):
+        t.merge(spark.createDataFrame([(7, 500)], "id long, v long"))
+    assert t.read().where("id = 7").collect()[0]["v"] == 14
+
+
+def test_dv_read_for_range_and_keys_mask(spark, tmp_path):
+    """The stat-pruned point and range reads apply the vectors."""
+    t = _table(spark, tmp_path)
+    t.delete(keys=_ids(spark, [10, 11]))
+    got = sorted(r["id"] for r in
+                 t.read_for_keys(_ids(spark, [10, 11, 12])).collect())
+    assert got == [12]
+    rng = sorted(r["id"] for r in
+                 t.read_for_range("id", 9, 13).collect())
+    assert rng == [9, 12, 13]
