@@ -1181,7 +1181,8 @@ class TxnTable:
 
     def merge(self, changed: DataFrame,
               deleted_keys: DataFrame | None = None,
-              app_txn_id: str | None = None, retries: int = 0) -> int:
+              app_txn_id: str | None = None, retries: int = 0,
+              merge_on_read: bool = False) -> int:
         """MERGE with optimistic-concurrency retry: on a
         ``CommitConflict`` (another writer took the staged version)
         the WHOLE merge re-runs against the fresh snapshot — candidate
@@ -1190,14 +1191,89 @@ class TxnTable:
         commit-conflict-then-rebase loop. ``retries=0`` (default)
         preserves the raise-on-conflict contract for single-writer
         callers; a conflicted attempt's data files are unreferenced
-        orphans (vacuum collects them), never corruption."""
+        orphans (vacuum collects them), never corruption.
+
+        ``merge_on_read=True`` executes the merge in the deletion-
+        vector form (Delta's DV-backed UPDATE/MERGE): matched rows
+        are MASKED in place and the batch's post-merge rows land in
+        one new add file — zero existing files rewritten, so a
+        scattered update of K rows writes O(K + positions) instead of
+        rewriting every touched file's full width. The change feed is
+        identical either way (masked pre-images vs the add file's
+        post-images key-diff into the same insert/update/delete
+        rows); readers pay the position mask until ``compact()``
+        materializes. Copy-on-write (the default) remains right when
+        batches repeatedly hit the same files (no mask accumulation);
+        merge-on-read wins for wide tables with scattered updates."""
         for attempt in range(retries + 1):
             try:
+                if merge_on_read:
+                    return self._merge_mor_once(changed, deleted_keys,
+                                                app_txn_id)
                 return self._merge_once(changed, deleted_keys,
                                         app_txn_id)
             except CommitConflict:
                 if attempt == retries:
                     raise
+
+    def _merge_mor_once(self, changed: DataFrame,
+                        deleted_keys: DataFrame | None,
+                        app_txn_id: str | None) -> int:
+        """Merge-on-read MERGE: mask every live row whose key is in
+        the batch (changed or deleted), write the upserts as one new
+        add file, commit both in one atomic entry. The masking reuses
+        the DV delete machinery; candidate pruning and the live-row
+        probe are the same stat/bloom-driven file skipping as
+        copy-on-write."""
+        key = self.key
+        snap = self._snapshot()
+        if app_txn_id is not None and app_txn_id in snap.txn_ids:
+            return snap.version
+        if deleted_keys is None:
+            deleted_keys = changed.select(key).limit(0)
+        deleted_keys = deleted_keys.select(key).distinct()
+        affected = (changed.select(key)
+                    .unionByName(deleted_keys).distinct()
+                    .localCheckpoint())
+        candidates = self._prune_candidates(snap.live, affected)
+        v = snap.version + 1
+        matched = None
+        if candidates:
+            base = self._with_pos(self._read_files(candidates))
+            old_sel = {p: d["dir"] for p, d in snap.dvs.items()
+                       if p in set(candidates)}
+            old_pos = self._dv_positions(old_sel)
+            live_rows = (base if old_pos is None else
+                         base.join(F.broadcast(old_pos),
+                                   ["_dv_file", "_dv_pos"],
+                                   "left_anti"))
+            matched = (live_rows.join(affected, key, "left_semi")
+                       .select("_dv_file", "_dv_pos")
+                       .localCheckpoint())
+        # stage + validate the adds BEFORE writing the mask parquet:
+        # a constraint refusal then leaves only the staged files
+        # (which _validate_staged cleans up), never an orphan DV dir
+        upserts = changed.join(deleted_keys, key, "left_anti")
+        adds = self._write_data(upserts, v)
+        self._validate_staged(adds, snap.constraints,
+                              "the merge batch")
+        dead: list = []
+        extra: dict = {}
+        if matched is not None:
+            dead, extra = self._mask_commit_parts(matched, snap, v)
+        self.last_merge_probe = {
+            "live_files": len(snap.live),
+            "candidate_files": sorted(candidates),
+            "touched_files": sorted(
+                dead + list(extra.get("dvs") or {})),
+            "mode": "merge_on_read",
+        }
+        if not adds and not dead and not extra:
+            return snap.version        # empty batch: no commit
+        self._commit(v, adds, dead, "merge", app_txn_id,
+                     extra=extra or None,
+                     prior_live=snap.live, prior_dvs=snap.dvs)
+        return v
 
     def _merge_once(self, changed: DataFrame,
                     deleted_keys: DataFrame | None = None,
@@ -1386,12 +1462,28 @@ class TxnTable:
         # classified, and written — three consumers of one O(deleted)
         # frame
         matched = matched.select("_dv_file", "_dv_pos").localCheckpoint()
+        v = snap.version + 1
+        dead, extra = self._mask_commit_parts(matched, snap, v)
+        if not dead and not extra:
+            return snap.version        # nothing matched: no commit
+        self._commit(v, [], dead, "delete", app_txn_id,
+                     extra=extra or None,
+                     prior_live=snap.live, prior_dvs=snap.dvs)
+        return v
+
+    def _mask_commit_parts(self, matched: DataFrame,
+                           snap: Snapshot, v: int) -> tuple[list, dict]:
+        """Shared masking step for DV delete and merge-on-read MERGE:
+        classify the matched LIVE positions (``matched`` must already
+        exclude previously-masked ones) into fully-dead files (every
+        remaining row died — dropped outright) and files getting a
+        new cumulative vector; writes the vector parquet and returns
+        (dead_files, commit extra with dvs/dv_prior/dv_stats)."""
         per_file = {r["_dv_file"]: r["n"] for r in
                     matched.groupBy("_dv_file")
                     .agg(F.count(F.lit(1)).alias("n")).collect()}
         if not per_file:
-            return snap.version        # nothing matched: no commit
-        v = snap.version + 1
+            return [], {}
         dead, dv_files = [], []
         for p, n_new in sorted(per_file.items()):
             rows = (snap.live.get(p) or {}).get("rows")
@@ -1412,8 +1504,8 @@ class TxnTable:
                        .where(F.col("_dv_file").isin(dv_files))
                        .withColumn("_dv_commit",
                                    F.lit(v).cast("long")))
-            carry_sel = {p: d for p, d in old_sel.items()
-                         if p in set(dv_files)}
+            carry_sel = {p: snap.dvs[p]["dir"] for p in dv_files
+                         if p in snap.dvs}
             carry = self._dv_positions(carry_sel, with_commit=True)
             all_pos = (new_pos if carry is None
                        else new_pos.unionByName(carry))
@@ -1436,10 +1528,7 @@ class TxnTable:
             # exact per-file changed-row counts for the streaming
             # source's per-task slicing
             extra["dv_stats"] = {p: per_file[p] for p in dvs_entry}
-        self._commit(v, [], dead, "delete", app_txn_id,
-                     extra=extra or None,
-                     prior_live=snap.live, prior_dvs=snap.dvs)
-        return v
+        return dead, extra
 
     def compact(self, small_rows_threshold: int | None = None,
                 retries: int = 0) -> int:

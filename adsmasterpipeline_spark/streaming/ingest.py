@@ -58,6 +58,14 @@ class StreamingIngest:
         self.txn_opts = dict(txn_opts or {})
         self.auto_compact_every = self.txn_opts.pop(
             "auto_compact_every", 0)
+        # "merge_on_read": True routes each epoch's merge through the
+        # deletion-vector form (mask matched rows + one add file per
+        # epoch, zero rewrites) — right for wide records tables with
+        # scattered per-epoch updates; auto_compact_every then doubles
+        # as the mask-materialization cadence (compact rewrites
+        # heavily-masked files, dropping their vectors)
+        self.merge_on_read = bool(self.txn_opts.pop(
+            "merge_on_read", False))
         # "auto_cleanup_log": True additionally runs
         # TxnTable.cleanup_log() after each auto-compact — an
         # unbounded stream otherwise grows the _txn/ LISTING with
@@ -153,7 +161,8 @@ class StreamingIngest:
                 # both already delete; this keeps the modes identical)
                 deleted = batch_keys.join(merged, "bibcode", "left_anti")
                 v = t.merge(touched, deleted_keys=deleted,
-                            app_txn_id=txn_id)
+                            app_txn_id=txn_id,
+                            merge_on_read=self.merge_on_read)
                 if v > ver:                     # replay no-op: v == ver
                     self._merges_since_compact += 1
                 if (self.auto_compact_every and

@@ -555,6 +555,12 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
             feed = t.changes(v_before, v_after).collect()
         except ValueError:
             return
+        except FileNotFoundError:
+            # a dv_delete can empty the WHOLE table; a later
+            # metadata-only window then has no live schema to shape
+            # even an empty feed with (the documented read() mirror)
+            assert not model
+            return
         got = {(r["bibcode"], r["_change_type"]): r["v"] for r in feed}
         want = {}
         for k in model.keys() - prev_model.keys():
@@ -569,11 +575,12 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
 
     constraints: dict[str, int] = {}       # name -> lim for "v < lim"
     for step in range(10):
-        op = rng.choice(["merge", "merge", "merge", "delete",
-                         "dv_delete", "compact", "vacuum", "cleanup",
-                         "restore", "constraint"])
+        op = rng.choice(["merge", "merge", "merge", "mor_merge",
+                         "delete", "dv_delete", "compact", "vacuum",
+                         "cleanup", "restore", "constraint"])
         v_before, prev_model = t.version(), dict(model)
-        if op == "merge":
+        if op in ("merge", "mor_merge"):
+            mor = op == "mor_merge"
             ups = {rng.choice(keys): step * 100 + i for i in range(4)}
             dels = ({rng.choice(list(model))}
                     if model and rng.random() < 0.5 else set())
@@ -587,13 +594,15 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
                     t.merge(_recs(spark, list(ups.items())),
                             deleted_keys=spark.createDataFrame(
                                 [(k,) for k in dels] or [("~none~",)],
-                                "bibcode string"))
+                                "bibcode string"),
+                            merge_on_read=mor)
                 assert t.version() == v_before
             else:
                 t.merge(_recs(spark, list(ups.items())),
                         deleted_keys=spark.createDataFrame(
                             [(k,) for k in dels] or [("~none~",)],
-                            "bibcode string"))
+                            "bibcode string"),
+                        merge_on_read=mor)
                 model.update(ups)
                 for k in dels:
                     model.pop(k, None)
@@ -657,8 +666,12 @@ def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
         check_feed(v_before, prev_model)
 
     # replaying the whole history through time travel still resolves
-    # for the retained horizon
-    assert t.read(as_of=t.version()).count() == len(model)
+    # for the retained horizon (a run whose dv_deletes emptied the
+    # table ends with no live files — read() then refuses by design)
+    try:
+        assert t.read(as_of=t.version()).count() == len(model)
+    except FileNotFoundError:
+        assert not model
 
 
 def test_txn_restore(spark, tmp_path):

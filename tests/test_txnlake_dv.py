@@ -253,3 +253,128 @@ def test_dv_read_for_range_and_keys_mask(spark, tmp_path):
     rng = sorted(r["id"] for r in
                  t.read_for_range("id", 9, 13).collect())
     assert rng == [9, 12, 13]
+
+
+def test_dv_merge_on_read_masks_instead_of_rewriting(spark, tmp_path):
+    """merge(merge_on_read=True): matched rows are MASKED in place and
+    the batch lands as one new add file — every pre-existing data
+    file stays byte-identical, and the change feed is identical to
+    the copy-on-write merge's (update pairs / deletes / inserts)."""
+    t = _table(spark, tmp_path)
+    before = _file_hashes(t.path)
+    upd = spark.createDataFrame(
+        [(0, 999), (50, 555), (200, 1)], "id long, v long")
+    dels = _ids(spark, [10, 20])
+    assert t.merge(upd, deleted_keys=dels, merge_on_read=True) == 1
+    after = _file_hashes(t.path)
+    assert {p: h for p, h in after.items() if p in before} == before
+    assert t.last_merge_probe["mode"] == "merge_on_read"
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 99          # 100 - 2 deletes + 1 insert
+    assert rows[0] == 999 and rows[50] == 555 and rows[200] == 1
+    assert 10 not in rows and 20 not in rows
+    feed = {(r["id"], r["_change_type"]): r["v"]
+            for r in t.changes(0, 1).collect()}
+    assert feed == {
+        (0, "update_preimage"): 0, (0, "update_postimage"): 999,
+        (50, "update_preimage"): 100, (50, "update_postimage"): 555,
+        (10, "delete"): 20, (20, "delete"): 40,
+        (200, "insert"): 1}
+    # a second MoR merge re-masks rows that live in the FIRST merge's
+    # add file (fresh files acquire vectors like any other)
+    assert t.merge(spark.createDataFrame([(0, 1000)], "id long, v long"),
+                   merge_on_read=True) == 2
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[0] == 1000 and len(rows) == 99
+    feed2 = {(r["id"], r["_change_type"]): r["v"]
+             for r in t.changes(1, 2).collect()}
+    assert feed2 == {(0, "update_preimage"): 999,
+                     (0, "update_postimage"): 1000}
+    # constraints still gate the MoR batch (staged-file validation)
+    assert t.set_constraint("v_cap", "v <= 1000") == 3
+    with pytest.raises(ValueError, match="v_cap"):
+        t.merge(spark.createDataFrame([(1, 9999)], "id long, v long"),
+                merge_on_read=True)
+    assert t.version() == 3
+    # time travel + restore still see every intermediate state
+    assert t.read(as_of=0).count() == 100
+    assert t.restore(1) == 4
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[0] == 999 and len(got) == 99
+
+
+def test_dv_merge_on_read_stream_parity(spark, tmp_path):
+    """The txn_cdf stream serves a merge-on-read commit (adds + DV
+    pointer moves in ONE entry) identically to batch changes()."""
+    from adsmasterpipeline_spark.streaming.cdf_source import (
+        TxnChangeFeedStreamReader,
+    )
+    t = _table(spark, tmp_path)
+    t.merge(spark.createDataFrame(
+        [(0, 999), (300, 3)], "id long, v long"),
+        deleted_keys=_ids(spark, [1, 2]), merge_on_read=True)   # v1
+    r = TxnChangeFeedStreamReader(t.path, "id", 0, ["id", "v"],
+                                  max_rows_per_task=2)
+    parts = r.partitions({"version": 0}, {"version": 1})
+    assert len(parts) >= 2          # dv_stats + add rows size slices
+    got = sorted((row[0], row[1], row[2]) for p in parts
+                 for row in r.read(p))
+    want = sorted((row["id"], row["v"], row["_change_type"])
+                  for row in t.changes(0, 1).collect())
+    assert got == want
+
+
+def test_dv_streaming_ingest_merge_on_read_parity(spark, tmp_path):
+    """StreamingIngest(txn_opts={'merge_on_read': True}): every epoch
+    masks + appends instead of rewriting, and the resulting records
+    table is row-identical to the copy-on-write txn mode — including
+    a deleted event flowing through as a masked tombstone."""
+    import json
+
+    from adsmasterpipeline_spark.streaming.ingest import StreamingIngest
+
+    def run(sub, mor):
+        events_dir = tmp_path / sub / "events"
+        events_dir.mkdir(parents=True)
+        # enough bootstrap rows that epoch 2's two matched rows mask
+        # PARTIALLY (a fully-masked file drops outright instead of
+        # carrying a vector — the small-table degenerate case)
+        b1 = [{"bibcode": f"S{i}", "type": "bib_data",
+               "status": "active",
+               "payload": json.dumps({"bibcode": f"S{i}"}),
+               "event_ts": f"2024-01-01T00:00:0{i}.000Z"}
+              for i in range(1, 9)]
+        b2 = [{"bibcode": "S1", "type": "bib_data", "status": "deleted",
+               "payload": None,
+               "event_ts": "2024-01-02T00:00:00.000Z"},
+              {"bibcode": "S2", "type": "metrics", "status": "active",
+               "payload": json.dumps({"citations": ["x"]}),
+               "event_ts": "2024-01-02T00:00:01.000Z"}]
+        ing = StreamingIngest(
+            spark, str(events_dir), str(tmp_path / sub / "records"),
+            str(tmp_path / sub / "ckpt"), fmt="txn",
+            txn_opts={"cluster_writes": True, "rows_per_file": 64,
+                      "merge_on_read": mor})
+        (events_dir / "b1.json").write_text(
+            "\n".join(json.dumps(e) for e in b1))
+        ing.run_available_now()
+        (events_dir / "b2.json").write_text(
+            "\n".join(json.dumps(e) for e in b2))
+        ing.run_available_now()
+        return ing
+
+    ing_m = run("mor", True)
+    ing_c = run("cow", False)
+    drop = {"created", "updated", "processed"}
+    cols = [c for c in ing_m._load_records().columns if c not in drop]
+    assert (sorted(tuple(r) for r in
+                   ing_m._load_records().select(*cols).collect())
+            == sorted(tuple(r) for r in
+                      ing_c._load_records().select(*cols).collect()))
+    # the MoR mode's second epoch really went merge-on-read: the
+    # update/tombstone epoch carries a DV entry, not a file rewrite
+    from adsmasterpipeline_spark.sinks.txnlake import txn_table
+    t = txn_table(spark, str(tmp_path / "mor" / "records"),
+                  key="bibcode")
+    hist = t.history()
+    assert any(h["dvs"] > 0 for h in hist if h["operation"] == "merge")
