@@ -768,10 +768,22 @@ def cmd_lake(args) -> int:
     elif args.action == "compact":
         if args.rows_per_file:
             t.rows_per_file = args.rows_per_file
+        zo = tuple(args.zorder.split(",")) if args.zorder else None
+        if zo is not None and len(zo) != 2:
+            raise SystemExit("lake compact --zorder needs COL_A,COL_B")
         v0 = len(t.live_files())
-        out["version"] = t.compact()
+        dv0 = sum(d["card"] for d in t._snapshot().dvs.values())
+        try:
+            out["version"] = t.compact(purge_dvs=args.purge_dvs,
+                                       zorder_by=zo)
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}))
+            return 1
         out["files_before"] = v0
         out["files_after"] = len(t.live_files())
+        out["masked_rows_before"] = dv0
+        out["masked_rows_after"] = sum(
+            d["card"] for d in t._snapshot().dvs.values())
     elif args.action == "vacuum":
         deleted = t.vacuum(keep_versions=args.keep_versions,
                            min_age_seconds=args.min_age_seconds)
@@ -1026,6 +1038,13 @@ def main(argv=None) -> int:
     pl.add_argument("--path", required=True)
     pl.add_argument("--key", default="bibcode")
     pl.add_argument("--rows-per-file", type=int, default=None)
+    pl.add_argument("--purge-dvs", action="store_true",
+                    help="compact: rewrite every deletion-vector-"
+                         "masked file (REORG ... APPLY (PURGE))")
+    pl.add_argument("--zorder", default=None,
+                    help="compact: COL_A,COL_B — re-lay the table on "
+                         "a Morton curve of the two numeric columns "
+                         "(OPTIMIZE ZORDER BY)")
     pl.add_argument("--keep-versions", type=int, default=10)
     pl.add_argument("--min-age-seconds", type=float, default=3600.0)
     pl.set_defaults(fn=cmd_lake)

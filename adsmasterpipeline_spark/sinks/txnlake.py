@@ -1531,7 +1531,8 @@ class TxnTable:
         return dead, extra
 
     def compact(self, small_rows_threshold: int | None = None,
-                retries: int = 0) -> int:
+                retries: int = 0, purge_dvs: bool = False,
+                zorder_by: tuple[str, str] | None = None) -> int:
         """OPTIMIZE: fold small data files into ~rows_per_file-sized
         key-clustered ones in one atomic commit (Delta's bin-packing
         OPTIMIZE). Micro-batch merges add one small file per epoch —
@@ -1544,6 +1545,22 @@ class TxnTable:
         files stay live until the single commit swaps the references.
         Returns the committed version, or the current one when
         nothing qualifies (needs >= 2 small files to pay for itself).
+
+        ``purge_dvs=True`` additionally rewrites EVERY file carrying
+        a deletion vector regardless of mask fraction — Delta's
+        ``REORG TABLE ... APPLY (PURGE)``: the post-commit snapshot
+        has zero masked positions, so reads drop the position
+        anti-join entirely.
+
+        ``zorder_by=(col_a, col_b)`` re-lays the WHOLE table on a
+        Morton curve of the two (numeric) columns instead of
+        key-range clustering — Delta's ``OPTIMIZE ZORDER BY``. Each
+        output file covers a small rectangle in (a, b) space, so the
+        per-file stats recorded for those columns (put them in
+        ``stats_cols``) prune ``read_for_range`` scans on EITHER
+        column. Trade-off (same as Delta's): the files' KEY ranges
+        widen, so key-probe pruning degrades to blooms — bloom_bits
+        is the right companion.
 
         ``retries``: like ``merge(retries=N)`` — on a CommitConflict
         (a concurrent writer landed a commit between this compact's
@@ -1558,13 +1575,16 @@ class TxnTable:
         """
         for attempt in range(retries + 1):
             try:
-                return self._compact_once(small_rows_threshold)
+                return self._compact_once(small_rows_threshold,
+                                          purge_dvs, zorder_by)
             except CommitConflict:
                 if attempt == retries:
                     raise
 
     def _compact_once(self,
-                      small_rows_threshold: int | None = None) -> int:
+                      small_rows_threshold: int | None = None,
+                      purge_dvs: bool = False,
+                      zorder_by: tuple[str, str] | None = None) -> int:
         thr = (self.rows_per_file // 2 if small_rows_threshold is None
                else small_rows_threshold)
         snap = self._snapshot()
@@ -1572,25 +1592,51 @@ class TxnTable:
         def _masked(p) -> int:
             return snap.dvs.get(p, {}).get("card", 0)
 
-        # "small" by EFFECTIVE rows (stats count minus DV-masked), so
-        # a file whittled down by merge-on-read deletes qualifies for
-        # bin-packing; additionally any file with >= 20% of its rows
-        # masked is rewritten outright — compact is the DV
-        # MATERIALIZER (Delta's REORG/purge), the pressure valve that
-        # keeps the read path's broadcast of masked positions bounded
-        small = [p for p, s in snap.live.items()
-                 if not s or s.get("rows") is None
-                 or s["rows"] - _masked(p) <= thr
-                 or (_masked(p) > 0 and _masked(p) * 5 >= s["rows"])]
-        # a single DV-carrying file is still worth rewriting (the
-        # rewrite drops its vector); plain bin-packing needs >= 2
-        if len(small) < 2 and not any(_masked(p) for p in small):
-            return snap.version
+        if zorder_by:
+            # full-table re-layout: every live file participates
+            small = list(snap.live)
+            if not small:
+                return snap.version
+        else:
+            # "small" by EFFECTIVE rows (stats count minus DV-masked),
+            # so a file whittled down by merge-on-read deletes
+            # qualifies for bin-packing; additionally any file with
+            # >= 20% of its rows masked is rewritten outright — compact
+            # is the DV MATERIALIZER (Delta's REORG/purge), the
+            # pressure valve that keeps the read path's broadcast of
+            # masked positions bounded. purge_dvs forces EVERY masked
+            # file in.
+            small = [p for p, s in snap.live.items()
+                     if not s or s.get("rows") is None
+                     or s["rows"] - _masked(p) <= thr
+                     or (_masked(p) > 0 and _masked(p) * 5 >= s["rows"])
+                     or (purge_dvs and _masked(p) > 0)]
+            # a single DV-carrying file is still worth rewriting (the
+            # rewrite drops its vector); plain bin-packing needs >= 2
+            if len(small) < 2 and not any(_masked(p) for p in small):
+                return snap.version
         df = self._read_live(small, snap.dvs)
         n = df.count()
         nfiles = max(1, -(-n // self.rows_per_file))
-        packed = df.repartitionByRange(nfiles, self.key) \
-            if self.key in df.columns else df.coalesce(nfiles)
+        if zorder_by:
+            from ..operators.layout import zorder_layout
+            a, b = zorder_by
+            for c in (a, b):
+                if c not in df.columns:
+                    raise ValueError(
+                        f"compact(zorder_by): column {c!r} not in "
+                        f"the table schema")
+            # range-partition on the Z-VALUE: each output file gets a
+            # contiguous Morton range = a small (a, b) rectangle, so
+            # both columns' per-file min/max stay tight
+            zb = zorder_layout(df, a, b)
+            packed = (zb.repartitionByRange(nfiles, "zvalue")
+                      .sortWithinPartitions("zvalue")
+                      .drop("zvalue", "zbucket"))
+        elif self.key in df.columns:
+            packed = df.repartitionByRange(nfiles, self.key)
+        else:
+            packed = df.coalesce(nfiles)
         # bypass cluster_writes' own count/repartition: already packed
         cw, self.cluster_writes = self.cluster_writes, False
         try:

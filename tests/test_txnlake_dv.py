@@ -378,3 +378,61 @@ def test_dv_streaming_ingest_merge_on_read_parity(spark, tmp_path):
                   key="bibcode")
     hist = t.history()
     assert any(h["dvs"] > 0 for h in hist if h["operation"] == "merge")
+
+
+def test_dv_compact_purge_dvs_rewrites_all_masked(spark, tmp_path):
+    """compact(purge_dvs=True) is REORG ... APPLY (PURGE): every
+    masked file rewrites even below the 20% ratio, leaving zero
+    vectors — reads drop the position anti-join entirely."""
+    t = _table(spark, tmp_path)                  # 4 files x 25 rows
+    t.delete(keys=_ids(spark, [0, 30, 60, 90]))  # 4% of each file
+    before = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert t.compact() == 1                      # ratio path: no-op
+    assert t._snapshot().dvs
+    assert t.compact(purge_dvs=True) == 2
+    assert not t._snapshot().dvs
+    assert sorted((r["id"], r["v"])
+                  for r in t.read().collect()) == before
+    assert t.changes(1, 2).count() == 0          # still zero changes
+
+
+def test_compact_zorder_prunes_both_columns(spark, tmp_path):
+    """compact(zorder_by=(a, b)) — OPTIMIZE ZORDER BY: after the
+    Morton re-layout, read_for_range prunes files on EITHER column;
+    a key-clustered layout prunes only derived-from-key columns."""
+    t = txn_table(spark, str(tmp_path / "t"), key="id",
+                  cluster_writes=True, rows_per_file=64,
+                  stats_cols=("a", "b"))
+    # a and b deliberately uncorrelated with the key and each other
+    df = spark.range(1024).selectExpr(
+        "id", "pmod(id * 37, 1021) as a", "pmod(id * 101, 1019) as b")
+    t.overwrite(df)
+    base = sorted(tuple(r) for r in t.read().collect())
+    n_files = len(t.live_files())
+    assert n_files >= 8
+
+    def cands(col, lo, hi):
+        got = t.read_for_range(col, lo, hi)
+        n = len(t.last_read_probe["candidate_files"])
+        return n, sorted(r["id"] for r in got.collect())
+
+    # key-clustered layout: a and b are scattered -> ~every file is
+    # a candidate on either column
+    na_before, ids_a = cands("a", 0, 100)
+    nb_before, ids_b = cands("b", 0, 100)
+    assert na_before == n_files and nb_before == n_files
+
+    v = t.compact(zorder_by=("a", "b"))
+    assert v == 1
+    assert sorted(tuple(r) for r in t.read().collect()) == base
+    na_after, ids_a2 = cands("a", 0, 100)
+    nb_after, ids_b2 = cands("b", 0, 100)
+    assert ids_a2 == ids_a and ids_b2 == ids_b   # same answers
+    # the Z-layout prunes BOTH dimensions (single-column sorting
+    # could only ever achieve one)
+    n_after = len(t.live_files())
+    assert na_after < n_after and nb_after < n_after
+    assert na_after <= n_after // 2 and nb_after <= n_after // 2
+    # validation errors stay on the ValueError contract
+    with pytest.raises(ValueError, match="zorder_by"):
+        t.compact(zorder_by=("a", "nope"))
