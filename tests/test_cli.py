@@ -659,3 +659,38 @@ def test_cli_outbox_incremental_from_change_feed(spark, tmp_path, capsys):
     got = {r["bibcode"]: r["bib_data"] for r in
            spark.read.json(r3["batch_dir"]).collect()}
     assert got == want
+
+
+def test_cli_lake_compact_purge_and_zorder(spark, tmp_path, capsys):
+    """`lake compact --purge-dvs / --zorder A,B`: the REORG and
+    OPTIMIZE-ZORDER forms are operable from the CLI with masked-row
+    accounting in the JSON output."""
+    import json
+
+    from adsmasterpipeline_spark.cli import main
+    from adsmasterpipeline_spark.sinks.txnlake import txn_table
+
+    path = str(tmp_path / "records")
+    t = txn_table(spark, path, key="id", cluster_writes=True,
+                  rows_per_file=32)
+    t.overwrite(spark.range(128).selectExpr(
+        "id", "pmod(id * 37, 127) as a", "pmod(id * 53, 113) as b"))
+    t.delete(where="id in (0, 40, 80, 120)")
+
+    assert main(["lake", "compact", "--path", path, "--key", "id",
+                 "--purge-dvs"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["masked_rows_before"] == 4
+    assert out["masked_rows_after"] == 0
+    assert t.read().count() == 124
+
+    assert main(["lake", "compact", "--path", path, "--key", "id",
+                 "--zorder", "a,b"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] > 1
+    assert t.read().count() == 124
+
+    assert main(["lake", "compact", "--path", path, "--key", "id",
+                 "--zorder", "a,nope"]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err
