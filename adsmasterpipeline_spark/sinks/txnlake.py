@@ -106,6 +106,21 @@ class CommitConflict(RuntimeError):
     attempt's data files are unreferenced orphans, never corruption."""
 
 
+def _is_lost_file_error(exc: BaseException) -> bool:
+    """A planned input file vanished mid-operation: the writer's
+    snapshot went stale past the retention horizon and a concurrent
+    vacuum collected a file it was about to read (found by the
+    3-thread maintenance race at high contention). Delta's conflict
+    protocol treats this like a commit conflict — re-plan against a
+    fresh snapshot — so the retry loops do too. Matched narrowly on
+    the Spark error classes for a missing input path so real failures
+    (constraint refusals, analysis errors) still raise."""
+    s = str(exc)
+    return ("PATH_NOT_FOUND" in s
+            or "FileNotFoundException" in s
+            or "FILE_NOT_EXIST" in s)
+
+
 @dataclass
 class Snapshot:
     """Driver-side fold of the log at one version: the live file set
@@ -1215,6 +1230,12 @@ class TxnTable:
             except CommitConflict:
                 if attempt == retries:
                     raise
+            except Exception as exc:
+                # stale-snapshot file loss (a vacuum collected a
+                # planned input past the retention horizon): re-plan
+                # against a fresh snapshot, same budget as conflicts
+                if attempt == retries or not _is_lost_file_error(exc):
+                    raise
 
     def _merge_mor_once(self, changed: DataFrame,
                         deleted_keys: DataFrame | None,
@@ -1421,6 +1442,9 @@ class TxnTable:
             except CommitConflict:
                 if attempt == retries:
                     raise
+            except Exception as exc:
+                if attempt == retries or not _is_lost_file_error(exc):
+                    raise              # see merge(): stale-file rebase
 
     def _delete_once(self, keys: DataFrame | None, where,
                      app_txn_id: str | None) -> int:
@@ -1580,6 +1604,9 @@ class TxnTable:
             except CommitConflict:
                 if attempt == retries:
                     raise
+            except Exception as exc:
+                if attempt == retries or not _is_lost_file_error(exc):
+                    raise              # see merge(): stale-file rebase
 
     def _compact_once(self,
                       small_rows_threshold: int | None = None,

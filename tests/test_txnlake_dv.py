@@ -436,3 +436,49 @@ def test_compact_zorder_prunes_both_columns(spark, tmp_path):
     # validation errors stay on the ValueError contract
     with pytest.raises(ValueError, match="zorder_by"):
         t.compact(zorder_by=("a", "nope"))
+
+
+def test_merge_rebases_on_vacuumed_candidate(spark, tmp_path):
+    """A writer whose snapshot went stale past the retention horizon
+    can plan a read of a file a concurrent vacuum collected (found by
+    the 3-thread maintenance race at high contention). With a retry
+    budget the merge must RE-PLAN against a fresh snapshot — the same
+    rebase Delta's conflict protocol does — and constraint refusals
+    must NOT be swallowed by the new retry arm."""
+    t = _table(spark, tmp_path)
+    orig = t._prune_candidates
+    calls = {"n": 0}
+
+    def ghosting(live, affected):
+        out = orig(live, affected)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # a candidate whose file a racing vacuum just unlinked
+            return out + ["data/commit-00000000-dead0000/gone.parquet"]
+        return out
+
+    t._prune_candidates = ghosting
+    upd = spark.createDataFrame([(1, 111)], "id long, v long")
+    assert t.merge(upd, retries=2) == 1
+    assert calls["n"] >= 2             # first attempt lost, re-planned
+    assert t.read().where("id = 1").collect()[0]["v"] == 111
+
+    # without a budget the loss surfaces (raise, never silent)
+    calls["n"] = 0
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="PATH_NOT_FOUND|not exist"):
+        t.merge(spark.createDataFrame([(2, 222)], "id long, v long"))
+
+    # the retry arm is NARROW: a CHECK refusal still raises through it
+    t._prune_candidates = orig
+    assert t.set_constraint("cap", "v < 10000") >= 2
+    with _pytest.raises(ValueError, match="cap"):
+        t.merge(spark.createDataFrame([(3, 99999)], "id long, v long"),
+                retries=3)
+
+    # delete() gets the same rebase
+    t._prune_candidates = ghosting
+    calls["n"] = 0
+    v0 = t.version()
+    assert t.delete(keys=_ids(spark, [5]), retries=2) == v0 + 1
+    assert calls["n"] >= 2
