@@ -61,34 +61,38 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 # safe publish, cli txn routing) are pytest/STREAMTXN/TXNPROBE
 # surfaces, and the ann_ivf/ann_pq retunes are rows-only entries.
 PRIORITY: tuple[str, ...] = (
-    # Round-10 window (VERDICT r9 task 1): computed from committed
-    # CORRECTNESS_r0{1..9}.json — every oracled query's LAST
-    # driver-green round. Last-green distribution after r9 was
-    # {r9: 50, r8: 50, r7: 28}; this window = all 28 whose last
-    # green is r07, then the alphabetically-first 22 of the 50
-    # whose last green is r08 (through corpus_train_split),
-    # advancing the cumulative last-green floor to r08.
-    # -- last driver-green r07 (28) --
-    "join_left_outer", "join_semi", "json_payload_extract",
-    "label_centroid_distance", "langid_heuristic",
-    "levenshtein_similarity", "merge_last_writer_wins",
-    "min_cost_supplier", "minhash_signatures", "native_max_by",
-    "ntile_rank_scalable", "pagerank_supplier_customer",
-    "path_transitions", "regexp_rewrite", "rollup_revenue",
-    "shingle_containment_pairs", "sliding_window_counts",
-    "string_agg_ordered", "string_hier_facet", "topk_per_group",
-    "triangle_copurchase", "vocab_encode_docs", "window_bucket_assign",
-    "window_flag_first", "window_lag_lead", "window_ntile_rank",
-    "window_range_frame", "window_running_total",
-    # -- last driver-green r08 (alphabetical fill to 50) --
-    "agg_argmax_per_group", "agg_collect_sorted",
-    "agg_counts_per_group", "agg_nonnull_counts", "ann_int8_quantized",
-    "ann_ivf_kmeans", "ann_sign_lsh", "asof_attribution",
-    "assign_scalable", "benchmark_contamination", "bigram_lm_nll",
-    "bloom_shingle_filter", "bm25_topdf_terms", "bpe_learn_encode",
-    "case_when_mapping", "char_entropy", "chunk_documents",
-    "cluster_keeper_quality", "cohort_retention", "corpus_clean",
-    "corpus_dedup_pipeline", "corpus_train_split",
+    # Round-11 window (VERDICT r10 task 1): computed from committed
+    # CORRECTNESS_r0{1..10}.json — every oracled query's LAST
+    # driver-green round. Last-green distribution after r10 was
+    # {r10: 50, r9: 50, r8: 28} plus the 4 round-10 txn queries
+    # that have NEVER had a driver row. This window = those 4, then
+    # all 28 whose last green is r08, then the alphabetically-first
+    # 18 of the 50 whose last green is r09 (through except_keys),
+    # giving every oracled query a driver row and advancing the
+    # cumulative last-green floor to r09.
+    # -- never driver-checked (4) --
+    "txn_constraint_gate", "txn_dv_delete_feed",
+    "txn_dv_restore_state", "txn_restore_diff",
+    # -- last driver-green r08 (28) --
+    "ngram_jaccard_pairs", "pivot_status_by_segment",
+    "posexplode_components", "q12_shipmode_priority",
+    "q14_promo_revenue", "q19_disjunctive", "q1_pricing_summary",
+    "q3_shipping_priority", "q4_order_priority", "q5_regional_revenue",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "quantiles_per_segment", "semantic_dedup",
+    "sequence_pack", "sessionize", "simhash", "stats_per_brand",
+    "stratified_sample", "text_quality", "tfidf_top_terms",
+    "token_count", "union_all_counts", "union_distinct",
+    "vector_norms", "winnow_fingerprints",
+    # -- last driver-green r09 (alphabetical fill to 50) --
+    "checksum_dispatch", "corpus_token_stats",
+    "correlated_small_quantity", "cosine_topk",
+    "countmin_heavy_hitters", "cube_order_stats", "date_buckets",
+    "dedup_clusters", "dedup_exact", "distinct_counts_exact_vs_approx",
+    "distinct_ngram_diversity", "doc_fingerprint",
+    "dsir_importance_weights", "duplicated_substring_runs",
+    "embedding_cosine_neardup", "embedding_cosine_neardup_gemm",
+    "embedding_quantize", "except_keys",
 )
 
 

@@ -11,21 +11,23 @@ from adsmasterpipeline_spark.queries import (
 _load()
 
 MUST_PROVE = (
-    # VERDICT r9 task 1: pure staleness rotation — the 28 oracled
-    # queries whose last driver-green row is r07 (computed from
-    # committed CORRECTNESS_r0{1..9}.json) lead; after this round the
-    # cumulative last-green floor advances to r08.
-    "join_left_outer", "join_semi", "json_payload_extract",
-    "label_centroid_distance", "langid_heuristic",
-    "levenshtein_similarity", "merge_last_writer_wins",
-    "min_cost_supplier", "minhash_signatures", "native_max_by",
-    "ntile_rank_scalable", "pagerank_supplier_customer",
-    "path_transitions", "regexp_rewrite", "rollup_revenue",
-    "shingle_containment_pairs", "sliding_window_counts",
-    "string_agg_ordered", "string_hier_facet", "topk_per_group",
-    "triangle_copurchase", "vocab_encode_docs", "window_bucket_assign",
-    "window_flag_first", "window_lag_lead", "window_ntile_rank",
-    "window_range_frame", "window_running_total",
+    # VERDICT r10 task 1: the 4 round-10 txn queries that have never
+    # had a driver row lead, then the 28 oracled queries whose last
+    # driver-green row is r08 (computed from committed
+    # CORRECTNESS_r0{1..10}.json); after this round every oracled
+    # query has a driver row and the last-green floor advances to r09.
+    "txn_constraint_gate", "txn_dv_delete_feed",
+    "txn_dv_restore_state", "txn_restore_diff",
+    "ngram_jaccard_pairs", "pivot_status_by_segment",
+    "posexplode_components", "q12_shipmode_priority",
+    "q14_promo_revenue", "q19_disjunctive", "q1_pricing_summary",
+    "q3_shipping_priority", "q4_order_priority", "q5_regional_revenue",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "quantiles_per_segment", "semantic_dedup",
+    "sequence_pack", "sessionize", "simhash", "stats_per_brand",
+    "stratified_sample", "text_quality", "tfidf_top_terms",
+    "token_count", "union_all_counts", "union_distinct",
+    "vector_norms", "winnow_fingerprints",
 )
 
 
