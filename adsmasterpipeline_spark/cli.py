@@ -859,11 +859,10 @@ def cmd_lake(args) -> int:
             return 1
         entry: dict = {}
         if out["version"] != v0:
-            import os as _os
-            with open(_os.path.join(
-                    args.path, "_txn",
-                    f"{out['version']:08d}.json")) as f:
-                entry = json.load(f)
+            # the table's own accessors know the log layout — never
+            # rebuild the '_txn/<version>.json' path here (ADVICE r10)
+            entry = t._load_json(
+                dict(t._entry_files())[out["version"]])
         out["deleted_rows"] = (
             sum(d["new"] for d in (entry.get("dvs") or {}).values())
             + sum((entry.get("remove_stats") or {}).values()))

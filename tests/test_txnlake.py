@@ -1950,3 +1950,90 @@ def test_txn_changes_schema_evolution(spark, tmp_path):
         ("B2", "update_postimage"): (22, "en"),
         ("B3", "insert"): (3, "de"),
     }
+
+
+def test_lost_file_error_classifier():
+    """ADVICE r10: the rebase trigger matches on exception TYPE plus
+    cause chain — a non-Spark exception merely embedding
+    'FileNotFoundException' in its message must not be treated as a
+    stale-snapshot race, while Python's own FileNotFoundError (the
+    listdir-vs-open race) and Spark's missing-path classes must."""
+    from pyspark.errors import AnalysisException
+
+    from adsmasterpipeline_spark.sinks.txnlake import (
+        TableStateError, _is_lost_file_error,
+    )
+
+    assert _is_lost_file_error(FileNotFoundError("[Errno 2] gone"))
+    assert not _is_lost_file_error(TableStateError("no data"))
+    assert not _is_lost_file_error(
+        ValueError("log mentions FileNotFoundException verbatim"))
+    assert not _is_lost_file_error(RuntimeError("PATH_NOT_FOUND-ish"))
+    wrapped = RuntimeError("outer")
+    wrapped.__cause__ = FileNotFoundError("inner gone")
+    assert _is_lost_file_error(wrapped)
+    assert _is_lost_file_error(
+        AnalysisException("[PATH_NOT_FOUND] Path does not exist: x"))
+    assert not _is_lost_file_error(
+        AnalysisException("[UNRESOLVED_COLUMN] nope"))
+
+
+def test_snapshot_retries_listdir_open_race(spark, tmp_path):
+    """The round-10 maintenance-race flake distilled: _entry_files()
+    lists the log, a concurrent cleanup_log unlinks an entry before
+    the fold opens it — a raw FileNotFoundError from a healthy table.
+    _snapshot must re-list and converge instead of surfacing the
+    race (which no caller's rebase trigger used to match)."""
+    t = txn_table(spark, str(tmp_path / "t"), checkpoint_every=2)
+    t.overwrite(_recs(spark, [("A", 1)]))
+    t.merge(_recs(spark, [("B", 2)]))
+    t.merge(_recs(spark, [("C", 3)]))
+
+    real = t._entry_files()
+    calls = {"n": 0}
+
+    def racing():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            ghost = os.path.join(t._log_dir(), "00000099.json")
+            return real + [(99, ghost)]   # listed, then unlinked
+        return real
+
+    t._entry_files = racing
+    snap = t._snapshot()
+    assert calls["n"] == 2                # first fold lost the race
+    assert snap.version == 2
+    rows = {r["bibcode"]: r["v"] for r in t.read().collect()}
+    assert rows == {"A": 1, "B": 2, "C": 3}
+
+    # a PERSISTENTLY missing file still raises (bounded retry, no
+    # infinite loop on real corruption)
+    calls["broken"] = True
+
+    def always_ghost():
+        ghost = os.path.join(t._log_dir(), "00000099.json")
+        return real + [(99, ghost)]
+
+    t._entry_files = always_ghost
+    with pytest.raises(FileNotFoundError):
+        t._snapshot()
+
+
+def test_delete_on_empty_table_refuses_without_burning_retries(
+        spark, tmp_path):
+    """The deliberate no-committed-data refusal subclasses
+    FileNotFoundError for the caller contract but is NOT a
+    stale-snapshot race: a retry budget must not rebase on it."""
+    t = txn_table(spark, str(tmp_path / "t"))
+    calls = {"n": 0}
+    orig = t._snapshot
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    t._snapshot = counting
+    with pytest.raises(FileNotFoundError):
+        t.delete(keys=_recs(spark, [("A", 1)]).select("bibcode"),
+                 retries=5)
+    assert calls["n"] == 1                # refused once, no rebase

@@ -180,7 +180,10 @@ def test_dv_vacuum_protects_referenced_dirs(spark, tmp_path):
     t.delete(keys=_ids(spark, range(0, 5)))              # v1: dv A
     t.delete(keys=_ids(spark, range(5, 10)))             # v2: dv B
     dv_dirs = {d["dir"] for d in t._snapshot().dvs.values()}
-    assert len(dv_dirs) == 2 - 1 or len(dv_dirs) >= 1
+    # both deletes hit the SAME 25-row file (ids 0-9 < 25): v2 wrote
+    # a CUMULATIVE vector in a new dir and moved the file's pointer,
+    # so exactly ONE dir is current (the v1 dir is retained history)
+    assert len(dv_dirs) == 1
     deleted = t.vacuum(keep_versions=10, min_age_seconds=0)
     assert not any(p.startswith("data/dv-") for p in deleted)
     assert t.read().count() == 90
@@ -482,3 +485,136 @@ def test_merge_rebases_on_vacuumed_candidate(spark, tmp_path):
     v0 = t.version()
     assert t.delete(keys=_ids(spark, [5]), retries=2) == v0 + 1
     assert calls["n"] >= 2
+
+
+def test_dv_read_broadcast_plan_no_data_exchange(spark, tmp_path):
+    """VERDICT r10 nit: the 'data side never shuffles' claim for DV
+    reads gets its unit-level explain assertion — the mask applies
+    via BroadcastHashJoin (LeftAnti) and the plan contains no shuffle
+    Exchange anywhere (broadcast exchanges are fine; hash-partition
+    exchanges are not)."""
+    from adsmasterpipeline_spark.plans.explain import explain_str
+    t = _table(spark, tmp_path)
+    t.delete(keys=_ids(spark, [3, 42, 77]))
+    plan = explain_str(t.read(), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_dv_read_scan_masked_above_budget(spark, tmp_path):
+    """VERDICT r10 #2: a scan whose TOTAL unpurged DV cardinality
+    exceeds dv_broadcast_budget must not broadcast one global
+    position set (per-file 20% materialization never bounds the sum —
+    many files each lightly masked). Above budget the mask applies
+    per file INSIDE the scan task: same rows as the broadcast path,
+    zero Exchange of any kind in the plan."""
+    from adsmasterpipeline_spark.plans.explain import explain_str
+    t = _table(spark, tmp_path, n=400, rows_per_file=50)
+    # 2 of every 50-row file's rows -> 4% masked/file, 16 positions
+    t.delete(keys=_ids(spark, [i * 50 for i in range(8)]))
+    t.delete(keys=_ids(spark, [i * 50 + 7 for i in range(8)]))
+    expect = sorted(set(range(400))
+                    - {i * 50 for i in range(8)}
+                    - {i * 50 + 7 for i in range(8)})
+
+    big = txn_table(spark, t.path, key="id")     # default budget
+    assert sum(d["card"] for d in big._snapshot().dvs.values()) == 16
+    assert "BroadcastHashJoin" in explain_str(big.read(), "simple")
+    assert sorted(r["id"] for r in big.read().collect()) == expect
+
+    lo = txn_table(spark, t.path, key="id", dv_broadcast_budget=8)
+    plan = explain_str(lo.read(), "simple")
+    assert "BroadcastHashJoin" not in plan       # no global mask join
+    assert "Exchange" not in plan                # narrow: scan-side
+    assert sorted(r["id"] for r in lo.read().collect()) == expect
+    # every reader goes through the same bounded path
+    got = sorted(r["id"] for r in
+                 lo.read_for_keys(_ids(spark, [0, 7, 5, 120])).collect())
+    assert got == [5, 120]
+
+
+def test_compact_global_masked_cardinality_trigger(spark, tmp_path):
+    """compact() materializes on the GLOBAL masked cardinality too:
+    a table of many files each under the 20% per-file trigger but
+    whose SUM exceeds the read budget gets its most-masked files
+    rewritten until the remainder sits at half the budget."""
+    t = _table(spark, tmp_path, n=1000, rows_per_file=100,
+               dv_broadcast_budget=30)
+    # 4 masked rows in each of the 10 files = 40 total (> 30), but
+    # 4% per file — the per-file triggers (20% mask, small-file)
+    # never fire
+    keys = [f * 100 + o for f in range(10) for o in (1, 33, 66, 99)]
+    t.delete(keys=_ids(spark, keys))
+    snap = t._snapshot()
+    assert sum(d["card"] for d in snap.dvs.values()) == 40
+    before = sorted(r["id"] for r in t.read().collect())
+    assert t.compact() == 2                      # trigger fired
+    snap2 = t._snapshot()
+    assert sum(d["card"] for d in snap2.dvs.values()) <= 15  # budget/2
+    assert sorted(r["id"] for r in t.read().collect()) == before
+    assert t.changes(1, 2).count() == 0          # layout-only commit
+
+
+def test_mor_merge_schema_contract(spark, tmp_path):
+    """ADVICE r10 (medium): merge_on_read must enforce the same
+    schema contract as copy-on-write — strict mode refuses a drifted
+    batch BEFORE anything lands; schema_evolution widens by name."""
+    t = _table(spark, tmp_path)
+    v0 = t.version()
+    drifted = spark.createDataFrame([(1, "x")], "id long, other string")
+    with pytest.raises(Exception, match="other|v|UNION|RESOLVE"):
+        t.merge(drifted, merge_on_read=True)
+    assert t.version() == v0                     # nothing committed
+    assert t.read().where("id = 1").collect()[0]["v"] == 2
+
+    te = txn_table(spark, t.path, key="id", schema_evolution=True)
+    te.merge(spark.createDataFrame([(1, 111, "w")],
+                                   "id long, v long, extra string"),
+             merge_on_read=True)
+    row = te.read().where("id = 1").collect()[0]
+    assert (row["v"], row["extra"]) == (111, "w")
+    # pre-widening rows surface the new column as null
+    assert te.read().where("id = 2").collect()[0]["extra"] is None
+
+
+def test_dv_reserved_column_guard(spark, tmp_path):
+    """ADVICE r10: a table or batch already carrying a _dv_* column
+    would silently mis-join in the DV machinery — refuse loudly."""
+    t = txn_table(spark, str(tmp_path / "t"), key="id")
+    t.overwrite(spark.createDataFrame([(1, "a")],
+                                      "id long, _dv_file string"))
+    with pytest.raises(ValueError, match="_dv_file"):
+        t.delete(keys=_ids(spark, [1]))
+    t2 = _table(spark, tmp_path / "u")
+    bad = spark.createDataFrame([(1, 5, 9)],
+                                "id long, v long, _dv_pos long")
+    with pytest.raises(ValueError, match="_dv_pos"):
+        t2.merge(bad, merge_on_read=True)
+
+
+def test_delete_where_stat_pruned(spark, tmp_path):
+    """VERDICT r10 task 4: a stat-checkable predicate delete prunes
+    candidate files against the per-file [min, max] ranges instead of
+    scanning every live file — with rescan-equality parity against
+    the unpruned result."""
+    t = _table(spark, tmp_path, n=400, rows_per_file=50)  # 8 files
+    v = t.delete(where="id >= 100 AND id < 150")
+    assert v == 1
+    probe = t.last_delete_probe
+    assert probe["live_files"] == 8
+    assert len(probe["candidate_files"]) < probe["live_files"]
+    assert len(probe["candidate_files"]) <= 2   # clustered: 1 file +
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == sorted(set(range(400)) - set(range(100, 150)))
+
+    # richer shapes prune too; unparseable ones fall back to all files
+    t.delete(where="id IN (200, 201) OR id BETWEEN 390 AND 391")
+    assert len(t.last_delete_probe["candidate_files"]) <= 3
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == sorted(set(range(400)) - set(range(100, 150))
+                         - {200, 201, 390, 391})
+    t.delete(where="pmod(id, 400) = 399")        # function: no pruning
+    probe = t.last_delete_probe                  # all LIVE files scanned
+    assert len(probe["candidate_files"]) == probe["live_files"]
+    assert t.read().count() == 400 - 50 - 4 - 1

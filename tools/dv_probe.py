@@ -135,6 +135,36 @@ def main() -> int:
                 / max(1, entry["mor_update"]["bytes_written"]), 1)
             out["fractions"].append(entry)
             print(json.dumps(entry))
+        # READ-side bound (VERDICT r10 #2): a table of MANY files
+        # each lightly masked (under compact()'s 20% per-file
+        # trigger) whose total masked cardinality exceeds the
+        # per-scan broadcast budget. The scan must switch to the
+        # per-file task-side mask — same rows, bounded memory — and
+        # this probe prices both paths on identical data.
+        path = os.path.join(work, "read_side")
+        t = txn_table(spark, path, key="id", cluster_writes=True,
+                      rows_per_file=50_000)
+        t.overwrite(base)
+        n_files = len(t.live_files())
+        n_del = rows // 20             # 5% scattered: every file ~5%
+        step = rows // n_del
+        t.delete(keys=spark.range(n_del)
+                 .select((F.col("id") * step).alias("id")))
+        card = sum(d["card"] for d in t._snapshot().dvs.values())
+        rs: dict = {"files": n_files, "masked_positions": card,
+                    "masked_fraction": round(card / rows, 4)}
+        for label, budget in (("broadcast", card + 1),
+                              ("scan_masked", max(1, card // 10))):
+            tt = txn_table(spark, path, key="id",
+                           dv_broadcast_budget=budget)
+            t0 = time.time()
+            n_live = tt.read().count()
+            rs[label] = {"budget": budget, "live_rows": n_live,
+                         "secs": round(time.time() - t0, 3)}
+        assert rs["broadcast"]["live_rows"] == \
+            rs["scan_masked"]["live_rows"] == rows - n_del
+        out["read_side"] = rs
+        print(json.dumps({"read_side": rs}))
     finally:
         shutil.rmtree(work, ignore_errors=True)
     if json_out:
