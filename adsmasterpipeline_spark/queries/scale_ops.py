@@ -311,7 +311,15 @@ def salted_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max(48, n/50) exact re-ranks recovers 0.81 at sf1 at "
         "IDENTICAL runtime since the re-rank GEMM is on vectors "
         "already in memory, and lifts sf0.01/sf0.1 to 0.91/0.83 "
-        "via nprobe 10->12). Quality tracked in ANNRECALL_r{N}.json. "
+        "via nprobe 10->12). Round-11 retune (VERDICT r10 task 6): "
+        "k_cent 64->128 — finer subspace codebooks halve ADC "
+        "quantization noise so the true neighbor survives into the "
+        "re-rank pool more often; measured recall@3 "
+        "0.91/0.83/0.81 -> 0.99/0.875/0.90 at sf0.01/0.1/1, priced "
+        "with the split truth/query timer at ~flat query wall (the "
+        "LUT is [Q, 8, 128] instead of [Q, 8, 64] — still "
+        "driver-trivial; encode GEMM doubles one tiny inner dim). "
+        "Quality tracked in ANNRECALL_r{N}.json. "
         "Rows-only: codebook training is not SQL-replayable "
         "(ann_ivf_kmeans covers the oracled-kmeans shape).",
 )
@@ -323,7 +331,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rerank=None: the pool auto-scales with n, counted inside
     # pq_topk's single training-collect job (no separate eager count
     # at plan-build time — ADVICE r6)
-    return pq_topk(q, e, k=3, nprobe=12).select(
+    return pq_topk(q, e, k=3, nprobe=12, k_cent=128).select(
         "query_id", "neighbor_id", "sim", "rnk")
 
 
