@@ -865,21 +865,32 @@ class TxnTable:
           task that reads the file (``_read_live_scan_masked``) —
           memory is O(one file's positions) per task instead of
           O(scan's positions) on every executor + the driver."""
-        df = self._read_files(files)
-        sel = {p: d["dir"] for p, d in dvs.items() if p in set(files)}
-        if not sel:
-            return df
-        total = sum((dvs[p] or {}).get("card", 0) for p in sel)
-        if total > self.dv_broadcast_budget:
-            return self._read_live_scan_masked(df, sel)
-        dvu = self._dv_positions(sel)
-        return (self._with_pos(df)
-                .join(F.broadcast(dvu), ["_dv_file", "_dv_pos"],
-                      "left_anti")
+        if not any(p in dvs for p in files):
+            return self._read_files(files)
+        return (self._live_rows_tagged(files, dvs)
                 .drop("_dv_file", "_dv_pos"))
 
-    def _read_live_scan_masked(self, df: DataFrame,
-                               sel: dict[str, str]) -> DataFrame:
+    def _live_rows_tagged(self, files: list[str],
+                          dvs: dict[str, dict]) -> DataFrame:
+        """Position-tagged LIVE rows of ``files`` (the _dv_file /
+        _dv_pos working columns kept for callers that classify or
+        probe by position: the merge probe, the MOR matched set, the
+        delete classifier). Every DV-masking consumer routes through
+        here so the per-scan budget applies uniformly — no call site
+        is left with its own unbounded broadcast."""
+        tagged = self._with_pos(self._read_files(files))
+        sel = {p: d["dir"] for p, d in dvs.items() if p in set(files)}
+        if not sel:
+            return tagged
+        total = sum((dvs[p] or {}).get("card", 0) for p in sel)
+        if total > self.dv_broadcast_budget:
+            return self._scan_masked_tagged(tagged, sel)
+        dvu = self._dv_positions(sel)
+        return tagged.join(F.broadcast(dvu), ["_dv_file", "_dv_pos"],
+                           "left_anti")
+
+    def _scan_masked_tagged(self, tagged: DataFrame,
+                            sel: dict[str, str]) -> DataFrame:
         """Above-budget DV masking, Delta's per-file shape: an
         Arrow-batched ``mapInPandas`` over the position-tagged scan
         filters each batch against ITS OWN file's position set, read
@@ -891,8 +902,8 @@ class TxnTable:
         file -> DV-dir pointer map ships in the task closure
         (O(masked files), the same driver-side cardinality the log
         fold already holds)."""
-        out_schema = df.schema
-        out_cols = df.columns
+        out_schema = tagged.schema
+        out_cols = tagged.columns      # tags kept: callers drop them
         table_path = self.path
         pointers = dict(sel)
 
@@ -931,12 +942,27 @@ class TxnTable:
                                   & pdf["_dv_pos"].isin(pos))
                 yield pdf.loc[keep, out_cols]
 
-        return self._with_pos(df).mapInPandas(mask, out_schema)
+        return tagged.mapInPandas(mask, out_schema)
+
+    def _pos_join(self, tagged: DataFrame, positions: DataFrame,
+                  how: str) -> DataFrame:
+        """Join position-tagged data rows against a (file, pos) set
+        with a budget-aware strategy: the positions are
+        localCheckpointed (the join build re-reads them anyway),
+        counted, and BROADCAST only under ``dv_broadcast_budget`` —
+        above it the hint is dropped so the planner shuffles the join
+        instead of OOMing every executor on a giant single-commit
+        delta (a feed replaying a billion-row delete pays a shuffle,
+        which is the honest cost of materializing that pre-image)."""
+        positions = positions.localCheckpoint()
+        if positions.count() <= self.dv_broadcast_budget:
+            positions = F.broadcast(positions)
+        return tagged.join(positions, ["_dv_file", "_dv_pos"], how)
 
     def _rows_at(self, positions: DataFrame | None) -> DataFrame | None:
         """Data rows at the given (_dv_file, _dv_pos) positions —
         the change feed's way of materializing a DV delta's pre/post
-        images. O(touched files) scan, broadcast semi-join."""
+        images. O(touched files) scan, budget-aware semi-join."""
         if positions is None:
             return None
         positions = positions.localCheckpoint()
@@ -944,9 +970,8 @@ class TxnTable:
                        positions.select("_dv_file").distinct().collect())
         if not files:
             return None
-        return (self._with_pos(self._read_files(files))
-                .join(F.broadcast(positions), ["_dv_file", "_dv_pos"],
-                      "left_semi")
+        return (self._pos_join(self._with_pos(self._read_files(files)),
+                               positions, "left_semi")
                 .drop("_dv_file", "_dv_pos"))
 
     def _empty_like(self, snap: Snapshot) -> DataFrame:
@@ -1163,9 +1188,8 @@ class TxnTable:
             rsel = {p: rdvs[p] for p in removes if p in rdvs}
             if pre is not None and rsel:
                 pos = self._dv_positions(rsel)
-                pre = (self._with_pos(pre)
-                       .join(F.broadcast(pos),
-                             ["_dv_file", "_dv_pos"], "left_anti")
+                pre = (self._pos_join(self._with_pos(pre), pos,
+                                      "left_anti")
                        .drop("_dv_file", "_dv_pos"))
             # post-image: added files minus the DVs this entry
             # attaches to them (a restore re-adding a file together
@@ -1175,9 +1199,8 @@ class TxnTable:
                       if d and p in add_set}
             if post is not None and add_dv:
                 pos = self._dv_positions(add_dv)
-                post = (self._with_pos(post)
-                        .join(F.broadcast(pos),
-                              ["_dv_file", "_dv_pos"], "left_anti")
+                post = (self._pos_join(self._with_pos(post), pos,
+                                       "left_anti")
                         .drop("_dv_file", "_dv_pos"))
             # kept-live files whose DV pointer moved: the position
             # DELTA is the row-level change — newly masked positions
@@ -1476,14 +1499,7 @@ class TxnTable:
         v = snap.version + 1
         matched = None
         if candidates:
-            base = self._with_pos(self._read_files(candidates))
-            old_sel = {p: d["dir"] for p, d in snap.dvs.items()
-                       if p in set(candidates)}
-            old_pos = self._dv_positions(old_sel)
-            live_rows = (base if old_pos is None else
-                         base.join(F.broadcast(old_pos),
-                                   ["_dv_file", "_dv_pos"],
-                                   "left_anti"))
+            live_rows = self._live_rows_tagged(candidates, snap.dvs)
             matched = (live_rows.join(affected, key, "left_semi")
                        .select("_dv_file", "_dv_pos")
                        .localCheckpoint())
@@ -1568,12 +1584,7 @@ class TxnTable:
             # the log's literal rel path — no URI decode or
             # cache-empty fallback needed. (_metadata only resolves
             # directly on the scan, so tag before the anti-join.)
-            base = self._with_pos(self._read_files(candidates))
-            dvu = self._dv_positions(
-                {p: snap.dvs[p]["dir"] for p in candidates
-                 if p in snap.dvs})
-            live_rows = base.join(F.broadcast(dvu),
-                                  ["_dv_file", "_dv_pos"], "left_anti")
+            live_rows = self._live_rows_tagged(candidates, snap.dvs)
             touched = sorted(
                 r["_dv_file"] for r in
                 live_rows.join(affected, key, "left_semi")
@@ -1700,14 +1711,7 @@ class TxnTable:
             "candidate_files": sorted(candidates)}
         if not candidates:
             return snap.version
-        live_rows = self._with_pos(self._read_files(candidates))
-        old_sel = {p: d["dir"] for p, d in snap.dvs.items()
-                   if p in set(candidates)}
-        old_pos = self._dv_positions(old_sel)
-        if old_pos is not None:
-            live_rows = live_rows.join(F.broadcast(old_pos),
-                                       ["_dv_file", "_dv_pos"],
-                                       "left_anti")
+        live_rows = self._live_rows_tagged(candidates, snap.dvs)
         if keys is not None:
             matched = live_rows.join(keys, key, "left_semi")
         else:

@@ -532,6 +532,20 @@ def test_dv_read_scan_masked_above_budget(spark, tmp_path):
     got = sorted(r["id"] for r in
                  lo.read_for_keys(_ids(spark, [0, 7, 5, 120])).collect())
     assert got == [5, 120]
+    # ...including the WRITER-side probes: a DV delete and a MOR
+    # merge on the above-budget table must classify live positions
+    # through the scan-masked path, never a global broadcast
+    assert lo.delete(keys=_ids(spark, [0, 5])) == 3   # 0 pre-masked
+    e = lo._load_json(dict(lo._entry_files())[3])
+    assert sum(d["new"] for d in e["dvs"].values()) == 1  # only 5
+    lo.merge(spark.createDataFrame([(7, -1), (401, -2)],
+                                   "id long, v long"),
+             merge_on_read=True)                       # 7 pre-masked
+    rows = {r["id"]: r["v"] for r in lo.read().collect()}
+    assert rows[7] == -1 and rows[401] == -2 and 5 not in rows
+    # -1 (key 5 deleted) +1 (key 7, pre-masked, re-inserted by the
+    # merge) +1 (key 401 inserted)
+    assert len(rows) == len(expect) + 1
 
 
 def test_compact_global_masked_cardinality_trigger(spark, tmp_path):
@@ -618,3 +632,26 @@ def test_delete_where_stat_pruned(spark, tmp_path):
     probe = t.last_delete_probe                  # all LIVE files scanned
     assert len(probe["candidate_files"]) == probe["live_files"]
     assert t.read().count() == 400 - 50 - 4 - 1
+
+
+def test_dv_feed_above_budget_parity(spark, tmp_path):
+    """The change feed's pre/post-image position joins are
+    budget-aware too (_pos_join): with a budget smaller than every
+    delta the feed must shuffle instead of broadcast — and serve
+    byte-identical rows either way."""
+    t = _table(spark, tmp_path)
+    t.delete(keys=_ids(spark, range(0, 10)))             # v1
+    t.merge(spark.createDataFrame([(3, 333), (200, 0)],
+                                  "id long, v long"))    # v2: rewrite
+    t.restore(1)                                         # v3
+
+    def feed(tbl):
+        return sorted(
+            (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in tbl.changes(0, 3).collect())
+
+    wide = txn_table(spark, t.path, key="id")
+    tiny = txn_table(spark, t.path, key="id", dv_broadcast_budget=0)
+    assert feed(wide) == feed(tiny)
+    assert sorted(r["id"] for r in tiny.read().collect()) == \
+        sorted(r["id"] for r in wide.read().collect())

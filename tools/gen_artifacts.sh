@@ -12,7 +12,7 @@ python tools/check.py --json "CHECKALL_${R}_sf001.json" /root/testdata/sf0.01 2>
 echo "=== checkall sf0.1 ==="
 python tools/check.py --json "CHECKALL_${R}_sf01.json" /root/testdata/sf0.1 2>/dev/null | tail -2
 echo "=== checkall sf1 (stress) ==="
-python tools/check.py --json "CHECKALL_${R}_sf1.json" --oracle-timeout 300 /root/repo/stressdata/sf1 2>/dev/null | tail -2
+python tools/check.py --json "CHECKALL_${R}_sf1.json" --oracle-timeout 900 /root/repo/stressdata/sf1 2>/dev/null | tail -2
 echo "=== planaudit sf0.01 ==="
 python tools/plan_audit.py --json "PLANAUDIT_${R}.json" /root/testdata/sf0.01 2>/dev/null | tail -2
 echo "=== planaudit sf1 ==="

@@ -181,6 +181,24 @@ def main() -> int:
             assert r.get("removed") == len(dels), r
             out["steps"].append({"step": f"sitemap_cleanup_{k}", **r})
 
+        # round-11 probe (VERDICT r10 task 4): stat-pruned predicate
+        # DELETE — a selective key-range tombstone via `lake delete
+        # --expr` must open only the files whose [min, max] range can
+        # hold a matching key (the table is key-clustered, so the
+        # range lands in a handful of files); before round 11 a
+        # where= delete scanned every live file by construction
+        mid = opts["rows"] // 2
+        lo_b, hi_b = bibs[mid], bibs[mid + 32]
+        r = _cli(["lake", "delete", "--path",
+                  os.path.join(data, "records"),
+                  "--expr",
+                  f"bibcode >= '{lo_b}' AND bibcode <= '{hi_b}'"])
+        assert r.get("deleted_rows") == 33, r
+        out["steps"].append({"step": "delete_where_pruned",
+                             "probes": {"delete_where": r["probe"]},
+                             **{k: v for k, v in r.items()
+                                if k != "probe"}})
+
         # summary: every probe must show candidates << live
         ratios = []
         for s in out["steps"]:
