@@ -2037,3 +2037,62 @@ def test_delete_on_empty_table_refuses_without_burning_retries(
         t.delete(keys=_recs(spark, [("A", 1)]).select("bibcode"),
                  retries=5)
     assert calls["n"] == 1                # refused once, no rebase
+
+
+def test_predicate_pruning_soundness_fuzz():
+    """Pure-python soundness fuzz of the delete(where=) interval
+    parser: a file is NEVER pruned while a row in its [min, max]
+    range could match (2k random conjunct/disjunct predicates vs
+    brute-force row evaluation), unparseable shapes all fall back to
+    'keep every file', and ISO datetime boundaries stay sound."""
+    import random
+
+    from adsmasterpipeline_spark.sinks.txnlake import (
+        _parse_predicate, _pred_may_match,
+    )
+
+    rng = random.Random(7)
+    ops = {"=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+           "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+           ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}
+    for _ in range(2000):
+        mn = rng.randint(-50, 50)
+        mx = mn + rng.randint(0, 30)
+        rows = [mn, mx] + [rng.randint(mn, mx) for _ in range(3)]
+        preds = [("k", rng.choice(list(ops)), rng.randint(-60, 60))
+                 for _ in range(rng.randint(1, 3))]
+        conj = rng.choice([" AND ", " OR "])
+        sql = conj.join(f"k {op} {lit}" for _, op, lit in preds)
+        node = _parse_predicate(sql)
+        assert node is not None, sql
+        may = _pred_may_match(node, lambda c: (mn, mx))
+        if conj == " AND ":
+            truth = any(all(ops[op](r, lit) for _, op, lit in preds)
+                        for r in rows)
+        else:
+            truth = any(ops[op](r, lit) for r in rows
+                        for _, op, lit in preds)
+        assert may or not truth, f"unsound prune: {sql} [{mn},{mx}]"
+
+    for s in ("f(k) = 3", "NOT k = 3", "k IS NULL", "k = other_col",
+              "k LIKE 'a%'", "k + 1 = 3", "k IN (1, 2", "k BETWEEN 1",
+              "", "k = 3 extra", "k == == 3"):
+        assert _parse_predicate(s) is None, s
+
+    stat = lambda c: ("2020-01-01 00:00:00.000000",       # noqa: E731
+                      "2020-06-01 00:00:00.000000")
+    n = _parse_predicate("updated <= TIMESTAMP '2020-01-01 00:00:00'")
+    assert _pred_may_match(n, stat)    # boundary instant: candidate
+    assert not _pred_may_match(
+        _parse_predicate("updated <= '2019-12-31'"), stat)
+    assert _pred_may_match(
+        _parse_predicate("updated >= '2020-06-01'"), stat)
+    # IN / BETWEEN shapes
+    assert _pred_may_match(
+        _parse_predicate("k IN (99, -3)"), lambda c: (-5, 0))
+    assert not _pred_may_match(
+        _parse_predicate("k IN (99, 100)"), lambda c: (-5, 0))
+    assert _pred_may_match(
+        _parse_predicate("k BETWEEN -1 AND 99"), lambda c: (-5, 0))
+    assert not _pred_may_match(
+        _parse_predicate("k BETWEEN 1 AND 99"), lambda c: (-5, 0))
