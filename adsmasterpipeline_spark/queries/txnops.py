@@ -243,6 +243,63 @@ def txn_dv_restore_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_replace_where_feed",
+    """
+    WITH c AS (SELECT c_custkey,
+                      CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+               FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT c_custkey, cents, 'update_preimage' AS change_type
+    FROM c WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, cents + 100, 'update_postimage'
+    FROM c WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, cents, 'delete' FROM c WHERE c_custkey % 2 = 1
+    """,
+    "txn", "partition", "cdf",
+    doc="Dynamic partition overwrite (Delta's replaceWhere) served on "
+        "the change feed: bootstrap customers PARTITIONED BY market "
+        "segment, then atomically replace the BUILDING partition with "
+        "a recomputed batch (even-keyed customers repriced +100; "
+        "odd-keyed dropped) — only that partition's files are removed "
+        "(asserted), every other segment's files survive untouched. "
+        "The feed must key-diff the swap into exactly the update "
+        "pre/post pairs and deletes the oracle recomputes from the "
+        "customer table alone; a replace that leaked another "
+        "partition's rows or missed part of BUILDING hash-mismatches.")
+def txn_replace_where_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.txnlake import txn_table
+
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", cents.alias("cents"))
+    t = txn_table(spark, _scratch(sf_dir, "replace_where_feed"),
+                  key="c_custkey", cluster_writes=True,
+                  rows_per_file=100_000,
+                  partition_by=("c_mktsegment",))
+    t.overwrite(base)                                            # v0
+    newb = (base.where((F.col("c_mktsegment") == "BUILDING")
+                       & (F.col("c_custkey") % 2 == 0))
+            .withColumn("cents", F.col("cents") + F.lit(100)))
+    assert t.overwrite(
+        newb, replace_where="c_mktsegment = 'BUILDING'") == 1    # v1
+    # the dynamic-partition-overwrite shape, asserted at every SF:
+    # only the BUILDING partition's files were swapped
+    snap0_live = t._load_json(dict(t._entry_files())[0])["adds"]
+    e = t._load_json(dict(t._entry_files())[1])
+    assert e["replace_where"] == "c_mktsegment = 'BUILDING'"
+    removed = set(e["removes"])
+    parts = {a["path"]: a["part"]["c_mktsegment"]
+             for a in snap0_live}
+    assert all(parts[p] == "BUILDING" for p in removed)
+    assert removed == {p for p, seg in parts.items()
+                       if seg == "BUILDING"}
+    return t.changes(0, 1).select(
+        "c_custkey", "cents",
+        F.col("_change_type").alias("change_type"))
+
+
+@query(
     "txn_mor_merge_feed",
     """
     WITH mx AS (SELECT MAX(c_custkey) + 1 AS off FROM customer),

@@ -116,7 +116,14 @@ class TableStateError(FileNotFoundError):
 
 
 _LOST_FILE_MARKERS = ("PATH_NOT_FOUND", "FILE_NOT_EXIST",
-                      "FAILED_READ_FILE", "FileNotFoundException")
+                      "FAILED_READ_FILE", "FileNotFoundException",
+                      # a staged/DV dir whose every parquet was
+                      # collected mid-operation stops inferring a
+                      # schema — the lost-input signal's shape when
+                      # the DIRECTORY survives but its files don't
+                      # (every in-engine read.parquet targets dirs we
+                      # wrote non-empty, so this can only mean loss)
+                      "UNABLE_TO_INFER_SCHEMA")
 
 
 def _is_lost_file_error(exc: BaseException) -> bool:
@@ -214,10 +221,30 @@ class TxnTable:
                  bloom_bits: int = 0,
                  stats_cols: tuple[str, ...] = ("id", "updated"),
                  schema_evolution: bool = False,
-                 dv_broadcast_budget: int = 1_000_000):
+                 dv_broadcast_budget: int = 1_000_000,
+                 partition_by: tuple[str, ...] = ()):
         self.spark = spark
         self.path = os.path.abspath(path)
         self.key = key
+        # Hive-style partition columns (Delta's partitionedBy): every
+        # data file holds EXACTLY ONE combination of partition values
+        # (enforced at write time via the parquet writer's partitionBy
+        # on duplicated columns, then flattened back into the table's
+        # flat data/<commit>/<file> layout so the DV/position
+        # machinery's path invariants hold). Each add records the
+        # file's exact values under ``part`` AND mirrors them into the
+        # per-column [min,max] stats as point ranges — so every
+        # existing stat-pruning path (delete(where=), read_where,
+        # read_for_range, max_stat) prunes partitions EXACTLY for
+        # free, and ``overwrite(replace_where=...)`` can classify
+        # whole files in or out of a partition predicate soundly.
+        self.partition_by = tuple(partition_by)
+        if self.key in self.partition_by:
+            raise ValueError(
+                f"partition_by must not contain the table key "
+                f"{self.key!r}: partitioning on a unique key makes "
+                f"one partition per row")
+        self._guard_dv_columns(self.partition_by, "partition_by")
         self.checkpoint_every = checkpoint_every
         self.prune_key_limit = prune_key_limit
         # NON-KEY columns to record per-file min/max for (Delta's
@@ -692,15 +719,46 @@ class TxnTable:
         if self.cluster_writes and self.key in df.columns:
             n = df.count()
             nfiles = max(1, -(-n // self.rows_per_file))
-            df = df.repartitionByRange(nfiles, self.key)
-        df.write.mode("error").parquet(out_dir)
+            # on a partitioned table, range-cluster by (partition
+            # cols, key): each task then holds a CONTIGUOUS run of
+            # partition values, so the hive split below emits
+            # O(tasks + values) files instead of O(tasks x values)
+            cluster = [c for c in self.partition_by
+                       if c in df.columns] + [self.key]
+            df = df.repartitionByRange(nfiles, *cluster)
+        if self.partition_by:
+            missing = [c for c in self.partition_by
+                       if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"write batch is missing partition column(s) "
+                    f"{missing}: a partitioned table's every write "
+                    f"must carry its partition_by columns")
+            # partition on DUPLICATED columns so the values stay in
+            # the data files too (the writer consumes the dir-encoded
+            # columns; a bare partitionBy would strip them from the
+            # parquet, breaking flat per-file reads), then flatten the
+            # hive dirs back into this commit's flat dir — the log's
+            # data/<commit>/<file> path shape is load-bearing for the
+            # deletion-vector machinery (_rel_file_col).
+            wdf = df
+            for c in self.partition_by:
+                wdf = wdf.withColumn(f"__part_{c}", F.col(c))
+            (wdf.write.mode("error")
+             .partitionBy(*[f"__part_{c}" for c in self.partition_by])
+             .parquet(out_dir))
+            _flatten_partition_dirs(out_dir)
+        else:
+            df.write.mode("error").parquet(out_dir)
         names = sorted(n for n in os.listdir(out_dir)
                        if n.endswith(".parquet"))
         stats = {}
         if names and self.key in df.columns:
             tagged = (self.spark.read.parquet(out_dir)
                       .withColumn("_f", F.input_file_name()))
-            extras = [c for c in self.stats_cols
+            extras = [c for c in
+                      dict.fromkeys(list(self.stats_cols)
+                                    + list(self.partition_by))
                       if c != self.key and c in df.columns]
             aggs = [F.min(self.key).alias("mn"),
                     F.max(self.key).alias("mx"),
@@ -726,6 +784,23 @@ class TxnTable:
                         c: {"mn": _stat_encode(r[f"_mn{i}"]),
                             "mx": _stat_encode(r[f"_mx{i}"])}
                         for i, c in enumerate(extras)}
+                if self.partition_by:
+                    # exact per-file partition values, read back from
+                    # the stats aggregate (typed, _stat_encode domain)
+                    # rather than parsed out of hive dir names. Purity
+                    # (one value per file) is the writer's invariant;
+                    # an all-NULL value records as None (min/max skip
+                    # nulls), the hive default-partition analogue.
+                    part = {}
+                    for c in self.partition_by:
+                        cs = s["cols"][c]
+                        if cs["mn"] != cs["mx"]:
+                            raise RuntimeError(
+                                f"partition purity violated: file "
+                                f"{base} spans {c} range "
+                                f"[{cs['mn']!r}, {cs['mx']!r}]")
+                        part[c] = cs["mn"]
+                    s["part"] = part
                 if base in blooms:
                     s["bloom"] = blooms[base]
                     s["bloom_bits"] = self.bloom_bits
@@ -1065,6 +1140,28 @@ class TxnTable:
             df = df.where(F.col(col) <= F.lit(hi))
         return df
 
+    def read_where(self, where: str) -> DataFrame:
+        """Rows matching a SQL predicate string, opening ONLY the
+        data files whose per-file stats could hold a match — the
+        read-side twin of the stat-pruned ``delete(where=)``. On a
+        partitioned table the partition columns' stats are exact
+        point values, so a partition predicate prunes to exactly the
+        matching partitions' files (hive-style partition pruning);
+        range predicates on ``stats_cols`` prune by [min, max] like
+        ``read_for_range``. Unparseable predicate shapes scan every
+        live file; the exact row filter applies on top either way, so
+        the result always equals ``read().where(where)``."""
+        snap = self._snapshot()
+        if not snap.live:
+            raise TableStateError(
+                f"TxnTable at {self.path} has no committed data")
+        cands = self._prune_where_candidates(snap, where)
+        self.last_read_probe = {"live_files": len(snap.live),
+                                "candidate_files": sorted(cands)}
+        if not cands:
+            return self._empty_like(snap)
+        return self._read_live(cands, snap.dvs).where(where)
+
     def read_for_keys(self, keys: DataFrame) -> DataFrame:
         """Rows whose key appears in ``keys``, reading ONLY the data
         files whose stats range can contain one (the read-side twin of
@@ -1336,16 +1433,85 @@ class TxnTable:
 
     # ------------------------------------------------------ operations
     def overwrite(self, df: DataFrame,
-                  app_txn_id: str | None = None) -> int:
-        """Full-snapshot write (version 0 bootstrap or replace)."""
+                  app_txn_id: str | None = None,
+                  replace_where: str | None = None,
+                  retries: int = 0) -> int:
+        """Full-snapshot write (version 0 bootstrap or replace) — or,
+        with ``replace_where``, Delta's DYNAMIC PARTITION OVERWRITE
+        (``replaceWhere``): atomically swap out exactly the files of
+        the partitions matching the predicate for the new batch,
+        leaving every other partition's files untouched. The
+        predicate must be statically checkable (the same tiny
+        interval grammar ``delete(where=)`` prunes with) and may
+        reference ONLY ``partition_by`` columns — file-granular
+        removal is sound only when membership is a per-file constant
+        — and every incoming row must satisfy it (validated on the
+        staged parquet, one O(batch) pass; a violating batch is
+        refused with the staged files cleaned up, like a CHECK
+        refusal). At 100 TB this is the re-ingest primitive: replace
+        one day / one source shard in O(that partition), never
+        O(table)."""
+        for attempt in range(retries + 1):
+            try:
+                return self._overwrite_once(df, app_txn_id,
+                                            replace_where)
+            except CommitConflict:
+                if attempt == retries:
+                    raise
+            except Exception as exc:
+                if attempt == retries or not _is_lost_file_error(exc):
+                    raise
+
+    def _overwrite_once(self, df: DataFrame,
+                        app_txn_id: str | None,
+                        replace_where: str | None) -> int:
         snap = self._snapshot()
         if app_txn_id is not None and app_txn_id in snap.txn_ids:
             return snap.version
+        removes = list(snap.live)
+        constraints = dict(snap.constraints)
+        extra = None
+        if replace_where is not None:
+            if not self.partition_by:
+                raise ValueError(
+                    "overwrite(replace_where=...) requires a "
+                    "partitioned table (partition_by)")
+            node = _parse_predicate(replace_where)
+            if node is None:
+                raise ValueError(
+                    f"replace_where predicate {replace_where!r} is "
+                    f"not statically checkable (comparisons / IN / "
+                    f"BETWEEN over AND/OR on partition columns)")
+            stray = _pred_columns(node) - set(self.partition_by)
+            if stray:
+                raise ValueError(
+                    f"replace_where may reference only partition "
+                    f"columns {list(self.partition_by)}; got "
+                    f"{sorted(stray)}")
+            removes = []
+            for p, s in snap.live.items():
+                part = (s or {}).get("part")
+                if part is None or any(c not in part
+                                       for c in _pred_columns(node)):
+                    raise ValueError(
+                        f"replace_where: live file {p} has no "
+                        f"partition values for the predicate's "
+                        f"columns (written before partition_by?); "
+                        f"file-granular replacement would be unsound")
+                if _pred_exact_match(node, part):
+                    removes.append(p)
+            # every incoming row must fall INSIDE the replaced
+            # predicate (Delta refuses too) — enforced on the staged
+            # parquet below, same one-materialization discipline as
+            # CHECK constraints, with staged-file cleanup on refusal
+            constraints["replace_where"] = replace_where
+            extra = {"replace_where": replace_where}
         v = snap.version + 1
         adds = self._write_data(df, v)
-        self._validate_staged(adds, snap.constraints,
+        self._validate_staged(adds, constraints,
                               "the overwrite batch")
-        self._commit(v, adds, list(snap.live), "overwrite", app_txn_id,
+        self._commit(v, adds, removes, "overwrite", app_txn_id,
+                     extra=extra,
                      prior_live=snap.live, prior_dvs=snap.dvs)
         return v
 
@@ -1991,19 +2157,15 @@ class TxnTable:
             # raises AnalysisException here, and letting it escape
             # uncleaned would orphan the staged commit dir AND break
             # the ValueError error contract (code-review r10)
-            dirs = set()
-            for a in adds:
-                full = os.path.join(self.path, a["path"])
-                dirs.add(os.path.dirname(full))
-                try:
-                    os.unlink(full)
-                except OSError:
-                    pass
-            for d in dirs:
-                try:
-                    os.rmdir(d)
-                except OSError:
-                    pass
+            import shutil
+            for d in {os.path.dirname(os.path.join(self.path,
+                                                   a["path"]))
+                      for a in adds}:
+                # the staged commit dir is per-attempt (uuid-suffixed)
+                # and exclusively this write's: remove it whole, not
+                # file-by-file — rmdir left the dir behind whenever
+                # the writer dropped _SUCCESS/.crc markers in it
+                shutil.rmtree(d, ignore_errors=True)
             if isinstance(e, ValueError):
                 raise
             raise ValueError(
@@ -2384,14 +2546,33 @@ class TxnTable:
         cutoff = time.time() - min_age_seconds
         data_root = os.path.join(self.path, "data")
         deleted = []
+        import re as _re
         for root, _dirs, files in os.walk(data_root, topdown=False):
             # never touch a committer's in-flight staging tree: Spark's
             # Hadoop committer stages task output under _temporary/
             # before the job-commit rename, and those paths are (by
             # design) referenced by no snapshot — Delta's VACUUM skips
             # the same staging convention
-            if "_temporary" in os.path.relpath(
-                    root, data_root).split(os.sep):
+            parts = os.path.relpath(root, data_root).split(os.sep)
+            if "_temporary" in parts:
+                continue
+            # nor an IN-FLIGHT writer's staged commit/DV dir: both
+            # families encode their target version (commit-%08d-*,
+            # dv-%08d-*), and a dir staged for a version ABOVE the
+            # currently-committed latest belongs to a writer whose
+            # commit can still land — collecting it would let that
+            # commit publish pointers to nothing (silent data loss)
+            # or crash its stats read-back mid-write (the round-10/11
+            # maintenance-race flake: a merge slower than
+            # min_age_seconds lost its staged files to this walk).
+            # A staged dir AT or BELOW the latest version can never
+            # commit (the version is taken — its writer gets a
+            # CommitConflict and restages), so it ages out normally;
+            # crashed attempts above latest are collected as soon as
+            # the next commit advances the version past them.
+            m = _re.match(r"(?:commit|dv)-(\d{8})-", parts[0]) \
+                if root != data_root else None
+            if m and int(m.group(1)) > latest:
                 continue
             for name in files:
                 full = os.path.join(root, name)
@@ -2701,6 +2882,87 @@ def _pred_may_match(node, stat_fn) -> bool:
         except TypeError:
             return True
     return True
+
+
+def _flatten_partition_dirs(out_dir: str) -> None:
+    """Move the hive-partitioned writer output's nested
+    ``__part_c=v/.../part-*.parquet`` files up into ``out_dir`` with
+    collision-proof names (part-file basenames repeat across hive
+    dirs), then drop the emptied dirs — restoring the flat
+    ``data/<commit>/<file>`` layout the position machinery's
+    ``_rel_file_col`` three-component invariant relies on. Values are
+    NOT parsed from the dir names: the stats pass reads them back
+    typed from the data itself."""
+    import shutil
+    seq = 0
+    for root, _dirs, files in sorted(os.walk(out_dir)):
+        if root == out_dir:
+            continue
+        for name in sorted(files):
+            if name.endswith(".parquet") and not name.startswith("."):
+                os.rename(os.path.join(root, name),
+                          os.path.join(out_dir, f"p{seq:05d}-{name}"))
+                seq += 1
+    for name in os.listdir(out_dir):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+
+def _pred_columns(node) -> set:
+    """Column names referenced by a ``_parse_predicate`` AST."""
+    if node[0] in ("and", "or"):
+        return _pred_columns(node[1]) | _pred_columns(node[2])
+    return {node[1]}
+
+
+def _pred_exact_match(node, vals: dict) -> bool:
+    """Evaluate a parsed predicate against EXACT point values (a
+    partitioned file's ``part`` dict) with SQL comparison semantics:
+    a NULL value matches no comparison. Unlike ``_pred_may_match``
+    this must never guess — an incomparable literal/value pair (user
+    wrote ``p = 5`` against a string partition) raises instead of
+    silently picking a side, because the caller is deciding whether
+    to DROP the file."""
+    op = node[0]
+    if op == "and":
+        return (_pred_exact_match(node[1], vals)
+                and _pred_exact_match(node[2], vals))
+    if op == "or":
+        return (_pred_exact_match(node[1], vals)
+                or _pred_exact_match(node[2], vals))
+    if op == "cmp":
+        _, col, cmp_op, lit = node
+        v = vals[col]
+        if v is None:
+            return False
+        v, lit = _pred_coerce(v, lit)
+        try:
+            if cmp_op in ("=", "=="):
+                return v == lit
+            if cmp_op in ("!=", "<>"):
+                return v != lit
+            return {"<": v < lit, "<=": v <= lit,
+                    ">": v > lit, ">=": v >= lit}[cmp_op]
+        except TypeError:
+            raise ValueError(
+                f"replace_where: literal {lit!r} is not comparable "
+                f"with partition column {col!r} value {v!r}")
+    # op == "in"
+    _, col, lits = node
+    v = vals[col]
+    if v is None:
+        return False
+    hit = False
+    for l in lits:
+        vc, lc = _pred_coerce(v, l)
+        try:
+            hit = hit or vc == lc
+        except TypeError:
+            raise ValueError(
+                f"replace_where: literal {l!r} is not comparable "
+                f"with partition column {col!r} value {v!r}")
+    return hit
 
 
 def _decode_uri(uri: str) -> str:

@@ -14,6 +14,7 @@ import datetime as dt
 import hashlib
 import json as _json
 import os
+import traceback
 
 import pytest
 from pyspark.sql import functions as F
@@ -459,8 +460,12 @@ def test_txn_vacuum_and_history(spark, tmp_path):
     for i in range(4):                                           # v1..v4
         t.merge(_recs(spark, [("B1", 10 + i)]),
                 app_txn_id=f"b{i}")
-    # orphan from a crashed attempt: never referenced by any commit
-    orphan_dir = os.path.join(path, "data", "commit-00000009-dead0000")
+    # orphan from a crashed attempt at a version other writers have
+    # since taken (v2 <= latest: its commit can only ever conflict,
+    # so it is collectable; an orphan staged ABOVE latest is
+    # protected as possibly in-flight — see
+    # test_vacuum_protects_inflight_staged_dirs)
+    orphan_dir = os.path.join(path, "data", "commit-00000002-dead0000")
     os.makedirs(orphan_dir)
     _recs(spark, [("ZZ", 0)]).write.mode("overwrite").parquet(orphan_dir)
 
@@ -839,7 +844,7 @@ def test_txn_restore_races_vacuum_threads(spark, tmp_path):
                 assert got == want_rows, (v, target, got)
                 ok["restores"] += 1
         except Exception as exc:
-            errors.append(exc)
+            errors.append(traceback.format_exc())
 
     def vacuumer():
         tv = txn_table(spark, path, rows_per_file=1000)
@@ -847,7 +852,7 @@ def test_txn_restore_races_vacuum_threads(spark, tmp_path):
             while not stop.is_set():
                 tv.vacuum(keep_versions=1, min_age_seconds=2.0)
         except Exception as exc:
-            errors.append(exc)
+            errors.append(traceback.format_exc())
 
     rth = threading.Thread(target=restorer)
     vth = threading.Thread(target=vacuumer)
@@ -857,7 +862,7 @@ def test_txn_restore_races_vacuum_threads(spark, tmp_path):
     stop.set()
     vth.join(timeout=600)
 
-    assert not errors, errors
+    assert not errors, "\n".join(str(e) for e in errors)
     assert ok["restores"] >= 8, ok
     final = sorted(tuple(r)
                    for r in txn_table(spark, path).read().collect())
@@ -1420,7 +1425,7 @@ def test_txn_concurrent_writers_threads(spark, tmp_path):
                 t.merge(_recs(spark, rows), app_txn_id=f"w{w}-b{b}",
                         retries=32)
         except Exception as exc:           # surface into the assert
-            errors.append(exc)
+            errors.append(traceback.format_exc())
 
     threads = [threading.Thread(target=writer, args=(w,))
                for w in range(n_writers)]
@@ -1428,7 +1433,7 @@ def test_txn_concurrent_writers_threads(spark, tmp_path):
         th.start()
     for th in threads:
         th.join(timeout=600)
-    assert not errors, errors
+    assert not errors, "\n".join(str(e) for e in errors)
 
     t = txn_table(spark, path)
     assert t.version() == n_writers * n_batches      # every commit landed
@@ -1640,7 +1645,7 @@ def test_txn_concurrent_writers_with_compactor(spark, tmp_path):
                 t.merge(_recs(spark, rows), app_txn_id=f"w{w}-b{b}",
                         retries=64)
         except Exception as exc:
-            errors.append(exc)
+            errors.append(traceback.format_exc())
 
     def compactor():
         try:
@@ -1648,7 +1653,7 @@ def test_txn_concurrent_writers_with_compactor(spark, tmp_path):
             while not stop.is_set():
                 t.compact(retries=64)
         except Exception as exc:
-            errors.append(exc)
+            errors.append(traceback.format_exc())
 
     threads = [threading.Thread(target=writer, args=(w,))
                for w in range(n_writers)]
@@ -1660,7 +1665,7 @@ def test_txn_concurrent_writers_with_compactor(spark, tmp_path):
         th.join(timeout=600)
     stop.set()
     cth.join(timeout=600)
-    assert not errors, errors
+    assert not errors, "\n".join(str(e) for e in errors)
 
     t = txn_table(spark, path)
     hist = t.history()
@@ -1718,7 +1723,7 @@ def test_txn_concurrent_maintenance_feed_complete_or_raises(
                             [(k,) for k in dels], "bibcode string"),
                         app_txn_id=f"w{w}-b{b}", retries=64)
         except Exception as exc:
-            errors.append(exc)
+            errors.append(traceback.format_exc())
 
     def maintenance():
         # min_age_seconds=2 mirrors Delta's modification-time guard
@@ -1742,7 +1747,7 @@ def test_txn_concurrent_maintenance_feed_complete_or_raises(
                     t.cleanup_log(keep_versions=8)
                 time.sleep(0.05)
         except Exception as exc:
-            errors.append(exc)
+            errors.append(traceback.format_exc())
 
     def reader():
         rrng = random.Random(seed + 2)
@@ -1800,7 +1805,7 @@ def test_txn_concurrent_maintenance_feed_complete_or_raises(
     mth.join(timeout=600)
     rth.join(timeout=600)
 
-    assert not errors, errors
+    assert not errors, "\n".join(str(e) for e in errors)
     assert not mismatches, mismatches[:3]
     # the reader genuinely observed served feeds under concurrency
     assert stats["served_verified"] >= 1, stats
@@ -2096,3 +2101,58 @@ def test_predicate_pruning_soundness_fuzz():
         _parse_predicate("k BETWEEN -1 AND 99"), lambda c: (-5, 0))
     assert not _pred_may_match(
         _parse_predicate("k BETWEEN 1 AND 99"), lambda c: (-5, 0))
+
+
+def test_vacuum_protects_inflight_staged_dirs(spark, tmp_path):
+    """The round-10/11 maintenance-race flake's root cause: a writer
+    slower than ``min_age_seconds`` between staging its data files
+    and publishing its commit lost them to a concurrent vacuum (the
+    mtime guard is a heuristic, not a guarantee). Staged commit/DV
+    dirs encode their target version; vacuum must protect any dir
+    staged ABOVE the committed latest (its commit can still land) no
+    matter how old — and may collect it once the version is taken
+    (its writer can only ever CommitConflict)."""
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, key="id")
+    df = spark.range(10).select("id", (F.col("id") * 2).alias("v"))
+    t.overwrite(df)                                   # latest = 0
+
+    # stage an in-flight attempt for version 1, then age it far past
+    # any retention window
+    adds = t._write_data(df, 1)
+    assert adds
+    staged = {os.path.join(path, a["path"]) for a in adds}
+    for p in staged | {os.path.dirname(next(iter(staged)))}:
+        os.utime(p, (1, 1))
+    t.vacuum(keep_versions=1, min_age_seconds=0)
+    assert all(os.path.exists(p) for p in staged), \
+        "vacuum collected an in-flight staged dir above latest"
+    # its commit can indeed still land
+    t._commit(1, adds, [], "merge", None)
+    assert {r["id"] for r in t.read().collect()} == set(range(10))
+
+    # a staged dir AT OR BELOW latest is doomed (version taken):
+    # collectable once aged
+    orphan = t._write_data(df, 1)                 # latest is already 1
+    opaths = {os.path.join(path, a["path"]) for a in orphan}
+    for p in opaths | {os.path.dirname(next(iter(opaths)))}:
+        os.utime(p, (1, 1))
+    deleted = t.vacuum(keep_versions=1, min_age_seconds=0)
+    assert {a["path"] for a in orphan} <= set(deleted)
+
+
+def test_lost_file_error_matches_empty_staged_dir(spark, tmp_path):
+    """A read.parquet over a dir whose files a concurrent vacuum
+    collected raises UNABLE_TO_INFER_SCHEMA — the lost-input shape
+    when the directory itself survives. It must classify as a
+    rebase trigger (round-11 flake hardening)."""
+    from adsmasterpipeline_spark.sinks.txnlake import \
+        _is_lost_file_error
+    d = str(tmp_path / "hollow")
+    os.makedirs(d)
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+    try:
+        spark.read.parquet(d).collect()
+        raise AssertionError("expected an analysis error")
+    except Exception as exc:
+        assert _is_lost_file_error(exc), exc

@@ -1,0 +1,263 @@
+"""Hive-style partition columns + dynamic partition overwrite
+(Delta's ``partitionedBy`` / ``replaceWhere``, VLDB'20 + public Delta
+docs) for TxnTable. Every data file holds exactly ONE combination of
+partition values (writer-enforced, stats-verified), the values ride
+the per-file stats as exact point ranges so every stat-pruning path
+prunes partitions for free, and ``overwrite(replace_where=...)``
+atomically swaps out exactly the matching partitions' files.
+
+Reference analogue: the reference re-ingests a bibcode list by
+re-running the whole pipeline over it (/root/reference/run.py); the
+partitioned lake replaces one source shard in O(that partition).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from adsmasterpipeline_spark.sinks.txnlake import txn_table
+
+from test_txnlake import _file_hashes
+
+
+def _ptable(spark, tmp_path, **kw):
+    t = txn_table(spark, str(tmp_path / "t"), key="id",
+                  partition_by=("seg",), cluster_writes=True,
+                  rows_per_file=50, **kw)
+    df = spark.range(90).select(
+        "id",
+        F.element_at(F.array(F.lit("A"), F.lit("B"), F.lit("C")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("seg"),
+        (F.col("id") * 10).alias("v"))
+    assert t.overwrite(df) == 0
+    return t
+
+
+def test_partition_files_are_pure_and_record_values(spark, tmp_path):
+    t = _ptable(spark, tmp_path)
+    snap = t._snapshot()
+    vals = set()
+    for p, s in snap.live.items():
+        part = s["part"]
+        assert set(part) == {"seg"}
+        vals.add(part["seg"])
+        # the file really holds only its recorded value
+        distinct = (spark.read.parquet(os.path.join(t.path, p))
+                    .select("seg").distinct().collect())
+        assert [r["seg"] for r in distinct] == [part["seg"]]
+        # and the mirrored column stats are the point range
+        assert s["cols"]["seg"]["mn"] == s["cols"]["seg"]["mx"] \
+            == part["seg"]
+    assert vals == {"A", "B", "C"}
+
+
+def test_read_where_prunes_to_one_partition(spark, tmp_path):
+    t = _ptable(spark, tmp_path)
+    got = {r["id"] for r in t.read_where("seg = 'B'").collect()}
+    assert got == {i for i in range(90) if i % 3 == 1}
+    probe = t.last_read_probe
+    snap = t._snapshot()
+    expect = sorted(p for p, s in snap.live.items()
+                    if s["part"]["seg"] == "B")
+    assert probe["candidate_files"] == expect
+    assert len(probe["candidate_files"]) < probe["live_files"]
+
+
+def test_replace_where_swaps_exactly_one_partition(spark, tmp_path):
+    t = _ptable(spark, tmp_path)
+    before = _file_hashes(t.path)
+    snap0 = t._snapshot()
+    keep = {p for p, s in snap0.live.items()
+            if s["part"]["seg"] != "B"}
+    newb = spark.createDataFrame(
+        [(1000 + i, "B", -1) for i in range(5)],
+        "id long, seg string, v long")
+    assert t.overwrite(newb, replace_where="seg = 'B'") == 1
+    # untouched partitions' files survive byte-identical
+    after = _file_hashes(t.path)
+    snap1 = t._snapshot()
+    assert keep <= set(snap1.live)
+    for p in keep:
+        assert after[p] == before[p]
+    # old B files are gone from the live set, new ones carry B only
+    assert all(snap1.live[p]["part"]["seg"] == "B"
+               for p in set(snap1.live) - keep)
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    expect = {i: i * 10 for i in range(90) if i % 3 != 1}
+    expect.update({1000 + i: -1 for i in range(5)})
+    assert rows == expect
+
+
+def test_replace_where_feed_is_deletes_plus_inserts(spark, tmp_path):
+    t = _ptable(spark, tmp_path)
+    newb = spark.createDataFrame(
+        [(1000, "C", 7)], "id long, seg string, v long")
+    v = t.overwrite(newb, replace_where="seg = 'C'")
+    feed = t.changes(v - 1, v).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    assert by_type["delete"] == {i for i in range(90) if i % 3 == 2}
+    assert by_type["insert"] == {1000}
+    assert set(by_type) == {"delete", "insert"}
+
+
+def test_replace_where_refuses_rows_outside_predicate(spark, tmp_path):
+    t = _ptable(spark, tmp_path)
+    v0 = t.version()
+    bad = spark.createDataFrame(
+        [(1000, "B", 0), (1001, "A", 0)],
+        "id long, seg string, v long")
+    with pytest.raises(ValueError, match="replace_where"):
+        t.overwrite(bad, replace_where="seg = 'B'")
+    assert t.version() == v0
+    # the refused write leaves no orphan staged files
+    dirs = {os.path.dirname(p) for p in t._snapshot().live}
+    on_disk = {os.path.join("data", d)
+               for d in os.listdir(os.path.join(t.path, "data"))}
+    assert on_disk == dirs
+
+
+def test_replace_where_refuses_non_partition_predicate(spark, tmp_path):
+    t = _ptable(spark, tmp_path)
+    b = spark.createDataFrame([(1, "B", 0)],
+                              "id long, seg string, v long")
+    with pytest.raises(ValueError, match="only partition columns"):
+        t.overwrite(b, replace_where="v = 1")
+    with pytest.raises(ValueError, match="statically checkable"):
+        t.overwrite(b, replace_where="length(seg) = 1")
+    # unpartitioned table refuses outright
+    t2 = txn_table(spark, str(tmp_path / "u"), key="id")
+    t2.overwrite(spark.range(3).select("id"))
+    with pytest.raises(ValueError, match="partitioned table"):
+        t2.overwrite(spark.range(3).select("id"),
+                     replace_where="id = 1")
+
+
+def test_replace_where_compound_predicates(spark, tmp_path):
+    t = _ptable(spark, tmp_path)
+    newb = spark.createDataFrame(
+        [(2000, "A", 1), (2001, "C", 1)],
+        "id long, seg string, v long")
+    v = t.overwrite(newb, replace_where="seg IN ('A', 'C')")
+    rows = {r["id"] for r in t.read().collect()}
+    assert rows == ({i for i in range(90) if i % 3 == 1}
+                    | {2000, 2001})
+    # != form: replace everything that is not B
+    snap = t._snapshot()
+    assert all(s["part"]["seg"] == "B" or s["part"]["seg"] in
+               ("A", "C") for s in snap.live.values())
+    v2 = t.overwrite(newb, replace_where="seg != 'B'")
+    assert v2 == v + 1
+    rows = {r["id"] for r in t.read().collect()}
+    assert rows == ({i for i in range(90) if i % 3 == 1}
+                    | {2000, 2001})
+
+
+def test_null_partition_value_round_trips(spark, tmp_path):
+    t = txn_table(spark, str(tmp_path / "t"), key="id",
+                  partition_by=("seg",))
+    df = spark.createDataFrame(
+        [(0, "A", 1), (1, None, 2), (2, None, 3)],
+        "id long, seg string, v long")
+    t.overwrite(df)
+    snap = t._snapshot()
+    nulls = [p for p, s in snap.live.items()
+             if s["part"]["seg"] is None]
+    assert nulls
+    got = {(r["id"], r["seg"], r["v"]) for r in t.read().collect()}
+    assert got == {(0, "A", 1), (1, None, 2), (2, None, 3)}
+    # comparisons never match NULL: the null partition survives a
+    # replace, and a null-seg batch row is refused (NULL violates)
+    t.overwrite(spark.createDataFrame([(10, "A", 9)],
+                                      "id long, seg string, v long"),
+                replace_where="seg = 'A'")
+    got = {r["id"] for r in t.read().collect()}
+    assert got == {1, 2, 10}
+    with pytest.raises(ValueError, match="replace_where"):
+        t.overwrite(
+            spark.createDataFrame([(11, None, 9)],
+                                  "id long, seg string, v long"),
+            replace_where="seg = 'A'")
+
+
+def test_replace_where_idempotent_replay(spark, tmp_path):
+    t = _ptable(spark, tmp_path)
+    newb = spark.createDataFrame([(1000, "B", -1)],
+                                 "id long, seg string, v long")
+    v = t.overwrite(newb, replace_where="seg = 'B'",
+                    app_txn_id="rw-1")
+    assert t.overwrite(newb, replace_where="seg = 'B'",
+                       app_txn_id="rw-1") == v
+    assert t.version() == v
+    assert t.read().where("seg = 'B'").count() == 1
+
+
+def test_merge_and_compact_preserve_partition_purity(spark, tmp_path):
+    t = _ptable(spark, tmp_path)
+    ups = spark.createDataFrame(
+        [(1, "B", 111), (3000, "A", 5), (3001, "C", 6)],
+        "id long, seg string, v long")
+    t.merge(ups)
+    t.compact(small_rows_threshold=10_000)   # bin-pack everything
+    snap = t._snapshot()
+    for p, s in snap.live.items():
+        part = s["part"]
+        distinct = (spark.read.parquet(os.path.join(t.path, p))
+                    .select("seg").distinct().collect())
+        assert [r["seg"] for r in distinct] == [part["seg"]]
+    rows = {r["id"]: (r["seg"], r["v"]) for r in t.read().collect()}
+    assert rows[1] == ("B", 111)
+    assert rows[3000] == ("A", 5) and rows[3001] == ("C", 6)
+    assert len(rows) == 92
+
+
+def test_replace_where_refuses_unpartitioned_history(spark, tmp_path):
+    """Files written BEFORE partition_by have no part values: a
+    replace_where over them must refuse (file-granular replacement
+    would be unsound), not guess."""
+    path = str(tmp_path / "t")
+    t0 = txn_table(spark, path, key="id")
+    t0.overwrite(spark.createDataFrame(
+        [(0, "A", 1)], "id long, seg string, v long"))
+    t1 = txn_table(spark, path, key="id", partition_by=("seg",))
+    with pytest.raises(ValueError, match="no partition values"):
+        t1.overwrite(spark.createDataFrame(
+            [(1, "A", 2)], "id long, seg string, v long"),
+            replace_where="seg = 'A'")
+
+
+def test_partition_by_rejects_key_and_reserved(spark, tmp_path):
+    with pytest.raises(ValueError, match="table key"):
+        txn_table(spark, str(tmp_path / "a"), key="id",
+                  partition_by=("id",))
+    with pytest.raises(ValueError, match="deletion-vector"):
+        txn_table(spark, str(tmp_path / "b"), key="id",
+                  partition_by=("_dv_file",))
+
+
+def test_partitioned_write_requires_partition_columns(spark, tmp_path):
+    t = txn_table(spark, str(tmp_path / "t"), key="id",
+                  partition_by=("seg",))
+    with pytest.raises(ValueError, match="missing partition column"):
+        t.overwrite(spark.range(3).select("id"))
+
+
+def test_partitioned_dv_delete_and_restore(spark, tmp_path):
+    """Deletion vectors compose with partitioning: a DV delete masks
+    rows inside partition-pure files without rewriting them, and the
+    partition metadata survives restore."""
+    t = _ptable(spark, tmp_path)
+    before = _file_hashes(t.path)
+    assert t.delete(where="v >= 600") == 1
+    after = _file_hashes(t.path)
+    assert all(after[p] == h for p, h in before.items())  # no rewrite
+    got = {r["id"] for r in t.read_where("seg = 'A'").collect()}
+    assert got == {i for i in range(90) if i % 3 == 0 and i * 10 < 600}
+    t.restore(0)
+    assert t.read().count() == 90
+    assert all(s["part"]["seg"] in ("A", "B", "C")
+               for s in t._snapshot().live.values())

@@ -29,4 +29,6 @@ echo "=== txnprobe (incl. change-feed consumer) ==="
 python tools/txn_reindex_probe.py --json "TXNPROBE_${R}.json" 2>/dev/null | tail -8
 echo "=== dv probe (deletion vectors vs copy-on-write) ==="
 python tools/dv_probe.py --json "DVPROBE_${R}.json" 2>/dev/null | tail -2
+echo "=== partition probe (replaceWhere vs full overwrite) ==="
+python tools/partition_probe.py --json "PARTPROBE_${R}.json" 2>/dev/null | tail -2
 echo "=== ALL ARTIFACTS DONE ==="
