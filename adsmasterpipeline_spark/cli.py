@@ -761,7 +761,9 @@ def cmd_lake(args) -> int:
     (sinks/txnlake.py)."""
     from .sinks.txnlake import txn_table
     spark = _spark()
-    t = txn_table(spark, args.path, key=args.key)
+    pby = tuple(args.partition_by.split(",")) \
+        if getattr(args, "partition_by", None) else ()
+    t = txn_table(spark, args.path, key=args.key, partition_by=pby)
     out: dict = {"version": t.version()}
     if args.action == "history":
         out["history"] = t.history()
@@ -872,6 +874,29 @@ def cmd_lake(args) -> int:
         out["probe"] = {
             "live_files": p_.get("live_files"),
             "candidate_files": len(p_.get("candidate_files") or [])}
+    elif args.action == "replace":
+        # dynamic partition overwrite (Delta's replaceWhere): swap the
+        # partitions matching --expr for the batch parquet at --from.
+        # The table's own declared partitioning is adopted from the
+        # log; --partition-by only matters when declaring it on a
+        # fresh table.
+        if not args.expr or not args.from_path:
+            raise SystemExit(
+                "lake replace needs --expr PARTITION_PREDICATE "
+                "--from PARQUET_DIR")
+        try:
+            out["version"] = t.overwrite(
+                spark.read.parquet(args.from_path),
+                replace_where=args.expr)
+        except (ValueError, FileNotFoundError) as e:
+            print(json.dumps({"error": str(e), "expr": args.expr}))
+            return 1
+        entry = t._load_json(dict(t._entry_files())[out["version"]])
+        out["files_removed"] = len(entry.get("removes") or [])
+        out["files_added"] = len(entry.get("adds") or [])
+        out["rows_written"] = sum(
+            (a.get("rows") or 0) for a in entry.get("adds") or [])
+        out["live_files"] = len(t.live_files())
     elif args.action == "changes":
         # change-data-feed inspection (Delta's table_changes shape):
         # per-change-type counts + the feed's file probe; --since/--to
@@ -1017,11 +1042,12 @@ def main(argv=None) -> int:
     pl = sub.add_parser(
         "lake",
         help="TxnTable history/compact/vacuum/cleanup-log/changes/"
-             "restore/set-constraint/drop-constraint/delete")
+             "restore/set-constraint/drop-constraint/delete/replace")
     pl.add_argument("action", choices=["history", "compact", "vacuum",
                                        "cleanup-log", "changes",
                                        "restore", "set-constraint",
-                                       "drop-constraint", "delete"])
+                                       "drop-constraint", "delete",
+                                       "replace"])
     pl.add_argument("--name", help="constraint name")
     pl.add_argument("--expr",
                     help="set-constraint: boolean SQL expression "
@@ -1035,6 +1061,13 @@ def main(argv=None) -> int:
                          "(default: latest); restore: the target "
                          "version to restore the table state to")
     pl.add_argument("--path", required=True)
+    pl.add_argument("--from", dest="from_path", default=None,
+                    help="replace: parquet dir holding the new "
+                         "batch for the replaced partitions")
+    pl.add_argument("--partition-by", default=None,
+                    help="comma-separated partition columns (only "
+                         "needed to DECLARE partitioning; an already-"
+                         "partitioned table is adopted from its log)")
     pl.add_argument("--key", default="bibcode")
     pl.add_argument("--rows-per-file", type=int, default=None)
     pl.add_argument("--purge-dvs", action="store_true",

@@ -200,6 +200,11 @@ class Snapshot:
     txn_ids: set[str] = field(default_factory=set)
     constraints: dict[str, str] = field(default_factory=dict)
     dvs: dict[str, dict] = field(default_factory=dict)
+    # table-level partition columns (Delta's metaData.partitionColumns
+    # analogue): declared by the first partitioned write's entry,
+    # carried by checkpoints, adopted by handles opened without
+    # ``partition_by``
+    partition_by: tuple = ()
 
 
 def _as_add(a) -> tuple[str, dict | None]:
@@ -367,6 +372,9 @@ class TxnTable:
             snap.constraints[n] = expr
         for n in e.get("constraint_drop") or []:
             snap.constraints.pop(n, None)
+        # partition-column declaration (metaData.partitionColumns)
+        if "partition_by" in e:
+            snap.partition_by = tuple(e["partition_by"])
 
     def _snapshot(self, as_of: int | None = None) -> Snapshot:
         """One log read per operation — with a bounded internal retry
@@ -412,6 +420,8 @@ class TxnTable:
                 snap.txn_ids = set(data["txn_ids"])
                 snap.constraints = dict(data.get("constraints") or {})
                 snap.dvs = dict(data.get("dvs") or {})
+                snap.partition_by = tuple(
+                    data.get("partition_by") or ())
             except (OSError, ValueError, KeyError, TypeError):
                 # missing OR corrupt checkpoint: the retained log can
                 # rebuild the state — fall back rather than wedging
@@ -547,7 +557,9 @@ class TxnTable:
                 "constraints": snap.constraints,
                 # deletion-vector pointers likewise outlive their
                 # delete entries once the log head is cleaned
-                "dvs": snap.dvs}
+                "dvs": snap.dvs,
+                # partition declaration outlives its declaring entry
+                "partition_by": list(snap.partition_by)}
         d = self._log_dir()
         tmp = os.path.join(d, f".tmp-cp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -893,6 +905,32 @@ class TxnTable:
                 f"{what}: column name(s) {clash} collide with the "
                 f"deletion-vector working columns (_dv_file/_dv_pos/"
                 f"_dv_commit are reserved); rename them first")
+
+    def _reconcile_partitioning(self, snap: Snapshot,
+                                full_overwrite: bool = False) -> dict:
+        """Align this handle's ``partition_by`` with the TABLE's
+        declared partition columns (Delta's metaData.partitionColumns
+        analogue, folded from the log / checkpoints). A handle opened
+        without ``partition_by`` ADOPTS the table's declaration — so
+        a reopened table keeps writing partition-pure files — and a
+        conflicting declaration refuses unless the operation is a
+        full overwrite (the only op that replaces every file, making
+        a re-partitioning sound). Returns the entry fields declaring
+        a new/changed partitioning ({} when nothing changes); every
+        write path calls this right after taking its snapshot."""
+        mine, theirs = self.partition_by, snap.partition_by
+        if not mine and theirs:
+            self.partition_by = tuple(theirs)       # adopt
+            return {}
+        if tuple(mine) == tuple(theirs):
+            return {}
+        if theirs and not full_overwrite:
+            raise ValueError(
+                f"table at {self.path} is partitioned by "
+                f"{list(theirs)} but this handle was opened with "
+                f"partition_by={list(mine)}; changing the "
+                f"partitioning requires a full overwrite()")
+        return {"partition_by": list(mine)}
 
     def _with_pos(self, df: DataFrame) -> DataFrame:
         """Tag each row with its source file's rel path and its
@@ -1468,6 +1506,8 @@ class TxnTable:
         snap = self._snapshot()
         if app_txn_id is not None and app_txn_id in snap.txn_ids:
             return snap.version
+        pmeta = self._reconcile_partitioning(
+            snap, full_overwrite=replace_where is None)
         removes = list(snap.live)
         constraints = dict(snap.constraints)
         extra = None
@@ -1511,7 +1551,7 @@ class TxnTable:
         self._validate_staged(adds, constraints,
                               "the overwrite batch")
         self._commit(v, adds, removes, "overwrite", app_txn_id,
-                     extra=extra,
+                     extra={**(extra or {}), **pmeta} or None,
                      prior_live=snap.live, prior_dvs=snap.dvs)
         return v
 
@@ -1655,6 +1695,7 @@ class TxnTable:
         snap = self._snapshot()
         if app_txn_id is not None and app_txn_id in snap.txn_ids:
             return snap.version
+        pmeta = self._reconcile_partitioning(snap)
         if deleted_keys is None:
             deleted_keys = changed.select(key).limit(0)
         deleted_keys = deleted_keys.select(key).distinct()
@@ -1691,6 +1732,7 @@ class TxnTable:
         extra: dict = {}
         if matched is not None:
             dead, extra = self._mask_commit_parts(matched, snap, v)
+        extra.update(pmeta)
         self.last_merge_probe = {
             "live_files": len(snap.live),
             "candidate_files": sorted(candidates),
@@ -1734,6 +1776,7 @@ class TxnTable:
         snap = self._snapshot()
         if app_txn_id is not None and app_txn_id in snap.txn_ids:
             return snap.version
+        pmeta = self._reconcile_partitioning(snap)
         if deleted_keys is None:
             deleted_keys = changed.select(key).limit(0)
         deleted_keys = deleted_keys.select(key).distinct()
@@ -1805,6 +1848,7 @@ class TxnTable:
         self._validate_staged(adds, snap.constraints,
                               "the merge batch")
         self._commit(v, adds, touched, "merge", app_txn_id,
+                     extra=pmeta or None,
                      prior_live=snap.live, prior_dvs=snap.dvs)
         return v
 
@@ -1864,6 +1908,7 @@ class TxnTable:
         snap = self._snapshot()
         if app_txn_id is not None and app_txn_id in snap.txn_ids:
             return snap.version
+        pmeta = self._reconcile_partitioning(snap)
         if not snap.live:
             raise TableStateError(
                 f"TxnTable at {self.path} has no committed data")
@@ -1891,6 +1936,7 @@ class TxnTable:
         dead, extra = self._mask_commit_parts(matched, snap, v)
         if not dead and not extra:
             return snap.version        # nothing matched: no commit
+        extra.update(pmeta)
         self._commit(v, [], dead, "delete", app_txn_id,
                      extra=extra or None,
                      prior_live=snap.live, prior_dvs=snap.dvs)
@@ -2016,6 +2062,7 @@ class TxnTable:
         thr = (self.rows_per_file // 2 if small_rows_threshold is None
                else small_rows_threshold)
         snap = self._snapshot()
+        pmeta = self._reconcile_partitioning(snap)
 
         def _masked(p) -> int:
             return snap.dvs.get(p, {}).get("card", 0)
@@ -2094,6 +2141,7 @@ class TxnTable:
         finally:
             self.cluster_writes = cw
         self._commit(v, adds, sorted(small), "compact", None,
+                     extra=pmeta or None,
                      prior_live=snap.live, prior_dvs=snap.dvs)
         return v
 

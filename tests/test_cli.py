@@ -694,3 +694,48 @@ def test_cli_lake_compact_purge_and_zorder(spark, tmp_path, capsys):
                  "--zorder", "a,nope"]) == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "error" in err
+
+
+def test_cli_lake_replace_partition(spark, tmp_path, capsys):
+    """`lake replace --expr P --from DIR`: dynamic partition
+    overwrite from the CLI. The partitioning is DECLARED once with
+    --partition-by and thereafter adopted from the table's own log;
+    a batch outside the predicate reports on the JSON error
+    contract."""
+    import json
+
+    from adsmasterpipeline_spark.cli import main
+    from adsmasterpipeline_spark.sinks.txnlake import txn_table
+
+    path = str(tmp_path / "records")
+    t = txn_table(spark, path, key="bibcode", partition_by=("src",))
+    t.overwrite(spark.createDataFrame(
+        [("B1", "arxiv", 1), ("B2", "arxiv", 2), ("C1", "pub", 3)],
+        "bibcode string, src string, v long"))
+
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [("B9", "arxiv", 9)], "bibcode string, src string, v long"
+    ).write.parquet(batch)
+
+    # no --partition-by needed: adopted from the log
+    assert main(["lake", "replace", "--path", path,
+                 "--key", "bibcode",
+                 "--expr", "src = 'arxiv'", "--from", batch]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1
+    assert out["files_removed"] >= 1 and out["rows_written"] == 1
+    got = {(r["bibcode"], r["src"], r["v"])
+           for r in t.read().collect()}
+    assert got == {("B9", "arxiv", 9), ("C1", "pub", 3)}
+
+    # batch outside the predicate: JSON error contract, exit 1
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [("Z1", "pub", 0)], "bibcode string, src string, v long"
+    ).write.parquet(bad)
+    assert main(["lake", "replace", "--path", path,
+                 "--key", "bibcode",
+                 "--expr", "src = 'arxiv'", "--from", bad]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err

@@ -261,3 +261,58 @@ def test_partitioned_dv_delete_and_restore(spark, tmp_path):
     assert t.read().count() == 90
     assert all(s["part"]["seg"] in ("A", "B", "C")
                for s in t._snapshot().live.values())
+
+
+def test_partitioning_is_table_metadata(spark, tmp_path):
+    """The partition declaration lives in the LOG (Delta's
+    metaData.partitionColumns): a handle reopened WITHOUT
+    partition_by adopts it (and keeps writing partition-pure files),
+    a conflicting handle refuses, and the declaration survives
+    checkpoints + cleanup_log."""
+    path = str(tmp_path / "t")
+    _ptable(spark, tmp_path)                  # declares ("seg",)
+
+    t2 = txn_table(spark, path, key="id")     # no partition_by
+    ups = spark.createDataFrame(
+        [(5000, "A", 1), (5001, "C", 2)],
+        "id long, seg string, v long")
+    t2.merge(ups)
+    assert t2.partition_by == ("seg",)        # adopted at op time
+    snap = t2._snapshot()
+    new_files = [p for p, s in snap.live.items()
+                 if s["part"]["seg"] in ("A", "C")
+                 and s.get("rows") == 1]
+    assert new_files                          # merge wrote pure files
+
+    t3 = txn_table(spark, path, key="id", partition_by=("v",))
+    with pytest.raises(ValueError, match="partitioned by"):
+        t3.merge(ups)
+    # ... but a FULL overwrite may re-partition
+    assert t3.overwrite(ups) > 0
+    assert txn_table(spark, path, key="id").read_where(
+        "v = 1").count() == 1
+    t4 = txn_table(spark, path, key="id")
+    t4.merge(spark.createDataFrame([(1, "B", 2)],
+                                   "id long, seg string, v long"))
+    assert t4.partition_by == ("v",)
+
+
+def test_partition_declaration_survives_cleanup_log(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = txn_table(spark, path, key="id", partition_by=("seg",),
+                  checkpoint_every=2)
+    df = spark.createDataFrame([(0, "A", 1)],
+                               "id long, seg string, v long")
+    t.overwrite(df)
+    for i in range(4):
+        t.merge(spark.createDataFrame([(i + 1, "B", i)],
+                                      "id long, seg string, v long"))
+    t.cleanup_log(keep_versions=1)
+    t5 = txn_table(spark, path, key="id")
+    t5.merge(spark.createDataFrame([(99, "C", 9)],
+                                   "id long, seg string, v long"))
+    assert t5.partition_by == ("seg",)
+    snap = t5._snapshot()
+    assert snap.partition_by == ("seg",)
+    assert all(s.get("part", {}).get("seg") in ("A", "B", "C")
+               for s in snap.live.values() if s.get("rows") == 1)
