@@ -65,17 +65,18 @@ PRIORITY: tuple[str, ...] = (
     # CORRECTNESS_r0{1..10}.json — every oracled query's LAST
     # driver-green round. Last-green distribution after r10 was
     # {r10: 50, r9: 50, r8: 28} plus the 4 round-10 txn queries
-    # that have NEVER had a driver row. This window = the 6
-    # never-checked (4 from r10 + the 2 new r11 queries), then all
-    # 28 whose last green is r08, then the alphabetically-first 16
+    # that have NEVER had a driver row. This window = the 7
+    # never-checked (4 from r10 + the 3 new r11 queries), then all
+    # 28 whose last green is r08, then the alphabetically-first 15
     # of the 50 whose last green is r09 — after this round every
     # oracled query has a driver row and the cumulative last-green
     # floor advances to r09.
-    # -- never driver-checked (6: the 4 round-10 txn queries plus
-    # the two NEW round-11 oracled queries, which lead so they get
+    # -- never driver-checked (7: the 4 round-10 txn queries plus
+    # the three NEW round-11 oracled queries, which lead so they get
     # their first driver row immediately; the alphabetical r09 fill
-    # below shrinks by two to keep the window at 50) --
-    "txn_mor_merge_feed", "txn_replace_where_feed",
+    # below shrinks by three to keep the window at 50) --
+    "txn_mor_merge_feed", "txn_partition_dv_state",
+    "txn_replace_where_feed",
     "txn_constraint_gate", "txn_dv_delete_feed",
     "txn_dv_restore_state", "txn_restore_diff",
     # -- last driver-green r08 (28) --
@@ -96,7 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_clusters", "dedup_exact", "distinct_counts_exact_vs_approx",
     "distinct_ngram_diversity", "doc_fingerprint",
     "dsir_importance_weights", "duplicated_substring_runs",
-    "embedding_cosine_neardup", "embedding_cosine_neardup_gemm",
+    "embedding_cosine_neardup",
 )
 
 

@@ -300,6 +300,61 @@ def txn_replace_where_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_partition_dv_state",
+    """
+    WITH c AS (SELECT c_mktsegment,
+                      CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+               FROM customer)
+    SELECT c_mktsegment AS segment,
+           COUNT(*)                   AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM (SELECT c_mktsegment, cents + 7 AS cents FROM c
+          WHERE c_mktsegment = 'BUILDING' AND cents >= 0
+          UNION ALL
+          SELECT c_mktsegment, cents FROM c
+          WHERE c_mktsegment = 'AUTOMOBILE' AND cents >= 0)
+    GROUP BY c_mktsegment
+    """,
+    "txn", "partition", "dv",
+    doc="Composition of the round-10/11 lake features on one table: "
+        "customers PARTITIONED by segment (v0), deletion-vector "
+        "delete of every negative balance (v1, zero data files "
+        "written — masks inside partition-pure files), then "
+        "replaceWhere of the BUILDING partition with the repriced "
+        "survivors (+7 cents, v2), read back through a PARTITION-"
+        "PRUNED read_where over two segments. The oracle recomputes "
+        "the end state from the customer table alone, so a mask "
+        "leaking through the swap, a swap leaking into another "
+        "partition, or a pruned read skipping a live file all "
+        "hash-mismatch.")
+def txn_partition_dv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.txnlake import txn_table
+
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", cents.alias("cents"))
+    t = txn_table(spark, _scratch(sf_dir, "partition_dv_state"),
+                  key="c_custkey", cluster_writes=True,
+                  rows_per_file=100_000,
+                  partition_by=("c_mktsegment",))
+    t.overwrite(base)                                            # v0
+    t.delete(where="cents < 0")  # v1 (no-op at an SF with no matches)
+    newb = (base.where((F.col("c_mktsegment") == "BUILDING")
+                       & (F.col("cents") >= 0))
+            .withColumn("cents", F.col("cents") + F.lit(7)))
+    t.overwrite(newb, replace_where="c_mktsegment = 'BUILDING'")
+    out = (t.read_where(
+        "c_mktsegment IN ('BUILDING', 'AUTOMOBILE')")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_cust"),
+             F.sum("cents").alias("sum_cents")))
+    # the partition-pruned read really skipped the other segments
+    probe = t.last_read_probe
+    assert len(probe["candidate_files"]) < probe["live_files"], probe
+    return out
+
+
+@query(
     "txn_mor_merge_feed",
     """
     WITH mx AS (SELECT MAX(c_custkey) + 1 AS off FROM customer),
