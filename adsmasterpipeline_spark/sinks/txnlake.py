@@ -1543,8 +1543,13 @@ class TxnTable:
             # every incoming row must fall INSIDE the replaced
             # predicate (Delta refuses too) — enforced on the staged
             # parquet below, same one-materialization discipline as
-            # CHECK constraints, with staged-file cleanup on refusal
-            constraints["replace_where"] = replace_where
+            # CHECK constraints, with staged-file cleanup on refusal.
+            # Constraint names are user data: never shadow one that
+            # happens to be called "replace_where"
+            rw_key = "replace_where"
+            while rw_key in constraints:
+                rw_key += "_"
+            constraints[rw_key] = replace_where
             extra = {"replace_where": replace_where}
         v = snap.version + 1
         adds = self._write_data(df, v)

@@ -316,3 +316,135 @@ def test_partition_declaration_survives_cleanup_log(spark, tmp_path):
     assert snap.partition_by == ("seg",)
     assert all(s.get("part", {}).get("seg") in ("A", "B", "C")
                for s in snap.live.values() if s.get("rows") == 1)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_txn_partitioned_lifecycle_matches_model(spark, tmp_path, seed):
+    """The randomized lifecycle model test, PARTITIONED: a seeded
+    random sequence of merge / merge-on-read / dv_delete /
+    replace_where / compact / vacuum / cleanup_log / restore ops on a
+    table partitioned by a derived segment column must (a) keep the
+    table equal to a plain dict model after every step, (b) keep
+    EVERY live file partition-pure with recorded part values, and
+    (c) serve every step's change feed as exactly the model diff —
+    proving the round-11 feature composes with the whole lifecycle,
+    not just the scripted oracle paths."""
+    import random
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    segs = ["A", "B", "C"]
+
+    def seg_of(k: str) -> str:
+        return segs[int(k[1:]) % 3]
+
+    def recs(pairs):
+        return spark.createDataFrame(
+            [(k, seg_of(k), int(v)) for k, v in pairs],
+            "bibcode string, seg string, v long")
+
+    t = txn_table(spark, path, checkpoint_every=3,
+                  cluster_writes=bool(seed % 2), rows_per_file=64,
+                  partition_by=("seg",))
+    keys = [f"K{i:03d}" for i in range(40)]
+    model: dict[str, int] = {}
+    t.overwrite(recs([(k, 0) for k in keys[:12]]))
+    model.update({k: 0 for k in keys[:12]})
+    models_by_version = {t.version(): dict(model)}
+
+    def check():
+        if model:
+            got = {r["bibcode"]: (r["seg"], r["v"])
+                   for r in t.read().collect()}
+            assert got == {k: (seg_of(k), v)
+                           for k, v in model.items()}
+        else:
+            try:
+                assert t.read().count() == 0
+            except FileNotFoundError:
+                pass
+        snap = t._snapshot()
+        for p, s in snap.live.items():
+            part = (s or {}).get("part")
+            assert part and part["seg"] in segs, (p, s)
+
+    def check_feed(v_before, prev_model):
+        v_after = t.version()
+        if v_after <= v_before:
+            return
+        try:
+            feed = t.changes(v_before, v_after).collect()
+        except (ValueError, FileNotFoundError):
+            return                      # retention refusal: allowed
+        got = {(r["bibcode"], r["_change_type"]): r["v"]
+               for r in feed}
+        want = {}
+        for k in model.keys() - prev_model.keys():
+            want[(k, "insert")] = model[k]
+        for k in prev_model.keys() - model.keys():
+            want[(k, "delete")] = prev_model[k]
+        for k in model.keys() & prev_model.keys():
+            if model[k] != prev_model[k]:
+                want[(k, "update_preimage")] = prev_model[k]
+                want[(k, "update_postimage")] = model[k]
+        assert got == want
+
+    for step in range(12):
+        op = rng.choice(["merge", "merge", "mor_merge", "dv_delete",
+                         "replace", "replace", "compact", "vacuum",
+                         "cleanup", "restore"])
+        v_before, prev_model = t.version(), dict(model)
+        if op in ("merge", "mor_merge"):
+            ups = {rng.choice(keys): step * 100 + i for i in range(4)}
+            dels = ({rng.choice(list(model))}
+                    if model and rng.random() < 0.5 else set())
+            ups = {k: v for k, v in ups.items() if k not in dels}
+            t.merge(recs(list(ups.items())),
+                    deleted_keys=spark.createDataFrame(
+                        [(k,) for k in dels] or [("~none~",)],
+                        "bibcode string"),
+                    merge_on_read=op == "mor_merge")
+            model.update(ups)
+            for k in dels:
+                model.pop(k, None)
+        elif op == "dv_delete":
+            if not model:
+                continue
+            if rng.random() < 0.5:
+                picked = rng.sample(sorted(model),
+                                    k=min(3, len(model)))
+                t.delete(keys=spark.createDataFrame(
+                    [(k,) for k in picked], "bibcode string"))
+                for k in picked:
+                    model.pop(k)
+            else:
+                cut = rng.choice(sorted(model.values()))
+                t.delete(where=f"v >= {cut}")
+                model = {k: v for k, v in model.items() if v < cut}
+        elif op == "replace":
+            sv = rng.choice(segs)
+            pool = [k for k in keys if seg_of(k) == sv]
+            picked = rng.sample(pool, k=rng.randint(0, 4))
+            newpairs = [(k, step * 100 + 50 + i)
+                        for i, k in enumerate(picked)]
+            t.overwrite(recs(newpairs),
+                        replace_where=f"seg = '{sv}'")
+            model = {k: v for k, v in model.items()
+                     if seg_of(k) != sv}
+            model.update(dict(newpairs))
+        elif op == "compact":
+            t.compact()
+        elif op == "vacuum":
+            t.vacuum(keep_versions=3, min_age_seconds=0)
+        elif op == "restore":
+            tgt = rng.randrange(0, t.version() + 1)
+            try:
+                t.restore(tgt)
+            except ValueError:
+                continue   # target below retention: allowed refusal
+            model = dict(models_by_version[tgt])
+        else:
+            t.cleanup_log()
+        models_by_version[t.version()] = dict(model)
+        check()
+        check_feed(v_before, prev_model)
