@@ -448,3 +448,19 @@ def test_txn_partitioned_lifecycle_matches_model(spark, tmp_path, seed):
         models_by_version[t.version()] = dict(model)
         check()
         check_feed(v_before, prev_model)
+
+
+def test_replace_where_empty_batch_drops_partition(spark, tmp_path):
+    """replaceWhere with a ZERO-ROW batch is a partition drop: the
+    matching files are removed atomically, nothing is staged, and
+    the feed serves pure deletes."""
+    t = _ptable(spark, tmp_path)
+    empty = spark.createDataFrame([], "id long, seg string, v long")
+    v = t.overwrite(empty, replace_where="seg = 'C'")
+    assert {r["seg"] for r in t.read().collect()} == {"A", "B"}
+    e = t._load_json(dict(t._entry_files())[v])
+    assert e["adds"] == [] and e["removes"]
+    feed = t.changes(v - 1, v).collect()
+    assert {r["_change_type"] for r in feed} == {"delete"}
+    assert {r["id"] for r in feed} \
+        == {i for i in range(90) if i % 3 == 2}
