@@ -2945,7 +2945,15 @@ def _flatten_partition_dirs(out_dir: str) -> None:
     ``data/<commit>/<file>`` layout the position machinery's
     ``_rel_file_col`` three-component invariant relies on. Values are
     NOT parsed from the dir names: the stats pass reads them back
-    typed from the data itself."""
+    typed from the data itself.
+
+    Cost note: O(files-in-commit) driver-side metadata renames —
+    free on a real filesystem. An object-store deployment would skip
+    the flatten (keep the hive layout and widen ``_rel_file_col`` to
+    four components, or carry partitionValues like Delta and read
+    per-dir); the flat layout is chosen here because it keeps ONE
+    path shape for every consumer (DV parquet, vacuum, restore,
+    probes) instead of two."""
     import shutil
     seq = 0
     for root, _dirs, files in sorted(os.walk(out_dir)):
