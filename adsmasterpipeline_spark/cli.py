@@ -777,7 +777,8 @@ def cmd_lake(args) -> int:
         dv0 = sum(d["card"] for d in t._snapshot().dvs.values())
         try:
             out["version"] = t.compact(purge_dvs=args.purge_dvs,
-                                       zorder_by=zo)
+                                       zorder_by=zo,
+                                       where=args.expr or None)
         except ValueError as e:
             print(json.dumps({"error": str(e)}))
             return 1
@@ -1053,7 +1054,9 @@ def main(argv=None) -> int:
                     help="set-constraint: boolean SQL expression "
                          "every row must satisfy; delete: SQL "
                          "predicate selecting the rows to mask "
-                         "(merge-on-read, no data files rewritten)")
+                         "(merge-on-read, no data files rewritten); "
+                         "compact: scope to matching files (OPTIMIZE "
+                         "WHERE); replace: the partition predicate")
     pl.add_argument("--since-version", type=int, default=-1,
                     help="changes: feed starts AFTER this version")
     pl.add_argument("--to-version", type=int, default=None,

@@ -2008,7 +2008,8 @@ class TxnTable:
 
     def compact(self, small_rows_threshold: int | None = None,
                 retries: int = 0, purge_dvs: bool = False,
-                zorder_by: tuple[str, str] | None = None) -> int:
+                zorder_by: tuple[str, str] | None = None,
+                where: str | None = None) -> int:
         """OPTIMIZE: fold small data files into ~rows_per_file-sized
         key-clustered ones in one atomic commit (Delta's bin-packing
         OPTIMIZE). Micro-batch merges add one small file per epoch —
@@ -2038,6 +2039,19 @@ class TxnTable:
         widen, so key-probe pruning degrades to blooms — bloom_bits
         is the right companion.
 
+        ``where=`` scopes the compaction to files that could hold a
+        matching row (Delta's ``OPTIMIZE ... WHERE``, generalized to
+        any predicate the interval grammar can check against the
+        per-file stats): on a partitioned table
+        ``compact(where="day = '2024-06-01'")`` bin-packs or
+        Z-orders ONE partition in O(that partition) — the nightly
+        maintenance shape for a time-partitioned 100-TB table.
+        Compacting a subset is always sound (the rewrite preserves
+        exactly the subset's live rows); an unparseable predicate
+        refuses rather than silently compacting everything, and a
+        scoped run skips the table-global DV-cardinality trigger
+        (scoped means scoped).
+
         ``retries``: like ``merge(retries=N)`` — on a CommitConflict
         (a concurrent writer landed a commit between this compact's
         snapshot and its CAS) the WHOLE compact re-runs against the
@@ -2052,7 +2066,7 @@ class TxnTable:
         for attempt in range(retries + 1):
             try:
                 return self._compact_once(small_rows_threshold,
-                                          purge_dvs, zorder_by)
+                                          purge_dvs, zorder_by, where)
             except CommitConflict:
                 if attempt == retries:
                     raise
@@ -2063,18 +2077,37 @@ class TxnTable:
     def _compact_once(self,
                       small_rows_threshold: int | None = None,
                       purge_dvs: bool = False,
-                      zorder_by: tuple[str, str] | None = None) -> int:
+                      zorder_by: tuple[str, str] | None = None,
+                      where: str | None = None) -> int:
         thr = (self.rows_per_file // 2 if small_rows_threshold is None
                else small_rows_threshold)
         snap = self._snapshot()
         pmeta = self._reconcile_partitioning(snap)
+        # OPTIMIZE ... WHERE (Delta's partition-scoped OPTIMIZE, here
+        # generalized to any stat-checkable predicate): restrict the
+        # candidate set to files that COULD hold a matching row —
+        # compacting any SUBSET of files is always sound (the rewrite
+        # preserves exactly the subset's live rows), so on a
+        # partitioned table `where="day = '...'"` compacts one
+        # partition in O(that partition) and every other file is not
+        # even statted. An unparseable predicate refuses: the caller
+        # asked for a scope, silently compacting the world isn't one.
+        scope: set | None = None
+        if where is not None:
+            if _parse_predicate(where) is None:
+                raise ValueError(
+                    f"compact(where=...): predicate {where!r} is not "
+                    f"statically checkable (comparisons / IN / "
+                    f"BETWEEN over AND/OR on stat-covered columns)")
+            scope = set(self._prune_where_candidates(snap, where))
 
         def _masked(p) -> int:
             return snap.dvs.get(p, {}).get("card", 0)
 
         if zorder_by:
-            # full-table re-layout: every live file participates
-            small = list(snap.live)
+            # full-table (or full-scope) re-layout
+            small = [p for p in snap.live
+                     if scope is None or p in scope]
             if not small:
                 return snap.version
         else:
@@ -2087,10 +2120,12 @@ class TxnTable:
             # masked positions bounded. purge_dvs forces EVERY masked
             # file in.
             small = [p for p, s in snap.live.items()
-                     if not s or s.get("rows") is None
-                     or s["rows"] - _masked(p) <= thr
-                     or (_masked(p) > 0 and _masked(p) * 5 >= s["rows"])
-                     or (purge_dvs and _masked(p) > 0)]
+                     if (scope is None or p in scope)
+                     and (not s or s.get("rows") is None
+                          or s["rows"] - _masked(p) <= thr
+                          or (_masked(p) > 0
+                              and _masked(p) * 5 >= s["rows"])
+                          or (purge_dvs and _masked(p) > 0))]
             # GLOBAL masked-cardinality trigger (VERDICT r10 #2): the
             # per-file 20% rule never fires on a table of MANY files
             # each lightly masked, yet their SUM is what a scan must
@@ -2100,7 +2135,7 @@ class TxnTable:
             # budget (hysteresis — the next trickle of deletes does
             # not immediately re-trigger).
             total_card = sum(_masked(p) for p in snap.live)
-            if total_card > self.dv_broadcast_budget:
+            if scope is None and total_card > self.dv_broadcast_budget:
                 chosen = set(small)
                 rem = total_card - sum(_masked(p) for p in chosen)
                 for p in sorted(

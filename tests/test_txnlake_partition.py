@@ -464,3 +464,53 @@ def test_replace_where_empty_batch_drops_partition(spark, tmp_path):
     assert {r["_change_type"] for r in feed} == {"delete"}
     assert {r["id"] for r in feed} \
         == {i for i in range(90) if i % 3 == 2}
+
+
+def test_compact_where_scopes_to_one_partition(spark, tmp_path):
+    """OPTIMIZE ... WHERE: a scoped compact bin-packs only the
+    matching partition's files; every other partition's files stay
+    byte-identical AND keep their live references."""
+    t = _ptable(spark, tmp_path)
+    snap0 = t._snapshot()
+    others = {p for p, s in snap0.live.items()
+              if s["part"]["seg"] != "B"}
+    b_before = {p for p, s in snap0.live.items()
+                if s["part"]["seg"] == "B"}
+    assert len(b_before) > 1
+    before = _file_hashes(t.path)
+    v = t.compact(small_rows_threshold=10_000, where="seg = 'B'")
+    assert v == 1
+    snap1 = t._snapshot()
+    assert others <= set(snap1.live)          # untouched refs survive
+    after = _file_hashes(t.path)
+    for p in others:
+        assert after[p] == before[p]
+    newb = set(snap1.live) - others
+    assert newb.isdisjoint(b_before)          # B got rewritten...
+    assert all(snap1.live[p]["part"]["seg"] == "B" for p in newb)
+    assert len(newb) < len(b_before)          # ...and bin-packed
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows == {i: i * 10 for i in range(90)}
+    # unparseable scope refuses instead of compacting the world
+    with pytest.raises(ValueError, match="statically checkable"):
+        t.compact(where="length(seg) = 1")
+
+
+def test_compact_zorder_scoped_to_partition(spark, tmp_path):
+    """OPTIMIZE ZORDER BY ... WHERE: re-lay ONE partition on the
+    Morton curve; other partitions' files untouched."""
+    t = _ptable(spark, tmp_path)
+    snap0 = t._snapshot()
+    others = {p for p, s in snap0.live.items()
+              if s["part"]["seg"] != "A"}
+    before = _file_hashes(t.path)
+    t.compact(zorder_by=("id", "v"), where="seg = 'A'")
+    snap1 = t._snapshot()
+    assert others <= set(snap1.live)
+    after = _file_hashes(t.path)
+    for p in others:
+        assert after[p] == before[p]
+    assert all(snap1.live[p]["part"]["seg"] == "A"
+               for p in set(snap1.live) - others)
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows == {i: i * 10 for i in range(90)}
