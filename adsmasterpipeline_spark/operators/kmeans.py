@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import cosine
+from .similarity import _dot, _norm
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame,
@@ -27,10 +27,18 @@ def _assign(vectors: DataFrame, centroids: DataFrame,
     # argmax via max_by aggregation (map-side combinable) — a window
     # would sort every vector's k candidate rows for no reason. Ties
     # break toward the lowest centroid_id: max_by on (sim, -id).
-    cen = F.broadcast(centroids)
-    d = vectors.crossJoin(cen).select(
-        id_col, vec_col, "centroid_id",
-        cosine(F.col(vec_col), F.col("centroid")).alias("_sim"))
+    # Norms are computed once per row / once per centroid and carried:
+    # the inline cosine() form refolded both norms per (vector,
+    # centroid) pair — 3 interpreted O(dim) folds per pair -> 1, same
+    # doubles so assignments are unchanged.
+    cen = F.broadcast(centroids.withColumn(
+        "_ncen", _norm(F.col("centroid"))))
+    d = (vectors
+         .withColumn("_nv", _norm(F.col(vec_col)))
+         .crossJoin(cen).select(
+             id_col, vec_col, "centroid_id",
+             (_dot(F.col(vec_col), F.col("centroid"))
+              / (F.col("_nv") * F.col("_ncen"))).alias("_sim")))
     return (d.groupBy(id_col).agg(
         F.first(vec_col).alias(vec_col),
         F.max_by("centroid_id",

@@ -38,11 +38,19 @@ def cosine(a: Column, b: Column) -> Column:
 
 def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    # per-row norms computed ONCE and carried as columns: the inline
+    # cosine() form refolds both norms for every (query, candidate)
+    # pair — 3 interpreted O(dim) folds per pair instead of 1 (higher-
+    # order array functions do not enter whole-stage codegen). Same
+    # doubles, same dot/(nq*nc) quotient — bit-identical output.
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_q"))
+                       F.col(vec_col).alias("_q"),
+                       _norm(F.col(vec_col)).alias("_nq"))
     c = candidates.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("_c"))
-    sim = F.round(cosine(F.col("_q"), F.col("_c")), 6)
+                          F.col(vec_col).alias("_c"),
+                          _norm(F.col(vec_col)).alias("_nc"))
+    sim = F.round(_dot(F.col("_q"), F.col("_c"))
+                  / (F.col("_nq") * F.col("_nc")), 6)
     pairs = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
              .select("query_id", "neighbor_id", sim.alias("sim")))
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(),
@@ -257,29 +265,42 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame,
     """IVF ANN. ``centroids``: (centroid_id, centroid array<double>).
     Inverted lists = candidates keyed by nearest centroid; queries
     probe their ``nprobe`` nearest centroids."""
+    # centroid norms computed once on the (tiny) broadcast side; row
+    # norms once per vector row — the inline cosine() form refolded
+    # both norms per (row, centroid) pair: 3 interpreted O(dim) folds
+    # per pair -> 1 (same doubles, same dot/(nv*nc) quotient, so the
+    # assignment and output sims are bit-identical).
     cen = F.broadcast(centroids.select(
-        F.col("centroid_id"), F.col("centroid").alias("_cen")))
+        F.col("centroid_id"), F.col("centroid").alias("_cen"),
+        _norm(F.col("centroid")).alias("_ncen")))
 
     def assign(df, ident, vec, n):
         d = df.crossJoin(cen).select(
-            ident, vec, "centroid_id",
-            cosine(F.col(vec), F.col("_cen")).alias("_csim"))
+            ident, vec, f"_n{vec}", "centroid_id",
+            (_dot(F.col(vec), F.col("_cen"))
+             / (F.col(f"_n{vec}") * F.col("_ncen"))).alias("_csim"))
         w = W.partitionBy(ident).orderBy(F.col("_csim").desc(),
                                          F.col("centroid_id"))
         return (d.withColumn("_r", F.row_number().over(w))
                 .where(F.col("_r") <= n).drop("_r", "_csim"))
 
     c = assign(candidates.select(F.col(id_col).alias("neighbor_id"),
-                                 F.col(vec_col).alias("_c")),
+                                 F.col(vec_col).alias("_c"),
+                                 _norm(F.col(vec_col)).alias("_n_c")),
                "neighbor_id", "_c", 1)
     q = assign(queries.select(F.col(id_col).alias("query_id"),
-                              F.col(vec_col).alias("_q")),
+                              F.col(vec_col).alias("_q"),
+                              _norm(F.col(vec_col)).alias("_n_q")),
                "query_id", "_q", nprobe)
-    sim = F.round(cosine(F.col("_q"), F.col("_c")), 6)
+    sim = F.round(_dot(F.col("_q"), F.col("_c"))
+                  / (F.col("_n_q") * F.col("_n_c")), 6)
+    # no pair dedup needed: each candidate is assigned to exactly ONE
+    # list (row_number <= 1), so a (query, candidate) pair can match at
+    # most one probed centroid_id — dropDuplicates was a logical no-op
+    # costing a full extra shuffle of the pair set.
     pairs = (c.join(F.broadcast(q), "centroid_id")
              .where(F.col("query_id") != F.col("neighbor_id"))
-             .select("query_id", "neighbor_id", sim.alias("sim"))
-             .dropDuplicates(["query_id", "neighbor_id"]))
+             .select("query_id", "neighbor_id", sim.alias("sim")))
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                           F.col("neighbor_id"))
     return (pairs.withColumn("rnk", F.row_number().over(w))

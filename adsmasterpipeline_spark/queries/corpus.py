@@ -320,18 +320,37 @@ _COS_SQL = """ROUND(
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
-    from ..operators.similarity import cosine
+    from ..operators.similarity import _dot, _norm
     e = load_table(spark, sf_dir, "embeddings")
 
+    # Row/centroid norms are computed ONCE per row (resp. once per
+    # 8-row broadcast side) and carried as columns — the inline
+    # cosine() form refolded both norms per (vector, centroid) pair in
+    # all THREE assignment passes: 3 interpreted O(dim) folds per pair
+    # -> 1 (HOF folds do not enter whole-stage codegen). Same doubles,
+    # same dot/(nv*nc) quotient order, so every csim — and the oracle
+    # hash — is unchanged.
+    en = e.select("vec_id", "embedding",
+                  _norm(F.col("embedding")).alias("_nv"))
+
+    def csim_col():
+        return F.round(_dot(F.col("embedding"), F.col("_cvec"))
+                       / (F.col("_nv") * F.col("_ncen")), 6).alias("csim")
+
     # -- seed centroids + two Lloyd updates --------------------------------
-    cen = e.where(F.col("vec_id").isin(*_KMEANS_SEEDS)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("_cvec"))
+    # NOTE (r11 measurement): landing the 8-row centroid table on the
+    # driver between passes (kmeans.py's iterative pattern) was tried
+    # and measured SLOWER (3.53 s vs 2.69 s at sf0.1) — the lazy
+    # chain's duplicated subtrees are already deduplicated at runtime
+    # by AQE exchange-stage reuse, while eager per-pass collects
+    # serialize the passes into separate jobs. Keep the lazy chain.
+    cen = en.where(F.col("vec_id").isin(*_KMEANS_SEEDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("_cvec"),
+        F.col("_nv").alias("_ncen"))
     w_v = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
     for _ in range(2):
-        asim = e.crossJoin(F.broadcast(cen)).select(
-            "vec_id", "cid",
-            F.round(cosine(F.col("embedding"), F.col("_cvec")), 6)
-            .alias("csim"))
+        asim = en.crossJoin(F.broadcast(cen)).select(
+            "vec_id", "cid", csim_col())
         assign = (asim.withColumn("r", F.row_number().over(w_v))
                   .where("r = 1").select("vec_id", "cid"))
         cen = (
@@ -345,12 +364,12 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("_pv"))
             .select("cid", F.transform("_pv", lambda s: s.getField("cval"))
                     .alias("_cvec"))
+            .withColumn("_ncen", _norm(F.col("_cvec")))
         )
 
     # -- assignment to the final centroids ---------------------------------
-    sim2 = e.crossJoin(F.broadcast(cen)).select(
-        "vec_id", "cid",
-        F.round(cosine(F.col("embedding"), F.col("_cvec")), 6).alias("csim"))
+    sim2 = en.crossJoin(F.broadcast(cen)).select(
+        "vec_id", "cid", csim_col())
     ranked2 = sim2.withColumn("r", F.row_number().over(w_v))
     cassign = ranked2.where("r = 1").select(
         F.col("vec_id").alias("neighbor_id"), "cid")
@@ -358,17 +377,20 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "cid")
 
     # -- probe: search only assigned cells ---------------------------------
-    emb_q = e.select(F.col("vec_id").alias("query_id"),
-                     F.col("embedding").alias("_q"))
-    emb_c = e.select(F.col("vec_id").alias("neighbor_id"),
-                     F.col("embedding").alias("_c"))
+    emb_q = en.select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("_q"),
+                      F.col("_nv").alias("_nq"))
+    emb_c = en.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("_c"),
+                      F.col("_nv").alias("_nc"))
     pairs = (
         qprobe.join(cassign, "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .join(F.broadcast(emb_q), "query_id")
         .join(emb_c, "neighbor_id")
         .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("_q"), F.col("_c")), 6).alias("sim"))
+                F.round(_dot(F.col("_q"), F.col("_c"))
+                        / (F.col("_nq") * F.col("_nc")), 6).alias("sim"))
     )
     w_q = W.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                             F.col("neighbor_id"))

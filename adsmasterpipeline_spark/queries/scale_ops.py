@@ -207,6 +207,11 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # NOTE (r11 measurement): collecting the 10-row centroid table to
+    # the driver (to avoid the lazy plan referencing the aggregation
+    # from both assign branches) measured SLOWER (1.75 s vs 1.32 s at
+    # sf0.1): AQE exchange-stage reuse already dedups the identical
+    # subtrees at runtime, and the eager collect serializes the jobs.
     cen = label_centroids(e)
     q = e.where(F.col("vec_id") < 32)
     return ivf_topk(q, e, cen, k=3, nprobe=6).select(

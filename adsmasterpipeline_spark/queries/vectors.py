@@ -88,12 +88,21 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # norms are computed ONCE per row and carried as columns — the
+    # inline form refolded both norms per (query, candidate) pair: 3
+    # interpreted O(dim) folds per pair -> 1 (HOF folds do not enter
+    # whole-stage codegen). Same doubles, same quotient order, so the
+    # oracle hash is unchanged.
     q = (e.where(F.col("vec_id") < 8)
-         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")))
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 _norm(F.col("embedding")).alias("_nq")))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("c_emb"),
+                 _norm(F.col("embedding")).alias("_nc"))
     sim = F.round(
         _dot(F.col("q_emb"), F.col("c_emb"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))), 6)
+        / (F.col("_nq") * F.col("_nc")), 6)
     pairs = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
@@ -331,20 +340,25 @@ def ann_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.transform(
             "embedding",
             lambda x: F.floor(x.cast("double") * 127.0 / s + 0.5)))
-    q8 = e.select("vec_id", qv.alias("qv"))
-    q = (q8.where(F.col("vec_id") < 8)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("qv").alias("_q")))
-    c = q8.select(F.col("vec_id").alias("neighbor_id"),
-                  F.col("qv").alias("_c"))
-    idot = F.aggregate(
-        F.zip_with("_q", F.col("_c"), lambda x, y: x * y),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
     inorm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(col, lambda x: x * x),
         F.lit(0).cast("long"), lambda acc, v: acc + v).cast("double"))
+    # integer norms computed ONCE per row and carried — the inline
+    # form refolded both norms per pair (3 interpreted O(dim) folds ->
+    # 1; exact integer sums, so the carried value is identical).
+    q8 = e.select("vec_id", qv.alias("qv"))
+    q = (q8.where(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("qv").alias("_q"),
+                 inorm("qv").alias("_nq")))
+    c = q8.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("qv").alias("_c"),
+                  inorm("qv").alias("_nc"))
+    idot = F.aggregate(
+        F.zip_with("_q", F.col("_c"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
     sim_q = F.round(idot.cast("double")
-                    / (inorm("_q") * inorm(F.col("_c"))), 6)
+                    / (F.col("_nq") * F.col("_nc")), 6)
     pairs = (c.join(F.broadcast(q),
                     F.col("query_id") != F.col("neighbor_id"))
              .select("query_id", "neighbor_id", sim_q.alias("sim_q")))
