@@ -810,12 +810,19 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (d.select("doc_id", shingles(F.col("text"), 3).alias("_sh"),
                      F.size(F.split(_norm_text(), " ")).alias("_nw"))
             .where(F.col("_nw") >= 3)
-            .select("doc_id", "_sh", F.size("_sh").alias("sz")))
+            .select("doc_id", "_sh"))
     # the shingle subtree feeds the df count, the rank join, the index
     # side AND verification — Catalyst does not CSE it across outputs
     # (SCALE.md minhash lesson 4), so materialize ONCE: measured 4.5s
     # -> ~1.5s at sf0.1
     base = base.localCheckpoint(eager=True)
+    # sz is derived AFTER the checkpoint: selecting size("_sh") in the
+    # same projection chain collapses into size(<shingle chain>) —
+    # CollapseProject inlines the alias, so the interpreted HOF chain
+    # ran TWICE per row before materialization (measured 2.7 s vs
+    # 0.9 s for the checkpointed scan at sf0.1). From the materialized
+    # column it is an O(1) array-length read.
+    base = base.select("doc_id", "_sh", F.size("_sh").alias("sz"))
     tok = base.select("doc_id", "sz", F.explode("_sh").alias("sh"))
     dfc = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
     w_doc = W.partitionBy("doc_id").orderBy("dfc", "sh")

@@ -178,6 +178,26 @@ def test_bpe_pair_argmax_is_distributed_topk(spark):
     assert single_partition_exchanges(top1) == 0
 
 
+def test_learn_bpe_driver_and_distributed_paths_agree(spark):
+    """The size-adaptive driver-side merge loop (r11) must produce the
+    same merges and symbol tables as the distributed TopK loop
+    (driver_cap=0 forces the distributed path)."""
+    from adsmasterpipeline_spark.operators.bpe import learn_bpe
+    corpora = [
+        [("aaab", 3), ("ab", 2)],
+        [("ababa", 1)],
+        [("abab", 2), ("ba", 3), ("aa", 1)],
+    ]
+    for wc in corpora:
+        df = spark.createDataFrame(wc, "word string, cnt long")
+        m_drv, t_drv = learn_bpe(df, n_merges=6)
+        m_dst, t_dst = learn_bpe(df, n_merges=6, driver_cap=0)
+        assert m_drv == m_dst
+        got_d = {r["word"]: r["sym"] for r in t_drv.collect()}
+        got_x = {r["word"]: r["sym"] for r in t_dst.collect()}
+        assert got_d == got_x
+
+
 def _bpe_model(word_counts, n_merges):
     """Independent pure-Python BPE: same spec as operators/bpe.py
     (weighted pair counts, count-desc/(a,b)-lexicographic argmax,
