@@ -180,13 +180,22 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", "source",
-        F.explode(shingles(F.col("text"), 3)).alias("shingle"))
-    bench = (sh.where(F.col("source") == "src0")
-             .select("shingle").distinct())
-    train = sh.where(F.col("source") != "src0").select("doc_id", "shingle")
-    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # pin the per-doc shingle ARRAYS once: the exploded table feeds
+    # three branches (bench distinct, per-doc sizes, the hit join) and
+    # Catalyst does not CSE the shingle chain across them — unpinned,
+    # the interpreted HOF construction ran once per branch (the
+    # minhash materialize lesson). Sizes then come straight off
+    # size(_sh) — the array IS the distinct shingle set — instead of
+    # a count-by-doc shuffle over the exploded rows.
+    base = d.select("doc_id", "source",
+                    shingles(F.col("text"), 3).alias("_sh")) \
+        .localCheckpoint()
+    bench = (base.where(F.col("source") == "src0")
+             .select(F.explode("_sh").alias("shingle")).distinct())
+    train = (base.where(F.col("source") != "src0")
+             .select("doc_id", F.explode("_sh").alias("shingle")))
+    sizes = base.where(F.col("source") != "src0").select(
+        "doc_id", F.size("_sh").alias("n_shingles"))
     hits = (train.join(F.broadcast(bench), "shingle")
             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_contaminated")))
     return (
