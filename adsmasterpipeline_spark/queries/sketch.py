@@ -92,18 +92,26 @@ def _bucket(j: int, tok) -> F.Column:
 )
 def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # pin the token stream: it feeds both the exact count and the
-    # sketch cells, and Catalyst does not CSE the explode subtree
     toks = (d.select(F.explode(F.split(_norm_text(), " ")).alias("tok"))
-            .where(F.col("tok") != "")).localCheckpoint()
-    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .where(F.col("tok") != ""))
+    # fold the stream to per-token exact counts FIRST and pin THAT: the
+    # count table is needed for the output anyway, it is vocabulary-
+    # sized (not corpus-sized, so the pin is tiny), and the sketch cell
+    # `COUNT(*) by (j,b)` over occurrences equals `SUM(c) by (j,b)`
+    # over distinct tokens exactly (integer sums commute) — so the 4
+    # md5 bucket hashes run once per DISTINCT token instead of once
+    # per token OCCURRENCE, and the cells explode fans out vocab rows,
+    # not corpus rows.
+    cnt = (toks.groupBy("tok")
+           .agg(F.count(F.lit(1)).cast("long").alias("c"))
+           ).localCheckpoint()
     top = cnt.orderBy(F.col("c").desc(), "tok").limit(20)
-    cells = toks.select(F.explode(F.array(*[
+    cells = cnt.select("c", F.explode(F.array(*[
         F.struct(F.lit(j).alias("j"),
                  _bucket(j, F.col("tok")).alias("b"))
-        for j in range(_D)])).alias("jb")).select("jb.j", "jb.b")
+        for j in range(_D)])).alias("jb")).select("c", "jb.j", "jb.b")
     sk = (cells.groupBy("j", "b")
-          .agg(F.count(F.lit(1)).cast("long").alias("cell")))
+          .agg(F.sum("c").cast("long").alias("cell")))
     probes = top.select("tok", "c", F.explode(F.array(*[
         F.struct(F.lit(j).alias("j"),
                  _bucket(j, F.col("tok")).alias("b"))
