@@ -61,9 +61,14 @@ def _order_proxy(key: Column) -> Column:
 
 def assign_sequential(df: DataFrame, order_col: str,
                       num_partitions: int | None = None,
-                      start: int = 0) -> DataFrame:
+                      start: int = 0,
+                      stats_out: dict | None = None) -> DataFrame:
     """Add a ``seq`` column = ``start`` + 0-based global position of the
-    row when ordered by ``order_col`` (must be unique)."""
+    row when ordered by ``order_col`` (must be unique).
+
+    ``stats_out``: optional dict the caller owns; filled with
+    ``{"total": <row count>}`` — the bucket-size pass already sums it,
+    so consumers that need N avoid a separate counting subtree."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     key = F.col(order_col)
     if dict(df.dtypes)[order_col] == "string":
@@ -94,6 +99,8 @@ def assign_sequential(df: DataFrame, order_col: str,
     for b in sorted(sizes):
         offsets.append((b, acc))
         acc += sizes[b]
+    if stats_out is not None:
+        stats_out["total"] = acc
     off_df = F.broadcast(df.sparkSession.createDataFrame(
         offsets, "_bkt int, _offset long"))
 

@@ -186,11 +186,14 @@ def ntile_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer and a bare cast truncates, colliding distinct balances)
     ordkey = ((-F.round(F.col("c_acctbal") * 100)).cast("long")
               * F.lit(1 << 33) + F.col("c_custkey")).alias("_ord")
+    stats: dict = {}
     seq = assign_sequential(
-        c.select("c_custkey", "c_mktsegment", ordkey), "_ord")
-    n1 = F.broadcast(seq.agg(F.count(F.lit(1)).alias("_n")))
+        c.select("c_custkey", "c_mktsegment", ordkey), "_ord",
+        stats_out=stats)
     rn = F.col("seq") + 1
-    n = F.col("_n")
+    # N comes from the bucket-size pass assign_sequential already ran —
+    # a literal, not a count subtree crossJoined back in
+    n = F.lit(stats["total"]).cast("long")
     base, rem = (n / 4).cast("long"), n % 4
     cut = rem * (base + 1)
     quartile = (F.when(rn <= cut,
@@ -199,7 +202,10 @@ def ntile_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          / F.greatest(base, F.lit(1)))))
     pct = F.when(n > 1, F.round((rn - 1).cast("double") / (n - 1), 6)) \
         .otherwise(F.lit(0.0))
-    seg = (seq.groupBy("c_mktsegment")
+    # segment counts are a property of the base table — aggregating the
+    # assign_sequential output instead would drag the offsets join into
+    # this branch of the plan for identical counts
+    seg = (c.groupBy("c_mktsegment")
            .agg(F.count(F.lit(1)).alias("_sc")))
     w_seg = W.orderBy("c_mktsegment")
     seg = F.broadcast(seg.select(
@@ -208,7 +214,7 @@ def ntile_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_sc").over(w_seg.rowsBetween(W.unboundedPreceding, -1)),
             F.lit(0)) + 1).alias("seg_rank"),
         F.row_number().over(w_seg).alias("seg_dense_rank")))
-    return (seq.crossJoin(n1).join(seg, "c_mktsegment")
+    return (seq.join(seg, "c_mktsegment")
             .select("c_custkey",
                     quartile.cast("int").alias("quartile"),
                     pct.alias("pct_rank"),

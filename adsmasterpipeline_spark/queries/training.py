@@ -601,7 +601,12 @@ def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array())).alias("bigram")
     bg = base.select("doc_id", bigram)
     db = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
-    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    # corpus bigram counts folded from the per-doc counts — COUNT(*)
+    # over occurrences == SUM(c) over (doc, bigram) groups exactly, and
+    # both consumers now sit on the SAME (doc_id, bigram) exchange, so
+    # AQE reuses it and the corpus explode + text normalization run
+    # once instead of twice
+    cb = db.groupBy("bigram").agg(F.sum("c").cast("long").alias("cb"))
     ctx = (cb.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
            .agg(F.sum("cb").cast("long").alias("cctx")))
     vocab = (base.select(F.explode("w").alias("tok"))
