@@ -689,21 +689,25 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.element_at("w", i + 3),
                                F.element_at("w", i + 4)))))
         .otherwise(F.array(F.md5("norm"))).alias("g"))
-    grams = gsets.select(
-        "doc_id", F.size("g").alias("n_grams"),
-        F.posexplode("g").alias("pos0", "h")
-    ).select("doc_id", "n_grams", (F.col("pos0") + 1).alias("pos"), "h")
-    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    sel = (grams
-           .withColumn("mh", F.min("h").over(win))
-           .where(F.col("pos") <= F.greatest(F.col("n_grams") - 3, F.lit(1)))
-           .select("doc_id", "n_grams", "mh").distinct())
-    return (sel.groupBy("doc_id", "n_grams")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
-                 F.md5(F.concat_ws(",", F.array_sort(F.collect_list("mh"))))
-                 .alias("fp_sig"))
-            .select("doc_id", F.col("n_grams").cast("long").alias("n_grams"),
-                    "n_fingerprints", "fp_sig"))
+    # The whole selection is per-document, so it never needs to leave
+    # the row: the sliding 4-window minimum over the hash sequence is
+    # array_min(slice(g, i, 4)) (slice clips at the array end exactly
+    # like the ROWS frame), the DISTINCT is array_distinct, and the
+    # signature sorts the distinct set — all array HOFs on one scan.
+    # The explode + doc-keyed window + distinct + groupBy form this
+    # replaces shuffled corpus-sized gram rows three times for the
+    # same values.
+    n = F.size("g")
+    mh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 3, F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("g"), i, F.lit(4))))
+    sel = gsets.select(
+        "doc_id", n.cast("long").alias("n_grams"),
+        F.array_distinct(mh).alias("_mhs"))
+    return sel.select(
+        "doc_id", "n_grams",
+        F.size("_mhs").cast("long").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.array_sort("_mhs"))).alias("fp_sig"))
 
 
 @query(

@@ -74,11 +74,19 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
-    j = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-         .join(o, li.l_orderkey == o.o_orderkey)
-         .join(c, o.o_custkey == c.c_custkey)
-         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    # fold each nation role into its dimension FIRST: Catalyst already
+    # infers supp_nation/cust_nation IN (N1,N2) from the disjunction
+    # and pushes it into the nation scans, so s_nat/c_nat carry only
+    # the two relevant nations' rows — the fact sides are then
+    # pre-filtered to ~2/25 of rows BEFORE the lineitem-orders join
+    # instead of after it (the nation joins used to run last)
+    s_nat = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    c_nat = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    o_nat = o.join(F.broadcast(c_nat.select("c_custkey", "cust_nation")),
+                   F.col("o_custkey") == F.col("c_custkey"))
+    j = (li.join(F.broadcast(s_nat.select("s_suppkey", "supp_nation")),
+                 li.l_suppkey == F.col("s_suppkey"))
+         .join(o_nat, li.l_orderkey == F.col("o_orderkey"))
          .where(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
                 | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))))
     return j.groupBy(

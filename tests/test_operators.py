@@ -154,6 +154,34 @@ def test_simhash_properties(spark):
     assert pairs[(5, 6)] == 0
 
 
+def test_simhash_pairs_aggregate_matches_column_form(spark):
+    """simhash_pairs builds signatures via the codegen'd vote
+    aggregation; it must produce bit-identical longs to the per-row
+    simhash64 reference on every doc (same tokens, same majority
+    rule, bit 63 clear)."""
+    from adsmasterpipeline_spark.operators.dedup import (
+        banded_hamming_pairs, normalize_text)
+    docs = _docs_with_dups(spark)
+    ref = {r["doc_id"]: r["sim"] for r in docs.select(
+        "doc_id", simhash64(F.col("text")).alias("sim")).collect()}
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.split(normalize_text(F.col("text")), " "))).alias("_tok"))
+    h = F.xxhash64("_tok")
+    aggs = [F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"_v{i}")
+            for i in range(63)]
+    votes = toks.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("_n"))
+    out = F.lit(0).cast("long")
+    for i in range(63):
+        out = out.bitwiseOR(
+            F.when(F.col(f"_v{i}") * 2 > F.col("_n"), F.lit(1 << i))
+            .otherwise(F.lit(0)))
+    agg_form = {r["doc_id"]: r["sim"] for r in
+                votes.select("doc_id", out.alias("sim")).collect()}
+    assert agg_form == ref
+
+
 def test_sign_lsh_recall_vs_brute_force(spark):
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = e.where(F.col("vec_id") < 16)
