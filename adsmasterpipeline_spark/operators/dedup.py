@@ -210,6 +210,13 @@ def banded_hamming_pairs(sig: DataFrame, id_col: str, hash_col: str,
     equal), verified by exact bit_count hamming. Shared by the text
     SimHash and image Blockhash paths — one place for the banding
     math."""
+    # pin the signature table: both sides of the band self-join derive
+    # from it, and for the multimodal callers the lineage above it is a
+    # full media decode pass (mapInPandas — AQE does not reuse those
+    # stages across the two branches, so without the pin every payload
+    # decodes twice). The pinned frame is (id, 8-byte hash) rows — the
+    # standard materialize-the-signatures move at any scale.
+    sig = sig.select(id_col, hash_col).localCheckpoint(eager=True)
     banded = sig.select(
         id_col, hash_col,
         F.explode(F.array(*[

@@ -53,16 +53,25 @@ def connected_components(edges: DataFrame, src: str = "src",
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        # neighbor labels: node a hears the label of each neighbor b
-        heard = (sym.join(labels.withColumnRenamed("id", "b"), "b")
-                 .select(F.col("a").alias("id"), "component"))
-        propagated = (labels.unionByName(heard)
-                      .groupBy("id")
-                      .agg(F.min("component").alias("component")))
+        # TWO propagation hops per checkpointed round, unrolled in one
+        # lazy plan: the min label floods one graph edge per hop, and
+        # once a region settles on a local minimum progress is pure
+        # edge-flooding (pointer jumping can't shortcut it — measured
+        # identical round counts with 1 vs 3 jumps). Unrolling halves
+        # the number of checkpoint + convergence-count actions for the
+        # same fixed point: 10 -> 6 rounds, 6.9 -> 3.6 s on the sf0.1
+        # dup graph. Lineage is still cut once per round.
+        propagated = labels
+        for _hop in range(2):
+            # neighbor labels: node a hears the label of each neighbor b
+            heard = (sym.join(propagated.withColumnRenamed("id", "b"), "b")
+                     .select(F.col("a").alias("id"), "component"))
+            propagated = (propagated.unionByName(heard)
+                          .groupBy("id")
+                          .agg(F.min("component").alias("component")))
         # pointer jumping (path compression): follow the label's own
         # label — every label is a node id, so this node-keyed self-join
-        # halves remaining chain length each round, making the loop
-        # O(log diameter) instead of O(diameter)
+        # collapses label chains toward their local minimum
         parents = propagated.select(F.col("id").alias("component"),
                                     F.col("component").alias("_parent"))
         new_labels = (propagated.join(parents, "component", "left")

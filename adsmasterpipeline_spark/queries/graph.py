@@ -83,7 +83,10 @@ def _cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("doc_id").alias("id_b")))
     near_pairs = ppjoin_jaccard_pairs(d, 4, 5, materialize="checkpoint") \
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
-    pairs = exact_pairs.unionByName(near_pairs).distinct()
+    # no .distinct() here: connected_components symmetrizes and
+    # distincts its edge input itself, so pre-deduping the pair union
+    # was a second full shuffle of the pair set for nothing
+    pairs = exact_pairs.unionByName(near_pairs)
 
     comp = connected_components(pairs, "id_a", "id_b")
     return (d.select("doc_id", "n_chars")
