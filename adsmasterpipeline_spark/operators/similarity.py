@@ -279,6 +279,22 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame,
             ident, vec, f"_n{vec}", "centroid_id",
             (_dot(F.col(vec), F.col("_cen"))
              / (F.col(f"_n{vec}") * F.col("_ncen"))).alias("_csim"))
+        if n == 1:
+            # nearest-list assignment as a max_by aggregate with key
+            # (_csim, -centroid_id) — identical row to the
+            # ROW_NUMBER()=1 window (centroid_id unique -> no key
+            # ties), but partial aggregation collapses the k_cent
+            # scored copies of each VECTOR to one row before the
+            # exchange; the window form shuffled (and sorted) every
+            # (row x centroid) pair with the full embedding aboard.
+            return (d.groupBy(ident)
+                    .agg(F.max_by(
+                        F.struct(vec, f"_n{vec}", "centroid_id"),
+                        F.struct(F.col("_csim"),
+                                 (-F.col("centroid_id")).alias("_negid")))
+                        .alias("_best"))
+                    .select(ident, f"_best.{vec}", f"_best._n{vec}",
+                            "_best.centroid_id"))
         w = W.partitionBy(ident).orderBy(F.col("_csim").desc(),
                                          F.col("centroid_id"))
         return (d.withColumn("_r", F.row_number().over(w))

@@ -347,12 +347,20 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen = en.where(F.col("vec_id").isin(*_KMEANS_SEEDS)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("_cvec"),
         F.col("_nv").alias("_ncen"))
+    # argmax over the 8 broadcast centroids as max_by with key
+    # (csim, -cid) — identical to ROW_NUMBER() OVER (ORDER BY csim
+    # DESC, cid) = 1 (cid unique -> no key ties), but the aggregate is
+    # map-side combinable: the exchange carries ONE row per vec_id
+    # instead of all 8 scored rows, and the window's full-width sort
+    # disappears from both Lloyd passes.
     w_v = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
     for _ in range(2):
         asim = en.crossJoin(F.broadcast(cen)).select(
             "vec_id", "cid", csim_col())
-        assign = (asim.withColumn("r", F.row_number().over(w_v))
-                  .where("r = 1").select("vec_id", "cid"))
+        assign = asim.groupBy("vec_id").agg(
+            F.max_by("cid", F.struct(F.col("csim"),
+                                     (-F.col("cid")).alias("_negid")))
+            .alias("cid"))
         cen = (
             e.join(assign, "vec_id")
             .select("cid", F.posexplode("embedding").alias("pos0", "valf"))
@@ -453,7 +461,6 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column (three O(dim) folds per pair -> one).",
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
     from ..operators.similarity import _dot, _norm
     e = load_table(spark, sf_dir, "embeddings")
     n_vec = e.count()
@@ -469,9 +476,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cid",
         F.round(_dot(F.col("embedding"), F.col("_cvec"))
                 / (F.col("_nv") * F.col("_nc")), 6).alias("csim"))
-    w_v = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
-    assign0 = (asim.withColumn("r", F.row_number().over(w_v))
-               .where("r = 1").select("vec_id", "cid"))
+    # same max_by-for-window move as ann_ivf_kmeans's Lloyd passes:
+    # one shuffled row per vec_id instead of one per (vec_id, cell)
+    assign0 = asim.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("csim"),
+                                 (-F.col("cid")).alias("_negid")))
+        .alias("cid"))
 
     a = (assign0.join(en, "vec_id")
          .select(F.col("vec_id").alias("_ida"), "cid",
