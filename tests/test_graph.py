@@ -71,13 +71,32 @@ def test_cluster_keeper_quality_prefers_longest(spark):
 
 def test_long_chain_converges_logarithmically(spark):
     """Pointer jumping: a 64-node path (diameter 63) must converge in
-    O(log d) rounds, not 63."""
+    O(log d) rounds, not 63 (driver_cap=0 forces the distributed
+    loop, which the union-find cutover would otherwise shortcut)."""
     edges = _edges(spark, [(i, i + 1) for i in range(63)])
     rounds = []
     comp = {r["id"]: r["component"] for r in
-            connected_components(edges, rounds_out=rounds).collect()}
+            connected_components(edges, rounds_out=rounds,
+                                 driver_cap=0).collect()}
     assert all(v == 0 for v in comp.values())
     assert rounds[0] <= 9, f"took {rounds[0]} rounds for diameter 63"
+
+
+def test_driver_unionfind_matches_distributed(spark):
+    """The size-adaptive driver union-find path and the distributed
+    label-propagation loop compute the identical (id, component) set
+    on a graph mixing chains, a clique, self-loops and singletons."""
+    pairs = ([(i, i + 1) for i in range(20)]            # path
+             + [(100, 101), (101, 102), (100, 102)]     # triangle
+             + [(200, 200)]                             # self-loop only
+             + [(301, 300), (302, 300), (303, 302)])    # reversed star
+    edges = _edges(spark, pairs)
+    drv = {(r["id"], r["component"])
+           for r in connected_components(edges).collect()}
+    dist = {(r["id"], r["component"])
+            for r in connected_components(edges, driver_cap=0).collect()}
+    assert drv == dist
+    assert drv, "empty component set"
 
 
 def test_triangle_copurchase_hand_computed(spark, tmp_path):
