@@ -254,10 +254,15 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str,
                                                      "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey",
                                                    "o_custkey")
+    # no .distinct() on the pair stream: the adjacency groupBy below
+    # dedups with collect_set, whose partial aggregation drops
+    # duplicates map-side — the explicit distinct was a second full
+    # shuffle of the edge list for nothing (adjacency verified
+    # row-identical; contributions are integer sums, so neighbor
+    # multiplicity/order cannot change any rank)
     raw = (l.join(o, l["l_orderkey"] == o["o_orderkey"])
            .select((F.col("l_suppkey") * 2).cast("long").alias("a"),
-                   (F.col("o_custkey") * 2 + 1).cast("long").alias("b"))
-           .distinct())
+                   (F.col("o_custkey") * 2 + 1).cast("long").alias("b")))
     # Pregel/GraphX adjacency form: group the edge list ONCE into one
     # row per node (out-neighbor array + degree) and checkpoint THAT —
     # node-count rows instead of edge-count rows pinned, and each
@@ -275,8 +280,9 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str,
              .unionAll(raw.select(F.col("b").alias("src"),
                                   F.col("a").alias("dst"))))
     adj = (edges.groupBy(F.col("src").alias("node"))
-           .agg(F.collect_list("dst").alias("dsts"),
-                F.count(F.lit(1)).cast("long").alias("deg"))
+           .agg(F.array_sort(F.collect_set("dst")).alias("dsts"))
+           .select("node", "dsts",
+                   F.size("dsts").cast("long").alias("deg"))
            ).localCheckpoint()
     # undirected doubling => every node has >= 1 in-edge, so the
     # per-round contribution sum already covers ALL nodes and no
