@@ -10,12 +10,14 @@ Scale notes (100 TB):
 - ``scrub_pii`` / ``quality_rules`` are narrow (per-row) — no shuffle,
   fully parallel, regex runs inside codegen.
 - ``span_dedup`` shuffles twice: once on the span *hash* (never the
-  span text — keys are 8-byte longs), once on the doc id to
+  span text — keys are 8-16 byte hashes), once on the doc id to
   reassemble. Span hashes are near-uniform so neither shuffle skews;
-  the span table is (id, pos, hash) + the span text needed for
-  reconstruction, ~1.1× the corpus in bytes. This is the standard
-  line/paragraph-level dedup from large-corpus pipelines (CCNet,
-  RefinedWeb) expressed as two grouped aggregations.
+  both decision shuffles carry only (id, pos, hash, key) proxy rows —
+  clean_text is re-sliced from each doc's own word array at the
+  surviving positions, so the text crosses the network at most once
+  (the final reattach join). This is the standard line/paragraph-level
+  dedup from large-corpus pipelines (CCNet, RefinedWeb) expressed as
+  two grouped aggregations.
 """
 
 from __future__ import annotations
@@ -117,35 +119,48 @@ def span_dedup(docs: DataFrame, text_col: str = "text",
     ``max_spans`` bounds the per-doc fan-out and packs (doc, pos) into
     one long key; callers with documents longer than
     ``max_spans * span_words`` words should chunk upstream first.
+
+    Dataflow: the survivorship DECISION runs entirely on lightweight
+    proxy rows (id, pos, span-hash, packed key); ``clean_text`` is
+    reconstructed per document by re-slicing the doc's own word array
+    at the surviving positions (deterministic, so byte-identical to
+    carrying the text through). The span text therefore crosses the
+    network AT MOST ONCE — the final doc-id reattach join, and not at
+    all when the kept-position table broadcasts — where the earlier
+    form shipped it through three exchanges (hash join, doc-id
+    reassembly groupBy, clean_text through the totals join), ~1.1x the
+    corpus in bytes each, for a decision that needs ~24 bytes per
+    span. Locally the rebuild costs ~+10% wall at sf0.1 (interpreted
+    slice lambda per kept span); the shuffle-byte cut is the 100-TB
+    lever.
     """
     words = F.split(F.col(text_col), " ")
     n_spans = F.greatest(
         F.ceil(F.size(words) / F.lit(span_words)), F.lit(1)).cast("int")
     span_at = lambda i: F.concat_ws(  # noqa: E731
         " ", F.slice(words, i * span_words + 1, span_words))
+    # hash AFTER the explode (codegen'd, not inside an interpreted
+    # higher-order lambda) and drop the span text in the same
+    # projection — column pruning keeps it out of every exchange
     spans = docs.select(
         F.col(id_col),
-        n_spans.alias("n_spans"),
         F.posexplode(F.transform(F.sequence(F.lit(0), n_spans - 1), span_at))
         .alias("pos", "span"))
     keyed = spans.select(
-        id_col, "n_spans", "pos", "span",
-        hash_fn(F.col("span")).alias("h"),
+        id_col, "pos", hash_fn(F.col("span")).alias("h"),
         (F.col(id_col) * max_spans + F.col("pos")).alias("k"))
     firsts = keyed.groupBy("h").agg(F.min("k").alias("first_k"))
-    kept = (keyed.join(firsts, "h")
-            .where(F.col("k") == F.col("first_k")))
-    per_doc = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(" ", F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "span"))),
-            lambda s: s["span"])).alias("clean_text"))
-    totals = docs.select(F.col(id_col), n_spans.alias("n_spans"))
-    return (totals.join(per_doc, id_col, "left_outer")
+    kept_pos = (keyed.join(firsts, "h")
+                .where(F.col("k") == F.col("first_k"))
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.array_sort(F.collect_list("pos")).alias("_keep")))
+    rebuilt = F.concat_ws(" ", F.transform(F.col("_keep"), span_at))
+    return (docs.join(kept_pos, id_col, "left_outer")
             .select(
-                id_col,
-                F.col("n_spans").cast("long").alias("n_spans"),
+                F.col(id_col),
+                n_spans.cast("long").alias("n_spans"),
                 F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
                 .alias("n_kept"),
-                F.coalesce(F.col("clean_text"), F.lit(""))
-                .alias("clean_text")))
+                F.when(F.col("_keep").isNull(), F.lit(""))
+                .otherwise(rebuilt).alias("clean_text")))

@@ -226,19 +226,28 @@ def banded_hamming_pairs(sig: DataFrame, id_col: str, hash_col: str,
             for b in range(4)])).alias("_b"),
     ).select(id_col, hash_col, "_b.band", "_b.bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # verify the exact hamming distance BEFORE the pair dedup: the
+    # distance is a function of the pair, so filter-then-dedup equals
+    # dedup-then-filter — but the dropDuplicates exchange then carries
+    # only the true near-dup pairs (id_a, id_b, tiny int) instead of
+    # every band collision with both 8-byte hashes aboard
+    hamming = F.bit_count(F.col(f"a.{hash_col}")
+                          .bitwiseXOR(F.col(f"b.{hash_col}")))
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.col(f"a.{hash_col}").alias("h_a"),
-                F.col(f"b.{hash_col}").alias("h_b"))
-        .dropDuplicates(["id_a", "id_b"])
+                hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        # dedup over all three columns: hamming is a function of the
+        # pair, so this equals dropDuplicates([id_a, id_b]) — but a
+        # pure grouping aggregate avoids the subset form's first()
+        # column, which Spark 4.1's exceptAll rewrite mis-binds
+        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND repro'd on this plan)
+        .dropDuplicates(["id_a", "id_b", "hamming"])
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
-            .where(F.col("hamming") <= max_hamming))
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",

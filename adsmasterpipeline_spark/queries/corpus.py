@@ -141,7 +141,9 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     gated = d.where(F.size(F.split(F.col("text"), " ")) >= 20) \
              .select("doc_id", norm.alias("norm"))
-    fp = gated.select("doc_id", "norm", F.md5("norm").alias("h"))
+    # unhex: internal group/join key only — 16-byte binary key, same
+    # grouping, half the shuffled key bytes
+    fp = gated.select("doc_id", "norm", F.unhex(F.md5("norm")).alias("h"))
     grp = fp.groupBy("h").agg(F.min("doc_id").alias("_keeper"))
     keepers = (fp.join(grp, "h")
                .where(F.col("doc_id") == F.col("_keeper"))

@@ -75,7 +75,10 @@ def _cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     norm = _norm_text()
 
-    fp = d.select("doc_id", F.md5(norm).alias("h"))
+    # unhex: the fingerprint is an internal group/join key (never in
+    # the output) — 16-byte binary halves the shuffled key bytes with
+    # bit-identical grouping
+    fp = d.select("doc_id", F.unhex(F.md5(norm)).alias("h"))
     grp = fp.groupBy("h").agg(F.min("doc_id").alias("keeper"))
     exact_pairs = (fp.join(grp, "h")
                    .where(F.col("doc_id") != F.col("keeper"))

@@ -259,9 +259,13 @@ def duplicated_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = 8
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.split(_norm_text(), " ").alias("w"))
+    # unhex: the gram key is internal (the output run_sig is a separate
+    # md5), and 16-byte binary halves the shuffled key bytes vs the
+    # 32-char hex string with bit-identical grouping (unhex is
+    # injective on fixed-length hex)
     hs = F.transform(
         F.sequence(F.lit(1), F.size("w") - (K - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, K))))
+        lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice("w", i, K)))))
     # pin the gram table: it feeds both the dup-count aggregate and the
     # position join, and Catalyst does not CSE the explode subtree —
     # unpinned, the corpus is re-hashed per branch (the minhash
