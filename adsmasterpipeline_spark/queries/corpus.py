@@ -387,9 +387,16 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "cid")
 
     # -- probe: search only assigned cells ---------------------------------
-    emb_q = en.select(F.col("vec_id").alias("query_id"),
-                      F.col("embedding").alias("_q"),
-                      F.col("_nv").alias("_nq"))
+    # the probe side only ever matches query_ids from qprobe, which is
+    # filtered to vec_id < 16 — restrict emb_q to the same bound BEFORE
+    # the broadcast hint so the broadcast side is provably 16 rows, not
+    # the full embedding table (the hint would otherwise force an
+    # unbounded corpus-sized broadcast at 100 TB). Inner join on
+    # query_id makes the extra filter a logical no-op.
+    emb_q = en.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_q"),
+        F.col("_nv").alias("_nq"))
     emb_c = en.select(F.col("vec_id").alias("neighbor_id"),
                       F.col("embedding").alias("_c"),
                       F.col("_nv").alias("_nc"))

@@ -80,11 +80,18 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two relevant nations' rows — the fact sides are then
     # pre-filtered to ~2/25 of rows BEFORE the lineitem-orders join
     # instead of after it (the nation joins used to run last)
+    # broadcast hints ONLY on the bare nation table (25 rows, bounded
+    # by the schema). s_nat/c_nat are supplier x nation / customer x
+    # nation — O(suppliers) / O(customers), which SCALE WITH THE FACT
+    # DATA: a forced hint would pin them as broadcasts regardless of
+    # size (driver OOM at 100 TB). AQE picks broadcast for them at
+    # bench scale on real size estimates and falls back to a shuffle
+    # join when they outgrow the threshold.
     s_nat = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
     c_nat = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-    o_nat = o.join(F.broadcast(c_nat.select("c_custkey", "cust_nation")),
+    o_nat = o.join(c_nat.select("c_custkey", "cust_nation"),
                    F.col("o_custkey") == F.col("c_custkey"))
-    j = (li.join(F.broadcast(s_nat.select("s_suppkey", "supp_nation")),
+    j = (li.join(s_nat.select("s_suppkey", "supp_nation"),
                  li.l_suppkey == F.col("s_suppkey"))
          .join(o_nat, li.l_orderkey == F.col("o_orderkey"))
          .where(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
