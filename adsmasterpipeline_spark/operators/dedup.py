@@ -142,31 +142,40 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         F.col(id_col), F.col("_sh"),
         minhash_from_shingles(F.col("_sh"), num_hashes).alias("_sig"))
 
-    # the band self-join runs on SLIM rows (id, band, bucket) only —
-    # carrying the shingle arrays through the join + dedup measured 20x
-    # slower at sf0.1; payloads are fetched once per surviving
-    # candidate pair instead
+    # the band self-join runs on SLIM rows (id, band, bucket, bucket
+    # array) only — carrying the shingle arrays through the join
+    # measured 20x slower at sf0.1; payloads are fetched once per
+    # surviving candidate pair instead
+    bucket_cols = [
+        F.xxhash64(F.concat_ws(
+            ",", *[F.element_at("_sig", b * rows_per_band + r + 1)
+                   .cast("string") for r in range(rows_per_band)]))
+        for b in range(bands)]
     banded = sig.select(
         id_col,
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", *[F.element_at("_sig", b * rows_per_band + r + 1)
-                           .cast("string") for r in range(rows_per_band)]))
-                .alias("bucket"))
-            for b in range(bands)])).alias("_b"),
-    ).select(id_col, "_b.band", "_b.bucket")
+        F.array(*bucket_cols).alias("_bkts"),
+        F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"),
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
+    # FIRST-MATCH-BAND pairing: a colliding pair is emitted only by the
+    # lowest band where its buckets agree, so the candidate set is
+    # unique BY CONSTRUCTION — the old dropDuplicates (a full shuffle
+    # of every band collision) is gone. Each banded row carries the
+    # full bucket array (bands x 8 bytes) so the first-match test is a
+    # local post-join filter; array_position returns the 1-based index
+    # of the first equal band, and `band` is 0-based from posexplode.
+    first_match = F.array_position(
+        F.zip_with(F.col("a._bkts"), F.col("b._bkts"),
+                   lambda x, y: x == y), F.lit(True))
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .where(first_match == F.col("a.band") + 1)
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
     sh = sig.select(F.col(id_col).alias("_id"), "_sh")
     cand = (

@@ -269,12 +269,16 @@ def duplicated_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the gram table: it feeds both the dup-count aggregate and the
     # position join, and Catalyst does not CSE the explode subtree —
     # unpinned, the corpus is re-hashed per branch (the minhash
-    # materialize pattern; localCheckpoint severs lineage so the scale
-    # form works when grams exceed executor memory)
-    g = (base.where(F.size("w") >= K)
-         .select("doc_id", F.posexplode(hs).alias("pos0", "h"))
-         .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"),
-                 "h")).localCheckpoint()
+    # materialize pattern). The gram table is CORPUS-scale (one row
+    # per position), so the pin is size-guarded: above the budget both
+    # branches recompute instead of pinning ~1x corpus on executor
+    # disk (VERDICT r11 #3)
+    from ..operators.pinning import pin_if_bounded
+    g = pin_if_bounded(
+        base.where(F.size("w") >= K)
+        .select("doc_id", F.posexplode(hs).alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"),
+                "h"), sf_dir, "documents")
     dup = (g.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
            .where(F.col("c") >= 2).select("h"))
     dp = g.join(dup, "h").select("doc_id", "pos")

@@ -220,10 +220,16 @@ _HLL_ALPHA_SQL = "0.7213 / (1 + 1.079 / 64)"
 )
 def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # pinned: feeds both the register build and the exact twin
+    # fold the occurrence stream to DISTINCT (lang, tok) FIRST and pin
+    # that (the countmin move): both consumers are duplicate-invariant
+    # — the register build is max(rho) per (lang, idx) and the twin is
+    # COUNT DISTINCT — so the pinned table is vocabulary-sized, not
+    # corpus-sized (VERDICT r11 #3: no unbounded corpus-scale pins),
+    # and the md5 register hash runs once per distinct token instead
+    # of once per occurrence.
     toks = (d.select("lang",
                      F.explode(F.split(_norm_text(), " ")).alias("tok"))
-            .where(F.col("tok") != "")).localCheckpoint()
+            .where(F.col("tok") != "")).distinct().localCheckpoint()
     h5 = F.md5(F.col("tok"))
     idx = F.conv(F.substring(h5, 31, 2), 16, 10).cast("long") % _HLL_M
     v = F.conv(F.substring(h5, 1, 8), 16, 10).cast("long")
@@ -329,13 +335,18 @@ _SHINGLE_SQL = ("CASE WHEN len(w) >= 3 THEN list_distinct("
 )
 def bloom_shingle_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles
+    from ..operators.pinning import pin_if_bounded
 
     d = load_table(spark, sf_dir, "documents")
     # pinned: feeds the benchmark side (filter bits + truth join) and
-    # the training side — unpinned, the corpus re-shingles per branch
-    sh = d.select("doc_id", "source",
-                  F.explode(shingles(F.col("text"), 3)).alias("shingle")
-                  ).localCheckpoint()
+    # the training side — unpinned, the corpus re-shingles per branch.
+    # The pin is CORPUS-scale (one row per doc-shingle), so it is
+    # size-guarded: above the budget the branches recompute instead of
+    # pinning ~1x corpus on executor disk (VERDICT r11 #3)
+    sh = pin_if_bounded(
+        d.select("doc_id", "source",
+                 F.explode(shingles(F.col("text"), 3)).alias("shingle")),
+        sf_dir, "documents")
     bench = (sh.where(F.col("source") == "src0")
              .select("shingle").distinct())
 

@@ -818,8 +818,11 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle subtree feeds the df count, the rank join, the index
     # side AND verification — Catalyst does not CSE it across outputs
     # (SCALE.md minhash lesson 4), so materialize ONCE: measured 4.5s
-    # -> ~1.5s at sf0.1
-    base = base.localCheckpoint(eager=True)
+    # -> ~1.5s at sf0.1. The pin is CORPUS-scale (per-doc shingle
+    # arrays), so it is size-guarded (VERDICT r11 #3): above the
+    # budget the branches recompute instead of pinning ~1x corpus
+    from ..operators.pinning import pin_if_bounded
+    base = pin_if_bounded(base, sf_dir, "documents")
     # sz is derived AFTER the checkpoint: selecting size("_sh") in the
     # same projection chain collapses into size(<shingle chain>) —
     # CollapseProject inlines the alias, so the interpreted HOF chain

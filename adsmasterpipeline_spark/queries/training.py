@@ -187,9 +187,15 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash materialize lesson). Sizes then come straight off
     # size(_sh) — the array IS the distinct shingle set — instead of
     # a count-by-doc shuffle over the exploded rows.
-    base = d.select("doc_id", "source",
-                    shingles(F.col("text"), 3).alias("_sh")) \
-        .localCheckpoint()
+    # The pin is CORPUS-scale (per-doc shingle arrays ~ corpus bytes),
+    # so it is size-guarded: above the budget the three branches
+    # recompute the shingle chain instead of pinning ~1x corpus on
+    # executor disk (VERDICT r11 #3; production = lake-materialize).
+    from ..operators.pinning import pin_if_bounded
+    base = pin_if_bounded(
+        d.select("doc_id", "source",
+                 shingles(F.col("text"), 3).alias("_sh")),
+        sf_dir, "documents")
     bench = (base.where(F.col("source") == "src0")
              .select(F.explode("_sh").alias("shingle")).distinct())
     train = (base.where(F.col("source") != "src0")
@@ -836,14 +842,17 @@ def bpe_learn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("pos0") + 1).alias("pos"),
                 F.replace(F.col("_w0"), F.lit(SEP), F.lit(""))
                 .alias("word"))
-        .where(F.col("word") != "")
-        # pin the word-position table: it feeds BOTH the word-count
-        # aggregate and the encode join, and without materialization
-        # the corpus normalize+split+explode runs twice (the "touched
-        # exactly twice" in the doc means twice LOGICALLY — this keeps
-        # it once PHYSICALLY); at cluster scale this is a lake-stage
-        # materialization of the tokenized corpus
-        .localCheckpoint())
+        .where(F.col("word") != ""))
+    # pin the word-position table: it feeds BOTH the word-count
+    # aggregate and the encode join, and without materialization
+    # the corpus normalize+split+explode runs twice (the "touched
+    # exactly twice" in the doc means twice LOGICALLY — this keeps
+    # it once PHYSICALLY). The table is CORPUS-scale (one row per
+    # token position), so the pin is size-guarded (VERDICT r11 #3);
+    # at cluster scale this is a lake-stage materialization of the
+    # tokenized corpus
+    from ..operators.pinning import pin_if_bounded
+    wp = pin_if_bounded(wp, sf_dir, "documents")
     wc = wp.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     _, types = learn_bpe(wc, n_merges=12)
     return (wp.join(types.select("word", "sym"), "word")
