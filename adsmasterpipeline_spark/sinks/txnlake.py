@@ -1072,19 +1072,34 @@ class TxnTable:
             positions = F.broadcast(positions)
         return tagged.join(positions, ["_dv_file", "_dv_pos"], how)
 
-    def _rows_at(self, positions: DataFrame | None) -> DataFrame | None:
+    def _rows_at(self, positions: DataFrame | None,
+                 pinned: bool = False) -> DataFrame | None:
         """Data rows at the given (_dv_file, _dv_pos) positions —
         the change feed's way of materializing a DV delta's pre/post
-        images. O(touched files) scan, budget-aware semi-join."""
+        images. O(touched files) scan, budget-aware semi-join.
+
+        ``pinned=True`` marks positions already localCheckpointed by
+        the caller (the feed's shared delta pass). One grouped collect
+        serves BOTH the touched-file list and the broadcast-budget
+        count — the previous shape (checkpoint + distinct collect +
+        re-checkpoint + count inside ``_pos_join``) launched twice the
+        driver actions per commit for the same decision."""
         if positions is None:
             return None
-        positions = positions.localCheckpoint()
-        files = sorted(r[0] for r in
-                       positions.select("_dv_file").distinct().collect())
+        if not pinned:
+            # lazy: the grouped collect right below is the first
+            # action, so pin + stats cost ONE job instead of two
+            positions = positions.localCheckpoint(eager=False)
+        per_file = positions.groupBy("_dv_file").agg(
+            F.count(F.lit(1)).alias("_n")).collect()
+        files = sorted(r["_dv_file"] for r in per_file)
         if not files:
             return None
-        return (self._pos_join(self._with_pos(self._read_files(files)),
-                               positions, "left_semi")
+        total = sum(r["_n"] for r in per_file)
+        if total <= self.dv_broadcast_budget:
+            positions = F.broadcast(positions)
+        return (self._with_pos(self._read_files(files))
+                .join(positions, ["_dv_file", "_dv_pos"], "left_semi")
                 .drop("_dv_file", "_dv_pos"))
 
     def _empty_like(self, snap: Snapshot) -> DataFrame:
@@ -1348,14 +1363,34 @@ class TxnTable:
                     {p: prior_e[p]["dir"] for p in kept_dv
                      if prior_e.get(p)})
 
-                def _minus(a, b):
-                    if a is None or b is None:
-                        return a
-                    return a.join(b, ["_dv_file", "_dv_pos"],
-                                  "left_anti")
-
-                del_rows = self._rows_at(_minus(new_pos, old_pos))
-                res_rows = self._rows_at(_minus(old_pos, new_pos))
+                # both delta directions from ONE materialized pass:
+                # tag current positions +1 and prior positions -1;
+                # each side is per-(file, pos) unique (cumulative DV
+                # parquets are position SETS per file), so a position
+                # in both sides sums to 0 (unchanged), only-current
+                # to +1 (newly masked -> delete) and only-prior to -1
+                # (unmasked by a restore -> re-insert). Replaces two
+                # anti-joins each paying its own checkpoint + count
+                # (half the feed's driver actions per DV commit).
+                del_pos = res_pos = None
+                pinned = False
+                if new_pos is not None and old_pos is not None:
+                    tagged = (new_pos.withColumn("_t", F.lit(1))
+                              .unionByName(
+                                  old_pos.withColumn("_t", F.lit(-1))))
+                    s = (tagged.groupBy("_dv_file", "_dv_pos")
+                         .agg(F.sum("_t").alias("_t"))
+                         .where(F.col("_t") != 0)
+                         .localCheckpoint(eager=False))
+                    del_pos = s.where(F.col("_t") > 0).drop("_t")
+                    res_pos = s.where(F.col("_t") < 0).drop("_t")
+                    pinned = True
+                elif new_pos is not None:
+                    del_pos = new_pos
+                elif old_pos is not None:
+                    res_pos = old_pos
+                del_rows = self._rows_at(del_pos, pinned=pinned)
+                res_rows = self._rows_at(res_pos, pinned=pinned)
                 if del_rows is not None:
                     pre = (del_rows if pre is None else
                            pre.unionByName(del_rows,
