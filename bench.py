@@ -97,6 +97,12 @@ BENCH_QUERIES = [
     # retune's cost must be a tracked number, not a claim
     "ann_ivf",
     "ann_ivf_kmeans",
+    # round-12 addition (VERDICT r11 task 5): the multimodal near-dup
+    # path (real netpbm decode -> blockhash -> shared banded hamming
+    # join) gets a driver-visible number — r11's signature-pin and
+    # verify-before-dedup wins on this family had no bench entry.
+    # Additions keep cross-round comparability (names never removed).
+    "image_phash_neardup",
 ]
 
 
