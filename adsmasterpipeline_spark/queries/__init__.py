@@ -61,43 +61,35 @@ def query(name: str, oracle: Optional[str], *tags: str, doc: str = ""):
 # safe publish, cli txn routing) are pytest/STREAMTXN/TXNPROBE
 # surfaces, and the ann_ivf/ann_pq retunes are rows-only entries.
 PRIORITY: tuple[str, ...] = (
-    # Round-11 window (VERDICT r10 task 1): computed from committed
-    # CORRECTNESS_r0{1..10}.json — every oracled query's LAST
-    # driver-green round. Last-green distribution after r10 was
-    # {r10: 50, r9: 50, r8: 28} plus the 4 round-10 txn queries
-    # that have NEVER had a driver row. This window = the 7
-    # never-checked (4 from r10 + the 3 new r11 queries), then all
-    # 28 whose last green is r08, then the alphabetically-first 15
-    # of the 50 whose last green is r09 — after this round every
-    # oracled query has a driver row and the cumulative last-green
-    # floor advances to r09.
-    # -- never driver-checked (7: the 4 round-10 txn queries plus
-    # the three NEW round-11 oracled queries, which lead so they get
-    # their first driver row immediately; the alphabetical r09 fill
-    # below shrinks by three to keep the window at 50) --
-    "txn_mor_merge_feed", "txn_partition_dv_state",
-    "txn_replace_where_feed",
-    "txn_constraint_gate", "txn_dv_delete_feed",
-    "txn_dv_restore_state", "txn_restore_diff",
-    # -- last driver-green r08 (28) --
-    "ngram_jaccard_pairs", "pivot_status_by_segment",
-    "posexplode_components", "q12_shipmode_priority",
-    "q14_promo_revenue", "q19_disjunctive", "q1_pricing_summary",
-    "q3_shipping_priority", "q4_order_priority", "q5_regional_revenue",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "quantiles_per_segment", "semantic_dedup",
-    "sequence_pack", "sessionize", "simhash", "stats_per_brand",
-    "stratified_sample", "text_quality", "tfidf_top_terms",
-    "token_count", "union_all_counts", "union_distinct",
-    "vector_norms", "winnow_fingerprints",
-    # -- last driver-green r09 (alphabetical fill to 50) --
-    "checksum_dispatch", "corpus_token_stats",
-    "correlated_small_quantity", "cosine_topk",
-    "countmin_heavy_hitters", "cube_order_stats", "date_buckets",
-    "dedup_clusters", "dedup_exact", "distinct_counts_exact_vs_approx",
-    "distinct_ngram_diversity", "doc_fingerprint",
-    "dsir_importance_weights", "duplicated_substring_runs",
-    "embedding_cosine_neardup",
+    # Round-12 window (same rotation rule as r7/r11): computed from
+    # committed CORRECTNESS_r0{1..11}.json — every oracled query's
+    # LAST driver-green round. Distribution after r11 over the 135
+    # oracled queries: {r9: 35, r10: 50, r11: 50}. This window = all
+    # 35 whose last green is r09, then the alphabetically-first 15 of
+    # the 50 whose last green is r10 — after this round the cumulative
+    # last-green floor advances to r10.
+    # -- last driver-green r09 (35) --
+    "embedding_cosine_neardup_gemm", "embedding_quantize",
+    "except_keys", "explode_tokens_top", "first_last_value",
+    "full_outer_diff", "funnel_conversion", "gapfill_forward_fill",
+    "has_fields", "histogram_prices", "hll_distinct_tokens",
+    "incremental_dedup", "incremental_watermark_scan",
+    "intersect_keys", "inverted_index_topdf", "join_anti",
+    "mixture_temperature_weights", "pii_scrub", "q10_returned_items",
+    "q11_important_stock", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_cnt", "q18_large_volume",
+    "q20_potential_promotion", "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity", "quality_rules_filter",
+    "range_join_bands", "repetition_quality", "salted_group_counts",
+    "source_mixture_sample", "span_dedup_docs",
+    "streaming_windowed_counts", "zorder_data_skipping",
+    # -- last driver-green r10 (alphabetical fill to 50) --
+    "agg_argmax_per_group", "agg_collect_sorted",
+    "agg_counts_per_group", "agg_nonnull_counts",
+    "ann_int8_quantized", "ann_ivf_kmeans", "ann_sign_lsh",
+    "asof_attribution", "assign_scalable", "benchmark_contamination",
+    "bigram_lm_nll", "bloom_shingle_filter", "bm25_topdf_terms",
+    "bpe_learn_encode", "case_when_mapping",
 )
 
 
