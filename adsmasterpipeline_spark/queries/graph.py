@@ -384,6 +384,10 @@ def triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge list far below the pair stream, and a production run
     # would lake-materialize exactly this table before the quadratic
     # wedge step (same pattern as the pagerank adjacency pin).
+    # NOTE: localCheckpoint is EAGER by default — building this plan
+    # runs a Spark job, and executor-local blocks are not
+    # fault-tolerant; on a multi-node cluster use reliable
+    # checkpointing or the lake materialization above (ADVICE r11).
     edges = (prs.groupBy(F.col("p.ea").alias("ea"),
                          F.col("p.eb").alias("eb"))
              .agg(F.count(F.lit(1)).alias("w"))

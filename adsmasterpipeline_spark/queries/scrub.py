@@ -242,7 +242,7 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "substring of g+7 tokens, i.e. maximal duplicated substrings "
         "at 8-token resolution, where span_dedup_docs only sees fixed "
         "10-word tiles. run_sig pins the covered text byte-for-byte. "
-        "Scale shape: grams shuffle as (doc_id, pos, 32-char hash) "
+        "Scale shape: grams shuffle as (doc_id, pos, 16-byte binary md5) "
         "rows — the gram TEXT never leaves the narrow stage (hashes "
         "are built per-row by transform before the explode, and the "
         "run text is recovered by re-joining the doc-keyed base, not "
