@@ -28,6 +28,7 @@ def events_dir(tmp_path):
     return d
 
 
+@pytest.mark.slow
 def test_cli_lifecycle(spark, tmp_path, events_dir, capsys):
     data = str(tmp_path / "data")
 
@@ -72,6 +73,7 @@ def test_cli_lifecycle(spark, tmp_path, events_dir, capsys):
     assert out["with_scix_after"] == 4
 
 
+@pytest.mark.slow
 def test_sitemap_update_is_incremental(spark, tmp_path, events_dir, capsys):
     """After bootstrap stamps filename_lastmoddate, an update run with
     no newer records must re-flag nothing and re-render nothing — the
@@ -106,6 +108,7 @@ def test_sitemap_update_is_incremental(spark, tmp_path, events_dir, capsys):
     assert out["files"] == 2  # one dirty file x two sites
 
 
+@pytest.mark.slow
 def test_cli_scoped_reindex_diag_delete_outbox(spark, tmp_path, events_dir,
                                                capsys):
     """The run.py parity verbs: -b/-n scoped reindex (watermark must
@@ -167,6 +170,7 @@ def test_cli_scoped_reindex_diag_delete_outbox(spark, tmp_path, events_dir,
     assert smt.where("bibcode = 'E01'").count() == 0
 
 
+@pytest.mark.slow
 def test_cli_corpus_prep(spark, tmp_path, capsys):
     """The corpus verb runs the full hygiene->scrub->dedup->split chain
     and its summary is consistent with the written parquet."""
@@ -204,6 +208,7 @@ def test_cli_corpus_rejects_bad_split_pcts(tmp_path):
                   "--train-pct", str(tr), "--val-pct", str(va)])
 
 
+@pytest.mark.slow
 def test_cli_lake_maintenance(spark, tmp_path, capsys):
     """`lake history|compact|vacuum`: the TxnTable lifecycle is
     operable from the CLI — compact shrinks the file count, vacuum
@@ -387,6 +392,7 @@ def test_cli_lake_delete_deletion_vectors(spark, tmp_path, capsys):
     assert "error" in err and "resolve" in err["error"]
 
 
+@pytest.mark.slow
 def test_cli_sitemap_auto_incremental_from_change_feed(spark, tmp_path,
                                                        capsys):
     """VERDICT r8 task 4 — second wired CDF consumer: `sitemap
@@ -452,6 +458,7 @@ def test_cli_sitemap_auto_incremental_from_change_feed(spark, tmp_path,
     assert r3["selected"] == 0 and r3["feed"]["files_read"] == 0
 
 
+@pytest.mark.slow
 def test_cli_sitemap_cleanup_incremental_from_change_feed(
         spark, tmp_path, capsys):
     """VERDICT r9 task 3 — third wired CDF consumer: `sitemap --action
@@ -549,6 +556,7 @@ def _mk_events(tmp_path, name, bibs, day, full=True):
     return d
 
 
+@pytest.mark.slow
 def test_cli_txn_reindex_probes(spark, tmp_path, capsys):
     """VERDICT r6 tasks 3+4 e2e: cli ingest+reindex on fmt=txn — the
     watermark scan, the records writeback MERGE, and the metrics
@@ -600,6 +608,7 @@ def test_cli_txn_reindex_probes(spark, tmp_path, capsys):
     # the merge probe shape is covered by the nonzero-path tool run)
 
 
+@pytest.mark.slow
 def test_cli_outbox_incremental_from_change_feed(spark, tmp_path, capsys):
     """VERDICT r7 task 1 wired consumer: `outbox --fmt txn
     --incremental` derives boost requests from the TxnTable change

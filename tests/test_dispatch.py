@@ -43,6 +43,7 @@ def _records(spark, with_orcid=True, with_nonbib=True):
     return recs
 
 
+@pytest.mark.slow
 def test_readiness(spark):
     complete = _records(spark)
     assert readiness_filter(complete).count() == 1
@@ -52,6 +53,7 @@ def test_readiness(spark):
     assert readiness_filter(incomplete, force=True).count() == 1
 
 
+@pytest.mark.slow
 def test_incremental_and_failed_filters(spark):
     recs = _records(spark)
     assert incremental_filter(recs, ts(5)).count() == 1
@@ -64,6 +66,7 @@ def test_incremental_and_failed_filters(spark):
     assert failed_filter(recs).count() == 0
 
 
+@pytest.mark.slow
 def test_dispatch_checksum_idempotence(spark):
     recs = _records(spark).cache()
     batches = reindex(recs)

@@ -27,6 +27,7 @@ def _clustered_vectors(spark):
         rows, "vec_id long, embedding array<double>, true_cluster int")
 
 
+@pytest.mark.slow
 def test_kmeans_separates_planted_clusters(spark):
     v = _clustered_vectors(spark)
     cen = kmeans(v, k=3, max_iters=4)

@@ -6,6 +6,7 @@ code) on randomized inputs — same scheme as test_transform_property.
 
 from __future__ import annotations
 
+import pytest
 import datetime as dt
 import itertools
 from collections import Counter
@@ -68,6 +69,7 @@ def gapfill_model(events: list[tuple[int, int, int | None]]
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.lists(st.lists(st.integers(1, 8), min_size=2, max_size=5),
                 min_size=1, max_size=12))
+@pytest.mark.slow
 def test_triangle_matches_model(spark, tmp_path_factory, baskets):
     from pyspark.sql import functions as F
 
@@ -88,6 +90,7 @@ def test_triangle_matches_model(spark, tmp_path_factory, baskets):
     st.tuples(st.integers(1, 3), st.integers(0, 12),
               st.one_of(st.none(), st.integers(-500, 500))),
     min_size=1, max_size=25))
+@pytest.mark.slow
 def test_gapfill_matches_model(spark, tmp_path_factory, events):
     from adsmasterpipeline_spark.queries.temporal import gapfill_forward_fill
 

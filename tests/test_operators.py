@@ -309,6 +309,7 @@ def test_multimodal_real_decode_when_deps_present(spark):
     assert all(abs(v - 128 / 255) < 1e-6 for v in row["feature"])
 
 
+@pytest.mark.slow
 def test_streaming_ingest_available_now(spark, tmp_path):
     from adsmasterpipeline_spark.streaming.ingest import StreamingIngest
 

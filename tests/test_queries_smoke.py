@@ -14,7 +14,16 @@ from tests.conftest import SF_DIR
 _load()
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+# the two heaviest smoke params (>= 10 s each: a full near-dup band
+# join / a txn lifecycle rebuild) go to the slow tier; every other
+# query keeps its default-run smoke row
+_SLOW_SMOKE = {"simhash_neardup", "txn_dv_delete_feed"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_SMOKE
+     else n for n in sorted(REGISTRY)])
 def test_query_runs_and_schema_stable(spark, name):
     qd = REGISTRY[name]
     df = qd.spark_fn(spark, SF_DIR)

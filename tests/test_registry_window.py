@@ -11,23 +11,24 @@ from adsmasterpipeline_spark.queries import (
 _load()
 
 MUST_PROVE = (
-    # VERDICT r10 task 1: the 4 round-10 txn queries that have never
-    # had a driver row lead, then the 28 oracled queries whose last
-    # driver-green row is r08 (computed from committed
-    # CORRECTNESS_r0{1..10}.json); after this round every oracled
-    # query has a driver row and the last-green floor advances to r09.
-    "txn_constraint_gate", "txn_dv_delete_feed",
-    "txn_dv_restore_state", "txn_restore_diff",
-    "ngram_jaccard_pairs", "pivot_status_by_segment",
-    "posexplode_components", "q12_shipmode_priority",
-    "q14_promo_revenue", "q19_disjunctive", "q1_pricing_summary",
-    "q3_shipping_priority", "q4_order_priority", "q5_regional_revenue",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "quantiles_per_segment", "semantic_dedup",
-    "sequence_pack", "sessionize", "simhash", "stats_per_brand",
-    "stratified_sample", "text_quality", "tfidf_top_terms",
-    "token_count", "union_all_counts", "union_distinct",
-    "vector_norms", "winnow_fingerprints",
+    # Round-12 rotation: the 35 oracled queries whose last
+    # driver-green row is r09 (computed from committed
+    # CORRECTNESS_r0{1..11}.json); after this round the cumulative
+    # last-green floor advances to r10.
+    "embedding_cosine_neardup_gemm", "embedding_quantize",
+    "except_keys", "explode_tokens_top", "first_last_value",
+    "full_outer_diff", "funnel_conversion", "gapfill_forward_fill",
+    "has_fields", "histogram_prices", "hll_distinct_tokens",
+    "incremental_dedup", "incremental_watermark_scan",
+    "intersect_keys", "inverted_index_topdf", "join_anti",
+    "mixture_temperature_weights", "pii_scrub", "q10_returned_items",
+    "q11_important_stock", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_cnt", "q18_large_volume",
+    "q20_potential_promotion", "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity", "quality_rules_filter",
+    "range_join_bands", "repetition_quality", "salted_group_counts",
+    "source_mixture_sample", "span_dedup_docs",
+    "streaming_windowed_counts", "zorder_data_skipping",
 )
 
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from adsmasterpipeline_spark.sinks.writers import (
     metrics_upsert, write_solr_dir, write_text_files,
 )
@@ -55,6 +57,7 @@ def test_dir_sinks(spark, tmp_path):
     assert (tmp_path / "txt" / "robots.txt").read_text() == "Sitemap: x\n"
 
 
+@pytest.mark.slow
 def test_lake_merge_parquet_matches_full_rewrite(spark, tmp_path):
     """merge_records(parquet) applied incrementally must equal the full
     merged table merge_updates produces — proving the sink interface

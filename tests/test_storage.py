@@ -48,6 +48,7 @@ def test_fold_last_writer_wins(spark, events_df):
     assert folded["B3"]["is_delete"] is True
 
 
+@pytest.mark.slow
 def test_merge_insert_update_delete(spark, events_df):
     recs, log = merge_updates(empty_records(spark), events_df,
                               now=F.lit(ts(10)).cast("timestamp"))
@@ -136,6 +137,7 @@ def test_delete_tie_loses_same_ts_update(spark):
     assert folded["new_bib_data"] is None
 
 
+@pytest.mark.slow
 def test_merge_scalable_insert_ids_match_window(spark, events_df):
     """Bootstrap-sized batches route insert ids through
     assign_sequential; numbering must be bit-identical to the window
@@ -219,6 +221,7 @@ def test_scix_id_flag_modes(spark, events_df):
         update_scix_ids(recs, "bogus")
 
 
+@pytest.mark.slow
 def test_kv_watermark(spark, tmp_path):
     kv = KeyValueStore(spark, str(tmp_path / "kv"))
     assert kv.get("last.reindex.normal") is None

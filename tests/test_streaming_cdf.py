@@ -45,6 +45,7 @@ def _drain(spark, path, ckpt, **options):
     return collected
 
 
+@pytest.mark.slow
 def test_stream_cdf_parity_and_resume(registered, tmp_path):
     """Stream output == batch changes() across overwrite / merge /
     delete / compact / restore; a restart on the same checkpoint
@@ -267,6 +268,7 @@ def test_stream_cdf_struct_nan_and_map_order_parity(registered, tmp_path):
     assert post[0]["s"]["x"] == 9.9 and post[0]["m"] == {"a": 9}
 
 
+@pytest.mark.slow
 def test_stream_cdf_max_commits_per_trigger(registered, tmp_path):
     """maxCommitsPerTrigger (Delta's maxFilesPerTrigger analogue): a
     stream running behind its writer drains as BOUNDED micro-batches —
@@ -342,6 +344,7 @@ def test_stream_cdf_max_commits_per_trigger(registered, tmp_path):
         assert len({row["_commit_version"] for row in b}) <= 2
 
 
+@pytest.mark.slow
 def test_stream_cdf_bounded_first_batch(registered, tmp_path):
     """VERDICT r9 task 4 (boundedFirstBatch): a FRESH query over a
     10-commit backlog with maxCommitsPerTrigger=2 drains in
@@ -431,6 +434,7 @@ def test_stream_cdf_refuses_partial_feed(registered, tmp_path):
         ("B1", 2, "update_preimage"), ("B1", 3, "update_postimage")]
 
 
+@pytest.mark.slow
 def test_stream_cdf_deletion_vector_parity(registered, tmp_path):
     """Deletion-vector commits on the stream: a DV delete (zero data
     files rewritten) feeds exactly the masked rows as deletes; a

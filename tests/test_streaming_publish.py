@@ -47,6 +47,7 @@ def _make_ingest(spark, tmp_path, fmt):
     return ing, str(events_dir)
 
 
+@pytest.mark.slow
 def test_txn_insert_epoch_never_scans_table(spark, tmp_path):
     """VERDICT r6 #1 done-criterion (unit side): with id stats
     present, an epoch that inserts brand-new keys completes with
@@ -83,6 +84,7 @@ def test_txn_insert_epoch_never_scans_table(spark, tmp_path):
     assert rows["B001"] == ids0["B001"]            # update kept its id
 
 
+@pytest.mark.slow
 def test_parquet_publish_survives_crash_and_replays(spark, tmp_path):
     """VERDICT r6 task 7 done-criterion: kill the publish between the
     snapshot write and the pointer swap — the table must still read
@@ -138,6 +140,7 @@ def test_parquet_publish_survives_crash_and_replays(spark, tmp_path):
     assert stale == []
 
 
+@pytest.mark.slow
 def test_txn_stream_auto_cleanup_bounds_log_listing(spark, tmp_path):
     """Long-running stream with auto-compact + auto-cleanup: the
     _txn/ entry-file count stays bounded by the checkpoint tail
@@ -169,6 +172,7 @@ def test_txn_stream_auto_cleanup_bounds_log_listing(spark, tmp_path):
     assert t.version() >= 10
 
 
+@pytest.mark.slow
 def test_txn_stream_constraint_epoch_fails_clean_then_retries(
         spark, tmp_path):
     """VERDICT r9 task 5: streaming ingest routes through

@@ -11,6 +11,7 @@ Reference analogue: the cron-driven incremental loop
 
 from __future__ import annotations
 
+import pytest
 import datetime as dt
 import json
 
@@ -68,6 +69,7 @@ def _solr_rows(spark, path):
             df.select("bibcode", "doc").collect()}
 
 
+@pytest.mark.slow
 def test_streaming_reindex_equals_batch_and_idempotent(spark, tmp_path):
     """Two AvailableNow runs == one batch reindex over the same
     events; a third run redelivering identical content emits ZERO

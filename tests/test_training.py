@@ -178,6 +178,7 @@ def test_bpe_pair_argmax_is_distributed_topk(spark):
     assert single_partition_exchanges(top1) == 0
 
 
+@pytest.mark.slow
 def test_learn_bpe_driver_and_distributed_paths_agree(spark):
     """The size-adaptive driver-side merge loop (r11) must produce the
     same merges and symbol tables as the distributed TopK loop
@@ -227,6 +228,7 @@ def _bpe_model(word_counts, n_merges):
     return merges, types
 
 
+@pytest.mark.slow
 def test_learn_bpe_property_vs_model(spark):
     """learn_bpe must agree with the independent dict-fold model on
     merge ORDER and final symbol tables across adversarial tiny

@@ -247,6 +247,7 @@ def test_links_bib_only_open(spark):
     assert json.loads(d["links_data"]) == [OPEN_LINK]
 
 
+@pytest.mark.slow
 def test_links_bib_only_closed(spark):
     d = _doc_for(spark, [
         (BIB, "bib_data", dict(BIB_PAYLOAD, links_data=[CLOSED_LINK]), ts(1))])

@@ -128,6 +128,7 @@ scenario = st.fixed_dictionaries({}, optional={
 @settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(scenario=scenario)
+@pytest.mark.slow
 def test_fold_matches_model(spark, scenario):
     payloads, order = scenario
     if not payloads:

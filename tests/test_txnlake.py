@@ -37,6 +37,7 @@ def _file_hashes(path):
     return out
 
 
+@pytest.mark.slow
 def test_txn_merge_matches_full_rewrite(spark, tmp_path):
     """Incremental MERGE result == recomputing the whole table:
     upserts land, survivors persist, tombstones delete — through the
@@ -173,6 +174,7 @@ def test_txn_concurrent_commit_conflict(spark, tmp_path):
                 if n.startswith(".tmp")]
 
 
+@pytest.mark.slow
 def test_streaming_ingest_on_txn_table(spark, tmp_path):
     """Streaming ingestion publishing through the TxnTable: state
     equals the parquet-swap mode, versions advance per micro-batch,
@@ -233,6 +235,7 @@ def test_streaming_ingest_on_txn_table(spark, tmp_path):
     assert _file_hashes(str(tmp_path / "t" / "records")) == hashes_before
 
 
+@pytest.mark.slow
 def test_txn_merge_into_empty_table_and_crash_orphans(spark, tmp_path):
     """Bootstrap-by-merge (no prior commit: every row inserts) and
     crash recovery: an orphan data directory from a crashed attempt
@@ -296,6 +299,7 @@ def test_txn_merge_probe_skips_out_of_range_files(spark, tmp_path):
     assert t.read().count() == 401
 
 
+@pytest.mark.slow
 def test_txn_log_checkpointing(spark, tmp_path):
     """Round-6 log checkpointing (VERDICT r5 #2, ADVICE r5 medium):
     every N commits the folded state lands in a checkpoint file; a
@@ -364,6 +368,7 @@ def test_txn_legacy_string_adds_still_fold(spark, tmp_path):
     assert {(r["bibcode"], r["v"]) for r in t.read().collect()} == {("B1", 2)}
 
 
+@pytest.mark.slow
 def test_streaming_txn_delete_writes_tombstone(spark, tmp_path):
     """ADVICE r5 (high): a status='deleted' event flowing through
     StreamingIngest(fmt='txn') must tombstone the key in the TxnTable
@@ -410,6 +415,7 @@ def test_streaming_txn_delete_writes_tombstone(spark, tmp_path):
                       ing_p._load_records().select(*cols).collect()))
 
 
+@pytest.mark.slow
 def test_txn_compact_bin_packs_small_files(spark, tmp_path):
     """OPTIMIZE: many per-epoch small files fold into few clustered
     ones in ONE atomic commit — data identical, large files untouched,
@@ -505,6 +511,7 @@ def test_txn_vacuum_and_history(spark, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [7, 23, 41])
+@pytest.mark.slow
 def test_txn_randomized_lifecycle_matches_model(spark, tmp_path, seed):
     """Model-based check of the WHOLE lifecycle: a seeded random
     sequence of merge/delete/dv_delete (deletion vectors)/overwrite/
@@ -869,6 +876,7 @@ def test_txn_restore_races_vacuum_threads(spark, tmp_path):
     assert final in (state_a, state_b)
 
 
+@pytest.mark.slow
 def test_txn_check_constraints(spark, tmp_path):
     """Delta CHECK constraints: set_constraint validates EXISTING data
     before registering, every merge/overwrite batch is validated
@@ -1063,6 +1071,7 @@ def test_txn_bloom_prunes_hash_partitioned_files(spark, tmp_path):
     assert t.read().count() == 401
 
 
+@pytest.mark.slow
 def test_streaming_txn_survives_delete_everything_epoch(spark, tmp_path):
     """Crash-loop regression (round-6 review): an epoch whose deletes
     remove EVERY remaining row leaves the table live-empty (a commit
@@ -1141,6 +1150,7 @@ def test_txn_checkpoint_txn_id_retention(spark, tmp_path):
     assert v == 6
 
 
+@pytest.mark.slow
 def test_streaming_auto_compact_bounds_file_count(spark, tmp_path):
     """auto_compact_every: an unbounded micro-batch stream otherwise
     adds one small file per epoch; with periodic OPTIMIZE the live
@@ -1219,6 +1229,7 @@ def test_txn_stats_cols_and_max_stat(spark, tmp_path):
     assert t.max_stat("id") is None
 
 
+@pytest.mark.slow
 def test_txn_read_for_range_prunes_files(spark, tmp_path):
     """Round-7 (VERDICT r6 task 3): the incremental watermark scan
     (P4, dispatch.incremental_filter's `updated >= since`) over a txn
@@ -1263,6 +1274,7 @@ def test_txn_read_for_range_prunes_files(spark, tmp_path):
                          for a in e["adds"]})
 
 
+@pytest.mark.slow
 def test_txn_checkpoint_carries_txn_ids_forward(spark, tmp_path):
     """ADVICE r6: _maybe_checkpoint reuses the previous checkpoint's
     (version, txn_id) pairs instead of re-reading every entry in the
@@ -1300,6 +1312,7 @@ def test_txn_checkpoint_carries_txn_ids_forward(spark, tmp_path):
     assert t2.merge(_recs(spark, [("B1", 99)]), app_txn_id="e1") == 6
 
 
+@pytest.mark.slow
 def test_txn_checkpoint_pointer_self_corrects(spark, tmp_path):
     """ADVICE r6: an older checkpointer whose pointer replace lands
     AFTER a newer checkpoint's must detect the newer on-disk
@@ -1318,6 +1331,7 @@ def test_txn_checkpoint_pointer_self_corrects(spark, tmp_path):
     assert t._read_last_checkpoint() == 6
 
 
+@pytest.mark.slow
 def test_txn_cleanup_log_bounds_listing(spark, tmp_path):
     """Round-7 log retention (the SCALE.md r6 honest gap: _txn/
     listing grew O(total commits) forever): cleanup_log deletes
@@ -1402,6 +1416,7 @@ def test_txn_merge_conflict_retry(spark, tmp_path):
     assert rows == {"B1": 1, "B2": 22, "B3": 3}
 
 
+@pytest.mark.slow
 def test_txn_concurrent_writers_threads(spark, tmp_path):
     """REAL concurrency, not a simulated stale snapshot: four threads
     each apply four merges to the SAME table through merge(retries=)
@@ -1478,6 +1493,7 @@ def test_txn_schema_evolution(spark, tmp_path):
             evo.read().collect()}["B4"] is None
 
 
+@pytest.mark.slow
 def test_txn_snapshot_refuses_cleaned_midwindow(spark, tmp_path):
     """ADVICE r8 (data-loss severity): with checkpoints {3, 6}
     retained and entries <= 6 removed by cleanup_log, _snapshot(4)
@@ -1621,6 +1637,7 @@ def test_txn_compact_conflict_retry(spark, tmp_path):
     assert hist[4] == "compact"
 
 
+@pytest.mark.slow
 def test_txn_concurrent_writers_with_compactor(spark, tmp_path):
     """The round-7 4-thread merge race extended with a COMPACTING
     writer (VERDICT r7 #3 done-criterion): merges and compacts race
@@ -1681,6 +1698,7 @@ def test_txn_concurrent_writers_with_compactor(spark, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [3, 11, 29])
+@pytest.mark.slow
 def test_txn_concurrent_maintenance_feed_complete_or_raises(
         spark, tmp_path, seed):
     """VERDICT r8 task 7: the thread races extended to the FULL
@@ -1850,6 +1868,7 @@ def _snapshot_diff(t, v_lo, v_hi):
     return sorted(out)
 
 
+@pytest.mark.slow
 def test_txn_changes_equals_snapshot_diff(spark, tmp_path):
     """VERDICT r7 task 1 done-criterion: changes(v_lo, v_hi) equals
     the full-snapshot diff of read(as_of) pairs across overwrite /
@@ -1906,6 +1925,7 @@ def test_txn_changes_equals_snapshot_diff(spark, tmp_path):
         ("B2", "update_postimage"), ("B2", "update_preimage")]
 
 
+@pytest.mark.slow
 def test_txn_changes_refuses_cleaned_or_vacuumed(spark, tmp_path):
     """CDF retention contract (Delta parity): the feed needs the
     range's log entries AND data files — cleanup_log'd entries or

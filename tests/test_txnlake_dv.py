@@ -258,6 +258,7 @@ def test_dv_read_for_range_and_keys_mask(spark, tmp_path):
     assert rng == [9, 12, 13]
 
 
+@pytest.mark.slow
 def test_dv_merge_on_read_masks_instead_of_rewriting(spark, tmp_path):
     """merge(merge_on_read=True): matched rows are MASKED in place and
     the batch lands as one new add file — every pre-existing data
@@ -327,6 +328,7 @@ def test_dv_merge_on_read_stream_parity(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_dv_streaming_ingest_merge_on_read_parity(spark, tmp_path):
     """StreamingIngest(txn_opts={'merge_on_read': True}): every epoch
     masks + appends instead of rewriting, and the resulting records

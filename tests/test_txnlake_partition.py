@@ -297,6 +297,7 @@ def test_partitioning_is_table_metadata(spark, tmp_path):
     assert t4.partition_by == ("v",)
 
 
+@pytest.mark.slow
 def test_partition_declaration_survives_cleanup_log(spark, tmp_path):
     path = str(tmp_path / "t")
     t = txn_table(spark, path, key="id", partition_by=("seg",),
@@ -319,6 +320,7 @@ def test_partition_declaration_survives_cleanup_log(spark, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [5, 17])
+@pytest.mark.slow
 def test_txn_partitioned_lifecycle_matches_model(spark, tmp_path, seed):
     """The randomized lifecycle model test, PARTITIONED: a seeded
     random sequence of merge / merge-on-read / dv_delete /
