@@ -388,33 +388,17 @@ def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int,
         cond = (cond
                 & (F.col("a.source") == F.col("b.source"))
                 & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30))
-    # pin the candidate PAIR set (slim id pairs — bounded by the true
-    # near-dup density, tiny next to the token tables): it feeds the
-    # two verify joins AND the id prune below, and unpinned each
-    # consumer would re-run the prefix self-join (the r11 attempt
-    # checkpointed a token table here and regressed under memory
-    # pressure; pinning the pair set costs one small job)
     cand = (
         a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-    ).localCheckpoint(eager=True)
+    )
     # verify candidates with exact intersection over FULL token sets —
-    # per-row array_intersect on the two (narrowly joined) token
-    # arrays, no second explode join. The token arrays are built ONLY
-    # for candidate docs: the semi-join runs on the raw doc rows
-    # BEFORE the normalize/split/array_distinct projection, so the
-    # interpreted HOF chain (formerly 2 full corpus passes, one per
-    # verify side) touches candidate docs only. No broadcast hint —
-    # the id set is data-dependent; AQE sees the pinned pair set's
-    # true size and picks broadcast when it fits.
-    ids = (cand.select(F.col("doc_a").alias("doc_id"))
-           .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-           .distinct())
-    arrs = (d.join(ids, "doc_id", "left_semi")
-            .select("doc_id",
-                    F.array_distinct(F.split(norm, " ")).alias("_arr")))
+    # per-row array_intersect on the two (narrowly joined) token arrays,
+    # no second explode join; the candidate set is already small
+    arrs = d.select("doc_id",
+                    F.array_distinct(F.split(norm, " ")).alias("_arr"))
     verified = (
         cand.join(arrs.select(F.col("doc_id").alias("doc_a"),
                               F.col("_arr").alias("arr_a")), "doc_a")
