@@ -235,27 +235,36 @@ def banded_hamming_pairs(sig: DataFrame, id_col: str, hash_col: str,
             for b in range(4)])).alias("_b"),
     ).select(id_col, hash_col, "_b.band", "_b.bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    # verify the exact hamming distance BEFORE the pair dedup: the
-    # distance is a function of the pair, so filter-then-dedup equals
-    # dedup-then-filter — but the dropDuplicates exchange then carries
-    # only the true near-dup pairs (id_a, id_b, tiny int) instead of
-    # every band collision with both 8-byte hashes aboard
-    hamming = F.bit_count(F.col(f"a.{hash_col}")
-                          .bitwiseXOR(F.col(f"b.{hash_col}")))
+    xor = F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+    hamming = F.bit_count(xor)
+
+    # FIRST-MATCH-BAND pairing (the minhash_lsh_pairs move): a pair is
+    # emitted ONLY by the lowest band whose 16-bit blocks agree, so the
+    # candidate set is unique BY CONSTRUCTION and the old
+    # dropDuplicates — a full shuffle of every emitted pair — is gone
+    # outright. The lowest agreeing band is the index of the first
+    # zero 16-bit block of the pair's XOR, a local post-join filter on
+    # the hashes already aboard; the join condition guarantees block
+    # `band` is zero, so first_zero <= band and equality keeps exactly
+    # the lowest. (A pair at hamming 0 collides in all 4 bands — 4
+    # join output rows before, 1 now, so exact-dup-heavy corpora also
+    # emit 4x fewer pre-filter rows.)
+    def _block(j: int) -> Column:
+        return F.shiftright(xor, j * 16).bitwiseAND(F.lit(0xFFFF))
+
+    first_zero = (F.when(_block(0) == 0, 0)
+                  .when(_block(1) == 0, 1)
+                  .when(_block(2) == 0, 2)
+                  .otherwise(F.lit(3)))
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .where(first_zero == F.col("a.band"))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
                 hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        # dedup over all three columns: hamming is a function of the
-        # pair, so this equals dropDuplicates([id_a, id_b]) — but a
-        # pure grouping aggregate avoids the subset form's first()
-        # column, which Spark 4.1's exceptAll rewrite mis-binds
-        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND repro'd on this plan)
-        .dropDuplicates(["id_a", "id_b", "hamming"])
     )
 
 

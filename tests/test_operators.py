@@ -918,6 +918,50 @@ def test_png_decode_all_filters_and_depths(spark):
     assert not out[3]["decode_ok"]
 
 
+def test_banded_hamming_first_match_equals_dedup_form(spark):
+    """banded_hamming_pairs emits each colliding pair exactly once via
+    its LOWEST agreeing band (first-match pairing); output must equal
+    the reference dropDuplicates form on hashes engineered to collide
+    in 1, 2, 3 and all 4 bands (hamming-0 twins collide everywhere —
+    the old form emitted them 4x before the dedup exchange)."""
+    from adsmasterpipeline_spark.operators.dedup import (
+        banded_hamming_pairs)
+    h = 0x1234_5678_9ABC_DEF0
+    rows = [
+        (1, h), (2, h),                      # hamming 0: all 4 bands agree
+        (3, h ^ 0x1),                        # band 0 differs; 1-3 agree
+        (4, h ^ 0x0001_0001_0001_0000),      # only band 0 agrees
+        (5, h ^ (0x7 << 16)),                # band 1 differs; 0,2,3 agree
+        (6, 0x0F0F_0F0F_0F0F_0F0F),          # unrelated
+    ]
+    sig = spark.createDataFrame(rows, "id long, hh long")
+    new = banded_hamming_pairs(sig, "id", "hh", max_hamming=63)
+    got = sorted(map(tuple, new.collect()))
+
+    # reference: emit per agreeing band, then dedup
+    from pyspark.sql import functions as F
+    banded = sig.select(
+        "id", "hh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("hh", b * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("bucket"))
+            for b in range(4)])).alias("_b"),
+    ).select("id", "hh", "_b.band", "_b.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.hh").bitwiseXOR(F.col("b.hh")))
+    ref = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col("a.id") < F.col("b.id")))
+           .select(F.col("a.id").alias("id_a"),
+                   F.col("b.id").alias("id_b"), hamming.alias("hamming"))
+           .where(F.col("hamming") <= 63)
+           .dropDuplicates(["id_a", "id_b", "hamming"]))
+    assert got == sorted(map(tuple, ref.collect()))
+    # multiplicity: the hamming-0 twin appears exactly once
+    assert [g for g in got if g[:2] == (1, 2)] == [(1, 2, 0)]
+
+
 def test_image_phash_png_planted_pair(spark):
     """PNG planted near-dup through the FULL perceptual-hash path:
     text rasters encoded as real PNGs (not netpbm), decoded by the
