@@ -338,17 +338,17 @@ def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int,
         F.explode(F.array_distinct(F.split(norm, " "))).alias("tok"),
     )
     # global token rarity + per-doc rank by (df asc, tok) — the prefix
-    # of each doc is its rarest tokens under a deterministic total order
-    dfc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    # of each doc is its rarest tokens under a deterministic total order.
+    # Rarity is a WINDOW count over tok, not a groupBy+join-back: the
+    # join form shuffled the token table by tok twice (map-side-combined
+    # aggregate + join probe) and materialized a corpus-wide distinct-
+    # token dictionary (billions of rows at 100 TB — typos, numbers,
+    # URLs — never broadcastable); the window shuffles the token rows
+    # once and needs no dictionary table at all. Identical integer
+    # counts (A/B at sf0.1: 1.02 s -> 0.93 s best-of-3, equal rows).
     w_doc = W.partitionBy("doc_id").orderBy("dfc", "tok")
-    # NO broadcast hint on the token-DF dictionary: its cardinality is
-    # the corpus-wide distinct-token count (billions at 100 TB — typos,
-    # numbers, URLs), which would OOM every executor as a broadcast
-    # build side. The join key is the same ``tok`` the groupBy above
-    # already shuffled on, so the shuffled-hash/sort-merge join reuses
-    # that partitioning; the prefix-filter math needs no hint.
     ranked = (
-        tok.join(dfc, "tok")
+        tok.withColumn("dfc", F.count(F.lit(1)).over(W.partitionBy("tok")))
         .withColumn("rnk", F.row_number().over(w_doc))
         .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
     )
@@ -831,10 +831,15 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column it is an O(1) array-length read.
     base = base.select("doc_id", "_sh", F.size("_sh").alias("sz"))
     tok = base.select("doc_id", "sz", F.explode("_sh").alias("sh"))
-    dfc = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
+    # shingle df as a WINDOW count over sh instead of groupBy+join-back:
+    # the join form shuffled the token table by sh TWICE (once map-side-
+    # combined for the aggregate, once for the join probe); the window
+    # shuffles it once and the count is the identical integer (A/B at
+    # sf0.1: 1.88 s -> 1.60 s best-of-3, oracle-equal rows)
     w_doc = W.partitionBy("doc_id").orderBy("dfc", "sh")
-    ranked = tok.join(dfc, "sh").withColumn(
-        "rnk", F.row_number().over(w_doc))
+    ranked = (tok.withColumn("dfc", F.count(F.lit(1))
+                             .over(W.partitionBy("sh")))
+              .withColumn("rnk", F.row_number().over(w_doc)))
     # containment prefix bound (probe side only): a pair with
     # C >= t must share one of a's sz - ceil(t*sz) + 1 rarest
     # shingles with ANY shingle of b — so b is indexed in full
