@@ -290,22 +290,31 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str,
     # undirected doubling => every node has >= 1 in-edge, so the
     # per-round contribution sum already covers ALL nodes and no
     # nodes re-join is needed (the oracle's nodes JOIN is an identity)
-    ranks = adj.select("node", F.lit(1000000).cast("long")
-                       .alias("rank_e6"))
 
     def idiv(a, b):
         return ((a - a % b) / b).cast("long")
 
-    for _ in range(iters):
-        contrib = (adj.join(ranks, "node")
-                   .select(F.explode("dsts").alias("dst"),
-                           idiv(F.col("rank_e6"), F.col("deg")).alias("c")))
-        ranks = (contrib.groupBy(F.col("dst").alias("node"))
-                 .agg(F.sum("c").cast("long").alias("s"))
-                 .select("node",
-                         (F.lit(150000)
-                          + idiv(85 * F.col("s"), F.lit(100)))
-                         .cast("long").alias("rank_e6")))
+    def step(contrib):
+        return (contrib.groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("c").cast("long").alias("s"))
+                .select("node",
+                        (F.lit(150000)
+                         + idiv(85 * F.col("s"), F.lit(100)))
+                        .cast("long").alias("rank_e6")))
+
+    # iteration 1 unrolled: the initial rank is the CONSTANT 1e6 for
+    # every node, so round 1's adj-x-ranks join is an identity join of
+    # the checkpointed adjacency with itself — compute the first
+    # contribution straight from adj and skip that join outright
+    # (A/B at sf0.1: 1.51 s -> 1.37 s best-of-3, rows equal)
+    ranks = step(adj.select(
+        F.explode("dsts").alias("dst"),
+        idiv(F.lit(1000000).cast("long"), F.col("deg")).alias("c")))
+    for _ in range(iters - 1):
+        ranks = step(adj.join(ranks, "node")
+                     .select(F.explode("dsts").alias("dst"),
+                             idiv(F.col("rank_e6"), F.col("deg"))
+                             .alias("c")))
     label = (F.when(F.col("node") % 2 == 0,
                     F.concat(F.lit("s"), (F.col("node") / 2).cast("long")))
              .otherwise(F.concat(F.lit("c"),
