@@ -282,7 +282,13 @@ def duplicated_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice once the dup-hash table outgrows a broadcast (at 100 TB
     # duplicated grams are billions of rows); the window shuffles it
     # once and the count is the identical integer. A/B at sf0.1:
-    # 1.36 s -> 1.04 s best-of-3, equal rows.
+    # 1.36 s -> 1.04 s best-of-3, equal rows. Skew note: a window
+    # partition is unsplittable; the key is a 16-byte md5 of an 8-gram,
+    # so partition size equals that gram's TRUE duplication count —
+    # the same duplication-proportional hot keys every dedup stage here
+    # accepts (band buckets, fingerprint groups). A corpus whose
+    # boilerplate concentrates one gram across a large fraction of all
+    # docs would want the groupBy+join form back (AQE-splittable).
     dp = (g.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("h")))
           .where(F.col("c") >= 2).select("doc_id", "pos"))
     isl = dp.withColumn(

@@ -338,17 +338,24 @@ def ppjoin_jaccard_pairs(d: DataFrame, t_num: int, t_den: int,
         F.explode(F.array_distinct(F.split(norm, " "))).alias("tok"),
     )
     # global token rarity + per-doc rank by (df asc, tok) — the prefix
-    # of each doc is its rarest tokens under a deterministic total order.
-    # Rarity is a WINDOW count over tok, not a groupBy+join-back: the
-    # join form shuffled the token table by tok twice (map-side-combined
-    # aggregate + join probe) and materialized a corpus-wide distinct-
-    # token dictionary (billions of rows at 100 TB — typos, numbers,
-    # URLs — never broadcastable); the window shuffles the token rows
-    # once and needs no dictionary table at all. Identical integer
-    # counts (A/B at sf0.1: 1.02 s -> 0.93 s best-of-3, equal rows).
+    # of each doc is its rarest tokens under a deterministic total order
+    dfc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
     w_doc = W.partitionBy("doc_id").orderBy("dfc", "tok")
+    # NO broadcast hint on the token-DF dictionary: its cardinality is
+    # the corpus-wide distinct-token count (billions at 100 TB — typos,
+    # numbers, URLs), which would OOM every executor as a broadcast
+    # build side. The join key is the same ``tok`` the groupBy above
+    # already shuffled on, so the shuffled-hash/sort-merge join reuses
+    # that partitioning; the prefix-filter math needs no hint.
+    # A count(*) WINDOW over tok (the shingle-containment form) was
+    # A/B'd at 0.93 s vs 1.02 s here but REJECTED for this path: token
+    # df is Zipfian ("the" appears in ~every doc), and a window
+    # partition is unsplittable — one corpus-hot token would pin ~n_docs
+    # rows on a single task at 100 TB, while this join form map-side-
+    # combines the count and leaves the hot key in an AQE-skew-
+    # splittable join.
     ranked = (
-        tok.withColumn("dfc", F.count(F.lit(1)).over(W.partitionBy("tok")))
+        tok.join(dfc, "tok")
         .withColumn("rnk", F.row_number().over(w_doc))
         .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
     )
@@ -835,7 +842,12 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the join form shuffled the token table by sh TWICE (once map-side-
     # combined for the aggregate, once for the join probe); the window
     # shuffles it once and the count is the identical integer (A/B at
-    # sf0.1: 1.88 s -> 1.60 s best-of-3, oracle-equal rows)
+    # sf0.1: 1.88 s -> 1.60 s best-of-3, oracle-equal rows). Skew note:
+    # a window partition is unsplittable, which is safe HERE because
+    # 3-gram shingle df is near-1 on real text (the docstring's hot-key
+    # argument) — for a Zipfian key like raw tokens the groupBy+join
+    # form with AQE skew-split is the right shape (see ppjoin_jaccard_
+    # pairs, where the window was A/B'd and rejected for exactly that)
     w_doc = W.partitionBy("doc_id").orderBy("dfc", "sh")
     ranked = (tok.withColumn("dfc", F.count(F.lit(1))
                              .over(W.partitionBy("sh")))
