@@ -121,6 +121,12 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     branch re-evaluates the signature expressions).
     """
     rows_per_band = num_hashes // bands
+    # input-skew fix first (guide §2.5): one small parquet split — every
+    # local tier — would run the whole interpreted shingle+minhash fold
+    # below on a single core (measured 1.01 s -> 0.28 s at sf0.1 when
+    # spread); a no-op once the scan is already parallel
+    from .skew import spread_small_scan
+    docs = spread_small_scan(docs.select(id_col, text_col))
     # Materialize the shingle table BEFORE deriving signatures: shingle
     # construction is the dominant cost and Catalyst does not eliminate
     # the common subtree across the _sh and _sig outputs (measured 2x:

@@ -59,12 +59,11 @@ def spread_for_decode(df: DataFrame) -> DataFrame:
     input is already parallel, so nothing here is tuned to local mode.
     Callers pass the slim (id, text) projection BEFORE payload
     synthesis, so the shuffled bytes (when the shuffle happens at all)
-    are the text column, never the synthesized media."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    are the text column, never the synthesized media. (Thin alias of
+    operators/skew.spread_small_scan — the same input-skew fix serves
+    the heavy JVM text folds; one implementation.)"""
+    from .skew import spread_small_scan
+    return spread_small_scan(df)
 
 
 def _netpbm_gray(payload: bytes):

@@ -18,6 +18,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Input-skew fix (guide §2.5 "one huge unsplittable file"):
+    when the upstream scan yields fewer partitions than the session
+    has task slots — one small parquet file at every local bench/test
+    tier, or a single unsplittable input at deployment — round-robin
+    repartition to ``defaultParallelism`` so the expensive per-row
+    work ABOVE the scan (higher-order shingle/hash folds, normalize +
+    split chains) runs on every core instead of one. At real scale the
+    scan already carries >= slots partitions and this is a NO-OP: no
+    shuffle is added where the input is already parallel, so nothing
+    here is tuned to local mode. Callers pass the slim projection
+    (id + text) so the shuffled bytes, when the shuffle happens at
+    all, are the raw input columns, never derived arrays.
+
+    Results are unchanged — only physical distribution moves, and
+    every consumer in this engine is order-insensitive (the oracle
+    gate compares sorted rows)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def detect_hot_keys(df: DataFrame, key: str, threshold_frac: float = 0.05,
                     max_keys: int = 100) -> list:
     """Keys holding more than ``threshold_frac`` of all rows."""

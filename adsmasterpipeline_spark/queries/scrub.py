@@ -258,7 +258,11 @@ def duplicated_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     K = 8
-    d = load_table(spark, sf_dir, "documents")
+    from ..operators.skew import spread_small_scan
+    # input-skew fix (guide §2.5): the per-row 8-gram md5 transform
+    # otherwise runs on the local tier's single parquet split
+    d = spread_small_scan(load_table(spark, sf_dir, "documents")
+                          .select("doc_id", "text"))
     base = d.select("doc_id", F.split(_norm_text(), " ").alias("w"))
     # unhex: the gram key is internal (the output run_sig is a separate
     # md5), and 16-byte binary halves the shuffled key bytes vs the

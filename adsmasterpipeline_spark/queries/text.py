@@ -305,6 +305,10 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "5*inter >= 3*union in integer arithmetic on both engines.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO spread_small_scan here: the PPJoin's heavy work is
+    # explode+aggregate, which parallelizes after its first exchange
+    # anyway — the A/B measured the extra repartition as a small net
+    # loss (1.06 s -> 1.14 s at sf0.1), unlike the array-fold queries
     return ppjoin_jaccard_pairs(_docs(spark, sf_dir), 3, 5) \
         .select("doc_a", "doc_b", "jaccard")
 
@@ -815,8 +819,11 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..operators.dedup import shingles
+    from ..operators.skew import spread_small_scan
 
-    d = _docs(spark, sf_dir)
+    # input-skew fix (guide §2.5): the interpreted shingle fold below
+    # otherwise runs on the local tier's single parquet split
+    d = spread_small_scan(_docs(spark, sf_dir).select("doc_id", "text"))
     t_num, t_den = 9, 10
     base = (d.select("doc_id", shingles(F.col("text"), 3).alias("_sh"),
                      F.size(F.split(_norm_text(), " ")).alias("_nw"))

@@ -179,7 +179,12 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles
-    d = load_table(spark, sf_dir, "documents")
+    from ..operators.skew import spread_small_scan
+    # input-skew fix (guide §2.5): the shingle fold (and the pinned
+    # table it materializes) otherwise lives on the local tier's single
+    # parquet split — serializing all three downstream branches too
+    d = spread_small_scan(load_table(spark, sf_dir, "documents")
+                          .select("doc_id", "source", "text"))
     # pin the per-doc shingle ARRAYS once: the exploded table feeds
     # three branches (bench distinct, per-doc sizes, the hit join) and
     # Catalyst does not CSE the shingle chain across them — unpinned,
