@@ -115,7 +115,12 @@ def _hadamard_bkt_sql(planes: int = 8) -> str:
         "Engine-portable integer math -> fully oracle-checked.",
 )
 def ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..operators.skew import spread_small_scan
+    # input-skew fix (guide §2.5): the candidate-side norm fold and
+    # Arrow bucket UDF run in the scan stage — a single local split
+    # serialized them (A/B at sf0.1: 1.19 s -> 0.94 s; no-op on a
+    # parallel scan)
+    e = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") < 32)
     return sign_lsh_topk(q, e, k=3, planes=8, hamming=4,
                          mix="hadamard").select(
@@ -224,7 +229,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(cosine_topk is its oracle-checked 8-query variant).",
 )
 def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..operators.skew import spread_small_scan
+    # input-skew fix (guide §2.5), same shape as cosine_topk (A/B at
+    # sf0.1: 0.64 s -> 0.40 s; no-op on a parallel scan)
+    e = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") < 32)
     return brute_force_topk(q, e, k=3).select(
         "query_id", "neighbor_id", "sim", "rnk")

@@ -87,7 +87,11 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate set.",
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..operators.skew import spread_small_scan
+    # input-skew fix (guide §2.5): the carried-norm fold below runs in
+    # the scan stage, which at the local tiers is a single parquet
+    # split (A/B at sf0.1: 0.52 s -> 0.32 s; no-op on a parallel scan)
+    e = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
     # norms are computed ONCE per row and carried as columns — the
     # inline form refolded both norms per (query, candidate) pair: 3
     # interpreted O(dim) folds per pair -> 1 (HOF folds do not enter
@@ -337,7 +341,11 @@ def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine_topk.",
 )
 def ann_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..operators.skew import spread_small_scan
+    # input-skew fix (guide §2.5): the per-row quantize folds run in
+    # the scan stage — a single local split serialized them (A/B at
+    # sf0.1: 0.78 s -> 0.38 s; no-op on a parallel scan)
+    e = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
     s = F.array_max(F.transform("embedding",
                                 lambda x: F.abs(x.cast("double"))))
     qv = F.when(s == 0, F.transform(
