@@ -334,6 +334,17 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash — is unchanged.
     en = e.select("vec_id", "embedding",
                   _norm(F.col("embedding")).alias("_nv"))
+    # pin the normed table: en is referenced by BOTH Lloyd passes, the
+    # final assignment, and the probe's query/candidate sides — there
+    # is no exchange directly above it, so AQE stage reuse cannot dedup
+    # it and the interpreted norm fold re-ran per reference (A/B at
+    # sf0.1: 1.52 s -> 1.42 s best-of-3, rows equal; spread_small_scan
+    # was also tried here and measured SLOWER — 1.75 s+ — the many
+    # small stages pay more in task overhead than the parallel fold
+    # saves). The pin is corpus-scale (one row per embedding), so it is
+    # size-guarded like the other corpus pins (VERDICT r11 #3).
+    from ..operators.pinning import pin_if_bounded
+    en = pin_if_bounded(en, sf_dir, "embeddings")
 
     def csim_col():
         return F.round(_dot(F.col("embedding"), F.col("_cvec"))
